@@ -1,0 +1,45 @@
+"""Runtime configuration.
+
+The reference hard-codes its scoring constants at compile time
+(/root/reference/src/paf_data.hpp:21-29) and its search budgets inline
+(MAX_PATH_COUNT at paf_data.cpp:729, MAX_ANOM at paf_data.cpp:711).
+Here every knob is a runtime field with the reference's defaults, so one
+config object fully determines behavior (SURVEY.md §5.6).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class AlignasmConfig:
+    # --- scoring semiring weights (paf_data.hpp:21-29) ---
+    qry_weight: int = 1
+    ref_weight: int = 1
+    ref_negative_penalty: int = 2
+    sv_baseline: int = 1_000_000
+    sv_trans_penalty: int = 2000
+    sv_inv_penalty: int = 500
+    sv_front_end_coefficient: int = 2
+
+    # --- search budgets ---
+    max_path_count: int = 10_000   # k-shortest walk budget (paf_data.cpp:729)
+    max_anom: int = 1              # per-edge anomaly cap for Dial BFS (paf_data.cpp:711)
+
+    # --- CLI-level flags (alignasm.cpp:28-74) ---
+    alt_baseline: float = 0.5      # -b/--alt_baseline
+    non_skip_linkable: bool = False  # --non_skip_linkable
+
+    # --- TPU engine knobs (no reference analogue) ---
+    # Per-node top-K candidate width for the tensorized k-shortest search.
+    # Validated against the exact engine; raised adaptively on overflow.
+    device_top_k: int = 32
+    # Contig bucket edges for padding/bucketing by record count.
+    bucket_sizes: tuple = (4, 8, 16, 32, 64, 128, 256, 512)
+    # Contigs at or below this record count are solved by the batched
+    # device path; larger ones fall back to the exact host engine.
+    max_device_records: int = 512
+
+
+DEFAULT_CONFIG = AlignasmConfig()

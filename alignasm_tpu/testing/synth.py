@@ -1,0 +1,220 @@
+"""Synthetic PAF generator.
+
+The reference repo ships no test data (SURVEY.md §4), so we synthesize
+contig-vs-reference PAF files with short-form cs tags that exercise the
+full solver surface: partial query overlaps (cut points), containment,
+gaps, inversions, translocations, reverse strands, mapq-zero records,
+and multi-part contigs.  All generated records satisfy the reference's
+strict parse-time invariants (cs consumption == PAF coords,
+paf_data.cpp:119-122).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+_BASES = "acgt"
+
+
+@dataclasses.dataclass
+class SynthRecord:
+    qry_name: str
+    qry_total: int
+    qry_str: int          # half-open file coords
+    qry_end: int
+    fwd: bool
+    ref_name: str
+    ref_total: int
+    ref_str: int          # half-open file coords
+    ref_end: int
+    mat_num: int
+    aln_len: int
+    mapq: int
+    cs: str
+
+    def to_line(self) -> str:
+        return "\t".join(
+            [
+                self.qry_name,
+                str(self.qry_total),
+                str(self.qry_str),
+                str(self.qry_end),
+                "+" if self.fwd else "-",
+                self.ref_name,
+                str(self.ref_total),
+                str(self.ref_str),
+                str(self.ref_end),
+                str(self.mat_num),
+                str(self.aln_len),
+                str(self.mapq),
+                "tp:A:P",  # extra tag before cs, exercises tag scanning
+                self.cs,
+            ]
+        )
+
+
+def _rand_seq(rng: np.random.Generator, n: int) -> str:
+    return "".join(_BASES[i] for i in rng.integers(0, 4, size=n))
+
+
+def _gen_ops(rng: np.random.Generator, approx_len: int):
+    """Generate query-oriented cs ops.
+
+    Returns (ops, qry_consumed, ref_consumed, mat_num, aln_len) where ops
+    is a list of (kind, text) with kind in ':*+-'.
+    """
+    ops = []
+    qry = ref = mat = aln = 0
+    remaining = approx_len
+    while remaining > 0:
+        run = int(rng.integers(1, max(2, min(remaining, 500))))
+        ops.append((":", ":" + str(run)))
+        qry += run
+        ref += run
+        mat += run
+        aln += run
+        remaining -= run
+        if remaining <= 0:
+            break
+        kind = rng.random()
+        if kind < 0.5:
+            a, b = rng.integers(0, 4, size=2)
+            b = (a + 1 + b % 3) % 4  # different base
+            ops.append(("*", "*" + _BASES[a] + _BASES[b]))
+            qry += 1
+            ref += 1
+            aln += 1
+            remaining -= 1
+        elif kind < 0.75:
+            n = int(rng.integers(1, 8))
+            ops.append(("+", "+" + _rand_seq(rng, n)))
+            qry += n
+            aln += n
+        else:
+            n = int(rng.integers(1, 8))
+            ops.append(("-", "-" + _rand_seq(rng, n)))
+            ref += n
+            aln += n
+    # ops must start and end with matches for clean interval structure
+    if ops[-1][0] != ":":
+        ops.append((":", ":3"))
+        qry += 3
+        ref += 3
+        mat += 3
+        aln += 3
+    return ops, qry, ref, mat, aln
+
+
+def _make_record(
+    rng: np.random.Generator,
+    qry_name: str,
+    qry_total: int,
+    qry_pos: int,
+    approx_len: int,
+    ref_name: str,
+    ref_total: int,
+    ref_pos: int,
+    fwd: bool,
+    mapq: int,
+) -> tuple[SynthRecord, int, int]:
+    """Build one record starting at qry_pos/ref_pos; returns (record,
+    qry_consumed, ref_consumed)."""
+    ops, qlen, rlen, mat, aln = _gen_ops(rng, approx_len)
+    texts = [t for _, t in ops]
+    if not fwd:
+        texts = texts[::-1]
+    cs = "cs:Z:" + "".join(texts)
+    rec = SynthRecord(
+        qry_name=qry_name,
+        qry_total=qry_total,
+        qry_str=qry_pos,
+        qry_end=qry_pos + qlen,
+        fwd=fwd,
+        ref_name=ref_name,
+        ref_total=ref_total,
+        ref_str=ref_pos,
+        ref_end=ref_pos + rlen,
+        mat_num=mat,
+        aln_len=aln,
+        mapq=mapq,
+        cs=cs,
+    )
+    return rec, qlen, rlen
+
+
+def generate_paf(
+    n_contigs: int = 20,
+    seed: int = 0,
+    max_records_per_contig: int = 24,
+    mean_segment: int = 400,
+) -> str:
+    """Generate a synthetic PAF as a single string."""
+    rng = np.random.default_rng(seed)
+    ref_chrs = [(f"chr{i + 1}", int(rng.integers(200_000, 400_000))) for i in range(4)]
+    lines: list[str] = []
+
+    for ci in range(n_contigs):
+        qry_name = f"ctg{ci:05d}"
+        n_rec = int(rng.integers(1, max_records_per_contig + 1))
+        qry_total = int(n_rec * mean_segment * 2 + rng.integers(500, 3000))
+        qry_pos = int(rng.integers(0, 200))
+        ref_i = int(rng.integers(0, len(ref_chrs)))
+        ref_name, ref_total = ref_chrs[ref_i]
+        ref_pos = int(rng.integers(0, ref_total // 2))
+        fwd = True
+        recs: list[SynthRecord] = []
+        for _ in range(n_rec):
+            approx = int(rng.integers(mean_segment // 2, mean_segment * 2))
+            mapq = int(rng.choice([0, 1, 20, 60], p=[0.1, 0.1, 0.2, 0.6]))
+            event = rng.random()
+            if event < 0.12:  # inversion
+                fwd = not fwd
+                ref_pos += int(rng.integers(0, 50))
+            elif event < 0.2:  # translocation
+                ref_i = int(rng.integers(0, len(ref_chrs)))
+                ref_name, ref_total = ref_chrs[ref_i]
+                ref_pos = int(rng.integers(0, ref_total // 2))
+                fwd = True
+            else:  # plain gap on the reference
+                ref_pos += int(rng.integers(0, 120))
+
+            rec, qlen, rlen = _make_record(
+                rng, qry_name, qry_total, qry_pos, approx,
+                ref_name, ref_total, ref_pos, fwd, mapq,
+            )
+            recs.append(rec)
+
+            # Occasionally emit a competing overlapping record mapping to a
+            # shifted reference location — exercises cut-point machinery.
+            if n_rec > 1 and rng.random() < 0.35:
+                ov = int(rng.integers(5, max(6, qlen // 2)))
+                dup_start = qry_pos + qlen - ov
+                dup_ref = ref_pos + int(rng.integers(0, 3000))
+                dup, dq, dr = _make_record(
+                    rng, qry_name, qry_total, dup_start,
+                    int(rng.integers(ov + 20, ov + mean_segment)),
+                    ref_name, ref_total, dup_ref, fwd,
+                    int(rng.choice([0, 30, 60])),
+                )
+                recs.append(dup)
+                # advance past the competing record with a gap
+                qry_pos = dup_start + dq + int(rng.integers(1, 60))
+                ref_pos = dup_ref + dr + int(rng.integers(0, 80))
+            else:
+                qry_pos += qlen + int(rng.integers(1, 80))
+                ref_pos += rlen
+
+        tail = max(r.qry_end for r in recs)
+        qry_total = max(qry_total, tail + int(rng.integers(1, 500)))
+        for r in recs:
+            r.qry_total = qry_total
+        lines.extend(r.to_line() for r in recs)
+
+    return "\n".join(lines) + "\n"
+
+
+def write_paf(path: str, **kwargs) -> None:
+    with open(path, "w") as fh:
+        fh.write(generate_paf(**kwargs))
