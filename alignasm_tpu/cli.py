@@ -1,0 +1,104 @@
+"""Command-line interface — same surface as the reference binary.
+
+Parity target: /root/reference/src/alignasm.cpp:28-74 (flags) and
+:398-490 (output naming): ``<input>.aln.paf``, ``<input>.aln.alt.paf``,
+``<input>.aln.all.paf``.
+
+Engine selection is new: ``--engine exact`` (host, oracle-faithful) or
+``--engine tpu`` (batched device kernels; falls back to exact for
+contigs above the device size cap).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+import sys
+import time
+
+from alignasm_tpu.config import DEFAULT_CONFIG
+from alignasm_tpu.io.paf import merge_alt_paf, read_paf, write_outputs
+
+
+def build_arg_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        "alignasm_tpu", description="TPU-native assembly alignment engine"
+    )
+    p.add_argument("paf_loc", metavar="PAF_LOC", help="Location of PAF file")
+    p.add_argument("-t", "--thread", type=int, default=1, metavar="THREAD",
+                   help="Number of worker processes for the host engine")
+    p.add_argument("-a", "--alt", metavar="PAF_ALT_LOC",
+                   help="Location of alternative PAF file")
+    p.add_argument("-b", "--alt_baseline", type=float, default=0.5,
+                   metavar="ALT_BASELINE",
+                   help="Baseline for coverage of alternative PAF file")
+    p.add_argument("--non_skip_linkable", action="store_true",
+                   help="Drop a->b edges when a->c->b exists")
+    p.add_argument("--engine", choices=["exact", "tpu"], default="exact")
+    p.add_argument("--progress", action="store_true")
+    return p
+
+
+def output_paths(paf_loc: str):
+    base = os.path.abspath(paf_loc)
+    root, _ext = os.path.splitext(base)
+    return root + ".aln.paf", root + ".aln.alt.paf", root + ".aln.all.paf"
+
+
+def run(argv=None) -> int:
+    args = build_arg_parser().parse_args(argv)
+    if not args.paf_loc.endswith(".paf"):
+        print(f"Wrong PAF file : {os.path.abspath(args.paf_loc)}", file=sys.stderr)
+        return 1
+
+    cfg = dataclasses.replace(
+        DEFAULT_CONFIG,
+        alt_baseline=args.alt_baseline,
+        non_skip_linkable=args.non_skip_linkable,
+    )
+
+    t0 = time.perf_counter()
+    dataset = read_paf(args.paf_loc)
+    if args.alt:
+        if not args.alt.endswith(".paf"):
+            print(f"Wrong PAF file : {os.path.abspath(args.alt)}", file=sys.stderr)
+            return 1
+        merge_alt_paf(dataset, args.alt, cfg.alt_baseline)
+    print("File read complete")
+
+    if args.engine == "tpu":
+        from alignasm_tpu.runtime.scheduler import solve_dataset_tpu
+
+        outs, alt_outs, max_outs = solve_dataset_tpu(dataset, cfg)
+    elif args.thread > 1:
+        from alignasm_tpu.runtime.scheduler import solve_dataset_parallel
+
+        outs, alt_outs, max_outs = solve_dataset_parallel(dataset, cfg, args.thread)
+    else:
+        from alignasm_tpu.engine.exact import solve_dataset
+
+        outs, alt_outs, max_outs = solve_dataset(dataset, cfg)
+
+    print("Write output PAF file")
+    out_p, alt_p, all_p = output_paths(args.paf_loc)
+    with open(out_p, "w") as fh:
+        write_outputs(dataset, outs, fh)
+    with open(alt_p, "w") as fh:
+        write_outputs(dataset, alt_outs, fh)
+    with open(all_p, "w") as fh:
+        write_outputs(dataset, max_outs, fh, name_suffix_counts=True)
+
+    elapsed = time.perf_counter() - t0
+    n_rec = sum(len(c) for c in dataset.contigs)
+    print(f"{len(dataset.contigs)} contigs, {n_rec} records in {elapsed:.2f}s "
+          f"({len(dataset.contigs) / elapsed:.1f} contigs/s)")
+    return 0
+
+
+def main() -> None:
+    sys.exit(run())
+
+
+if __name__ == "__main__":
+    main()

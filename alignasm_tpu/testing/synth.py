@@ -215,6 +215,154 @@ def generate_paf(
     return "\n".join(lines) + "\n"
 
 
+def generate_hard_paf(
+    n_contigs: int = 30,
+    seed: int = 0,
+    mean_segment: int = 300,
+) -> str:
+    """Adversarial generator aimed at the alt/max output paths.
+
+    Injects (a) *ambiguous segments*: a query stretch with two competing
+    mappings — a cheap translocated one (anomaly) vs an expensive
+    same-chromosome one (no anomaly) — so the best path carries more
+    anomalies than the floor and the alt-path slope scan fires
+    (paf_data.cpp:1613-1649); and (b) *duplicate segments*: identical
+    cs/query intervals at different reference offsets, producing
+    equal-score equal-coverage path ties for the .all output
+    (paf_data.cpp:1595-1611).
+    """
+    rng = np.random.default_rng(seed)
+    ref_chrs = [(f"chr{i + 1}", int(rng.integers(300_000, 500_000))) for i in range(3)]
+    lines: list[str] = []
+
+    for ci in range(n_contigs):
+        qry_name = f"hctg{ci:05d}"
+        n_seg = int(rng.integers(3, 10))
+        qry_total = int(n_seg * mean_segment * 3 + 2000)
+        qry_pos = int(rng.integers(0, 100))
+        ref_i = 0
+        ref_name, ref_total = ref_chrs[ref_i]
+        ref_pos = int(rng.integers(0, 50_000))
+        recs: list[SynthRecord] = []
+        for si in range(n_seg):
+            approx = int(rng.integers(mean_segment // 2, mean_segment * 2))
+            mapq = int(rng.choice([0, 20, 60], p=[0.15, 0.25, 0.6]))
+            style = rng.random()
+            if style < 0.35:
+                # ambiguous segment: same query span mapped twice
+                rec_a, qlen, _r = _make_record(
+                    rng, qry_name, qry_total, qry_pos, approx,
+                    ref_name, ref_total,
+                    ref_pos + int(rng.integers(20_000, 60_000)),  # big same-chr gap
+                    True, mapq,
+                )
+                alt_chr_i = (ref_i + 1) % len(ref_chrs)
+                alt_name, alt_total = ref_chrs[alt_chr_i]
+                ops, q2, r2, mat, aln = _gen_ops(rng, qlen)
+                # competing mapping over the same query interval, other chr
+                while q2 != qlen:
+                    ops, q2, r2, mat, aln = _gen_ops(rng, qlen)
+                alt_ref_str = int(rng.integers(0, alt_total // 2))
+                rec_b = SynthRecord(
+                    qry_name=qry_name, qry_total=qry_total,
+                    qry_str=qry_pos, qry_end=qry_pos + q2, fwd=True,
+                    ref_name=alt_name, ref_total=alt_total,
+                    ref_str=alt_ref_str, ref_end=alt_ref_str + r2,
+                    mat_num=mat, aln_len=aln,
+                    mapq=int(rng.choice([0, 60])),
+                    cs="cs:Z:" + "".join(t for _, t in ops),
+                )
+                recs.extend([rec_a, rec_b])
+                ref_pos = rec_a.ref_end
+                qry_pos += qlen + int(rng.integers(1, 60))
+            elif style < 0.55:
+                # duplicate segment: identical cs, shifted ref, same chr
+                rec_a, qlen, rlen = _make_record(
+                    rng, qry_name, qry_total, qry_pos, approx,
+                    ref_name, ref_total, ref_pos + int(rng.integers(0, 100)),
+                    True, mapq,
+                )
+                shift = int(rng.integers(5_000, 9_000))
+                rec_b = dataclasses.replace(
+                    rec_a, ref_str=rec_a.ref_str + shift, ref_end=rec_a.ref_end + shift
+                )
+                recs.extend([rec_a, rec_b])
+                ref_pos = rec_a.ref_end
+                qry_pos += qlen + int(rng.integers(1, 60))
+            else:
+                fwd = bool(rng.random() > 0.25)
+                rec, qlen, rlen = _make_record(
+                    rng, qry_name, qry_total, qry_pos, approx,
+                    ref_name, ref_total, ref_pos + int(rng.integers(0, 150)),
+                    fwd, mapq,
+                )
+                recs.append(rec)
+                ref_pos = rec.ref_end
+                qry_pos += qlen + int(rng.integers(1, 60))
+
+        tail = max(r.qry_end for r in recs)
+        qry_total = max(qry_total, tail + int(rng.integers(1, 400)))
+        for r in recs:
+            r.qry_total = qry_total
+        lines.extend(r.to_line() for r in recs)
+
+    return "\n".join(lines) + "\n"
+
+
+def generate_alt_paf(main_paf: str, seed: int = 0, n_groups: int = 12) -> str:
+    """Generate an alternative PAF for an existing main PAF.
+
+    Alt query names encode ``<ctg>:<offset1based>-<end>`` fragments
+    (alignasm.cpp:209-233).  Some groups contain records passing the
+    aln_len/qry_total > baseline threshold; others fail entirely so the
+    flush-best-ratio fallback fires (alignasm.cpp:244-252).
+    """
+    rng = np.random.default_rng(seed + 77)
+    # contig name -> qry_total from the main PAF
+    totals: dict[str, int] = {}
+    order: list[str] = []
+    for line in main_paf.splitlines():
+        f = line.split("\t")
+        if f[0] not in totals:
+            order.append(f[0])
+        totals[f[0]] = int(f[1])
+
+    ref_name, ref_total = "chr1", 500_000
+    lines: list[str] = []
+    chosen = [order[int(i)] for i in rng.choice(len(order), size=min(n_groups, len(order)), replace=False)]
+    chosen.sort()  # groups arrive contig-sorted like a real pipeline
+    for ctg in chosen:
+        qry_total = totals[ctg]
+        offset0 = int(rng.integers(0, max(1, qry_total // 2)))
+        frag_len = int(rng.integers(300, 1200))
+        frag_len = min(frag_len, qry_total - offset0 - 1)
+        if frag_len < 50:
+            continue
+        name = f"{ctg}:{offset0 + 1}-{offset0 + frag_len}"
+        passing_group = rng.random() < 0.6
+        for _ in range(int(rng.integers(1, 4))):
+            if passing_group:
+                seg = int(rng.integers(frag_len // 2 + 1, frag_len))
+            else:
+                seg = int(rng.integers(10, max(11, frag_len // 3)))
+            start = int(rng.integers(0, max(1, frag_len - seg)))
+            ops, qlen, rlen, mat, aln = _gen_ops(rng, seg)
+            if start + qlen > frag_len:
+                continue
+            ref_pos = int(rng.integers(0, ref_total // 2))
+            rec = SynthRecord(
+                qry_name=name, qry_total=frag_len,
+                qry_str=start, qry_end=start + qlen, fwd=True,
+                ref_name=ref_name, ref_total=ref_total,
+                ref_str=ref_pos, ref_end=ref_pos + rlen,
+                mat_num=mat, aln_len=aln,
+                mapq=int(rng.choice([0, 60])),
+                cs="cs:Z:" + "".join(t for _, t in ops),
+            )
+            lines.append(rec.to_line())
+    return "\n".join(lines) + "\n" if lines else ""
+
+
 def write_paf(path: str, **kwargs) -> None:
     with open(path, "w") as fh:
         fh.write(generate_paf(**kwargs))

@@ -1,0 +1,89 @@
+"""Golden-output tests: the engine must match the C++ reference
+byte-for-byte on all three output PAFs (SURVEY.md §4 test strategy)."""
+
+import pathlib
+import subprocess
+import sys
+
+import pytest
+
+from alignasm_tpu.testing.synth import generate_alt_paf, generate_hard_paf, generate_paf
+from tests.conftest import run_oracle
+
+
+def _run_engine(paf: pathlib.Path, workdir: pathlib.Path, extra=()):
+    local = workdir / ("eng_" + paf.name)
+    local.write_bytes(paf.read_bytes())
+    subprocess.run(
+        [sys.executable, "-m", "alignasm_tpu.cli", str(local), *extra],
+        check=True, capture_output=True,
+    )
+    stem = str(local)[: -len(".paf")]
+    return (
+        pathlib.Path(stem + ".aln.paf"),
+        pathlib.Path(stem + ".aln.alt.paf"),
+        pathlib.Path(stem + ".aln.all.paf"),
+    )
+
+
+def _assert_identical(oracle_outs, engine_outs):
+    for o, e in zip(oracle_outs, engine_outs):
+        ob, eb = o.read_bytes(), e.read_bytes()
+        if ob != eb:
+            for ln, (lo, le) in enumerate(
+                zip(ob.decode().splitlines(), eb.decode().splitlines())
+            ):
+                assert lo == le, f"{o.name} line {ln}:\n oracle: {lo}\n engine: {le}"
+            assert len(ob) == len(eb), f"{o.name}: length differs"
+
+
+@pytest.mark.parametrize("seed", [7, 11, 23])
+def test_byte_identical_basic(oracle_bin, tmp_path, seed):
+    paf = tmp_path / f"basic{seed}.paf"
+    paf.write_text(generate_paf(n_contigs=25, seed=seed))
+    _assert_identical(
+        run_oracle(oracle_bin, paf, tmp_path), _run_engine(paf, tmp_path)
+    )
+
+
+@pytest.mark.parametrize("seed", [11, 42])
+def test_byte_identical_hard(oracle_bin, tmp_path, seed):
+    """Exercises alt-path slope scan and coverage ties."""
+    paf = tmp_path / f"hard{seed}.paf"
+    paf.write_text(generate_hard_paf(n_contigs=25, seed=seed))
+    oracle_outs = run_oracle(oracle_bin, paf, tmp_path)
+    assert oracle_outs[1].stat().st_size > 0, "hard data must produce alt output"
+    _assert_identical(oracle_outs, _run_engine(paf, tmp_path))
+
+
+def test_byte_identical_with_alt_merge(oracle_bin, tmp_path):
+    main = generate_paf(n_contigs=20, seed=5)
+    paf = tmp_path / "merged.paf"
+    paf.write_text(main)
+    alt = tmp_path / "alt_in.paf"
+    alt.write_text(generate_alt_paf(main, seed=5))
+    assert alt.stat().st_size > 0
+    _assert_identical(
+        run_oracle(oracle_bin, paf, tmp_path, extra=["-a", str(alt)]),
+        _run_engine(paf, tmp_path, extra=["-a", str(alt)]),
+    )
+
+
+def test_byte_identical_non_skip_linkable(oracle_bin, tmp_path):
+    paf = tmp_path / "nsl.paf"
+    paf.write_text(generate_hard_paf(n_contigs=15, seed=3))
+    _assert_identical(
+        run_oracle(oracle_bin, paf, tmp_path, extra=["--non_skip_linkable"]),
+        _run_engine(paf, tmp_path, extra=["--non_skip_linkable"]),
+    )
+
+
+def test_parallel_engine_matches_serial(oracle_bin, tmp_path):
+    paf = tmp_path / "par.paf"
+    paf.write_text(generate_hard_paf(n_contigs=20, seed=9))
+    serial = _run_engine(paf, tmp_path)
+    par_dir = tmp_path / "par2"
+    par_dir.mkdir()
+    parallel = _run_engine(paf, par_dir, extra=["-t", "4"])
+    for s, p in zip(serial, parallel):
+        assert s.read_bytes() == p.read_bytes()
