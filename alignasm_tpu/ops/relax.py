@@ -1,0 +1,240 @@
+"""Batched DAG relaxation kernels (JAX/XLA, TPU-first).
+
+This is the device half of the solver: masked min-plus relaxation
+sweeps over padded struct-of-arrays edge lists, vmapped over a bucket
+of contigs (the TPU-native replacement for the reference's
+pointer-chasing Dijkstra/Eppstein machinery — SURVEY.md §7 phase 3,
+BASELINE.json north star).
+
+Kernels (all per contig, batched by vmap):
+  * ``dag_sp``        — distance-to-sink over the PafDistance semiring
+                        with the reference's exact first-improvement
+                        tie-break (key, arrival-rank), yielding d[] and
+                        the best[] tree (k_shortest_walks.hpp:160-175).
+  * ``anom floor``    — minimum achievable anomaly count
+                        (k_weighted_bfs.hpp:16, paf_data.cpp:704-713).
+  * ``level DP``      — per-anomaly-level constrained shortest paths,
+                        the tensor reformulation of the alt-path slope
+                        scan's candidate set (paf_data.cpp:1613-1649).
+  * ``count DPs``     — saturating walk counts: total, achieving-min,
+                        achieving-level-min; drive the exact-host
+                        fallback decision (full ties / k-budget).
+
+Distances relax as packed int64 lexicographic keys (ops/semiring.py);
+relaxation sweeps are data-independent (fixed trip count = topological
+depth bound), so the whole solve jits into one fused XLA program with
+no host round-trips.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from alignasm_tpu.ops.semiring import ANOM_BITS, QUL_BITS, QUL_ONE
+
+INF = jnp.int64(2**62)
+COUNT_SAT = jnp.int64(10_001)  # saturation above the reference's k budget
+MAX_LEVELS = 8                 # anomaly levels tracked for the alt scan
+
+
+def _seg_min(vals, seg, num):
+    return jax.ops.segment_min(vals, seg, num_segments=num)
+
+
+def _seg_sum(vals, seg, num):
+    return jax.ops.segment_sum(vals, seg, num_segments=num)
+
+
+def _qul_key(nz, tot):
+    tot_safe = jnp.where(tot == 0, 1, tot)
+    # smaller = better fraction; exact for denominators < 2^(QUL_BITS/3)
+    return QUL_ONE - ((nz << QUL_BITS) // tot_safe)
+
+
+def _pack_k1(s, a):
+    return (s << ANOM_BITS) | a
+
+
+def _argmin3(k1, k2, k3, seg, num, valid):
+    """Segmented lexicographic argmin over (k1, k2, k3); k3 must be
+    unique per element.  Returns per-segment (m1, m2, m3)."""
+    k1 = jnp.where(valid, k1, INF)
+    m1 = _seg_min(k1, seg, num)
+    on1 = valid & (k1 == m1[seg])
+    m2 = _seg_min(jnp.where(on1, k2, INF), seg, num)
+    on2 = on1 & (k2 == m2[seg])
+    m3 = _seg_min(jnp.where(on2, k3, INF), seg, num)
+    return m1, m2, m3
+
+
+@functools.partial(jax.jit, static_argnames=("V", "A", "n_sweeps"))
+def solve_graph_batch(
+    eu, ev, es, ea, enz, etot, erank, evalid, src, dest, V, A=MAX_LEVELS,
+    n_sweeps=None,
+):
+    """Solve one bucket of contig graphs.
+
+    Args (all batched, leading dim B; E = padded edge count):
+      eu, ev      int32 (B, E)  edge endpoints (forward: u -> v)
+      es          int64 (B, E)  qry+ref score of the edge
+      ea          int32 (B, E)  anomaly count of the edge
+      enz, etot   int32 (B, E)  mapq-fraction numerator/denominator deltas
+      erank       int64 (B, E)  arrival rank in the reference's reversed
+                                relaxation order (unique per edge)
+      evalid      bool  (B, E)
+      src, dest   int32 (B,)
+      V           static vertex count (padded)
+
+    Returns dict of per-vertex / per-level arrays (see body).
+    """
+    B, E = eu.shape
+    if n_sweeps is None:
+        n_sweeps = V
+
+    def one(eu, ev, es, ea, enz, etot, erank, evalid, src, dest):
+        # ---- distance-to-sink over the full semiring -------------------
+        init = dict(
+            s=jnp.full((V,), INF, jnp.int64).at[dest].set(0),
+            a=jnp.zeros((V,), jnp.int64),
+            nz=jnp.zeros((V,), jnp.int64),
+            tot=jnp.zeros((V,), jnp.int64),
+            rank=jnp.full((V,), INF, jnp.int64).at[dest].set(-1),
+            eid=jnp.full((V,), -1, jnp.int32),
+        )
+
+        def sweep(_, st):
+            cs = st["s"][ev] + es
+            ca = st["a"][ev] + ea
+            cnz = st["nz"][ev] + enz
+            ctot = st["tot"][ev] + etot
+            ok = evalid & (st["s"][ev] < INF)
+            ck1 = jnp.where(ok, _pack_k1(cs, ca), INF)
+            ck2 = _qul_key(cnz, ctot)
+            m1, m2, m3 = _argmin3(ck1, ck2, erank, eu, V, ok)
+            # current state as incumbent (strict improvement only)
+            cur1 = jnp.where(st["s"] < INF, _pack_k1(st["s"], st["a"]), INF)
+            cur2 = _qul_key(st["nz"], st["tot"])
+            new_better = (m1 < cur1) | ((m1 == cur1) & (m2 < cur2)) | (
+                (m1 == cur1) & (m2 == cur2) & (m3 < st["rank"])
+            )
+            win = ok & (erank == m3[eu]) & new_better[eu]
+            eids = jnp.arange(E, dtype=jnp.int32)
+            w_eid = _seg_min(jnp.where(win, eids, E), eu, V)
+            got = w_eid < E
+            w_eid_c = jnp.clip(w_eid, 0, E - 1)
+            upd = lambda cur, cand: jnp.where(got, cand[w_eid_c], cur)
+            return dict(
+                s=upd(st["s"], cs), a=upd(st["a"], ca),
+                nz=upd(st["nz"], cnz), tot=upd(st["tot"], ctot),
+                rank=jnp.where(got, erank[w_eid_c], st["rank"]),
+                eid=jnp.where(got, w_eid_c, st["eid"]),
+            )
+
+        d = jax.lax.fori_loop(0, n_sweeps, sweep, init)
+
+        # ---- anomaly floor (src side irrelevant: value symmetric) ------
+        fa = jnp.full((V,), INF, jnp.int64).at[dest].set(0)
+
+        def sweep_anom(_, fa):
+            c = jnp.where(evalid & (fa[ev] < INF), fa[ev] + ea, INF)
+            return jnp.minimum(fa, _seg_min(c, eu, V))
+
+        fa = jax.lax.fori_loop(0, n_sweeps, sweep_anom, fa)
+
+        # ---- per-anomaly-level constrained SP to sink ------------------
+        # state (V, A): min (sum, qul, rank) among paths with anom == a
+        lv = dict(
+            s=jnp.full((V, A), INF, jnp.int64).at[dest, 0].set(0),
+            nz=jnp.zeros((V, A), jnp.int64),
+            tot=jnp.zeros((V, A), jnp.int64),
+            rank=jnp.full((V, A), INF, jnp.int64).at[dest, 0].set(-1),
+            eid=jnp.full((V, A), -1, jnp.int32),
+        )
+        a_ids = jnp.arange(A, dtype=jnp.int32)
+        seg_flat = eu[:, None] * A + a_ids[None, :]       # (E, A)
+        child_lv = a_ids[None, :] - ea[:, None]           # (E, A)
+        lv_ok0 = evalid[:, None] & (child_lv >= 0)
+        child_lv_c = jnp.clip(child_lv, 0, A - 1)
+
+        def sweep_lv(_, lv):
+            gs = lv["s"][ev[:, None], child_lv_c]
+            cs = gs + es[:, None]
+            cnz = lv["nz"][ev[:, None], child_lv_c] + enz[:, None]
+            ctot = lv["tot"][ev[:, None], child_lv_c] + etot[:, None]
+            ok = lv_ok0 & (gs < INF)
+            ck2 = _qul_key(cnz, ctot)
+            crank = jnp.broadcast_to(erank[:, None], ck2.shape)
+            m1, m2, m3 = _argmin3(
+                cs.reshape(-1), ck2.reshape(-1), crank.reshape(-1),
+                seg_flat.reshape(-1), V * A, ok.reshape(-1),
+            )
+            m1 = m1.reshape(V, A); m2 = m2.reshape(V, A); m3 = m3.reshape(V, A)
+            cur2 = _qul_key(lv["nz"], lv["tot"])
+            cur1 = lv["s"]
+            better = (m1 < cur1) | ((m1 == cur1) & (m2 < cur2)) | (
+                (m1 == cur1) & (m2 == cur2) & (m3 < lv["rank"])
+            )
+            win = ok & (crank == m3[eu[:, None], a_ids[None, :]]) \
+                & better[eu[:, None], a_ids[None, :]]
+            eids = jnp.broadcast_to(
+                jnp.arange(E, dtype=jnp.int32)[:, None], win.shape)
+            w_eid = _seg_min(
+                jnp.where(win, eids, E).reshape(-1), seg_flat.reshape(-1), V * A
+            ).reshape(V, A)
+            got = w_eid < E
+            w = jnp.clip(w_eid, 0, E - 1)
+            a_grid = jnp.broadcast_to(a_ids[None, :], (V, A))
+            # winning candidate for (v, a) came from edge w[v,a] at target
+            # level a, so gather candidate tables at (w, a)
+            return dict(
+                s=jnp.where(got, cs[w, a_grid], lv["s"]),
+                nz=jnp.where(got, cnz[w, a_grid], lv["nz"]),
+                tot=jnp.where(got, ctot[w, a_grid], lv["tot"]),
+                rank=jnp.where(got, erank[w], lv["rank"]),
+                eid=jnp.where(got, w, lv["eid"]),
+            )
+
+        lv = jax.lax.fori_loop(0, n_sweeps, sweep_lv, lv)
+
+        # ---- walk counts (saturating) ----------------------------------
+        cnt_tot = jnp.zeros((V,), jnp.int64).at[dest].set(1)
+
+        def sweep_cnt(_, c):
+            contrib = jnp.where(evalid, c[ev], 0)
+            return jnp.minimum(
+                jnp.zeros((V,), jnp.int64).at[dest].set(1)
+                + _seg_sum(contrib, eu, V),
+                COUNT_SAT,
+            )
+
+        cnt_tot = jax.lax.fori_loop(0, n_sweeps, sweep_cnt, cnt_tot)
+
+        # achieving-min counts: edge achieves iff k1(w + d[v]) == k1(d[u])
+        d_k1 = jnp.where(d["s"] < INF, _pack_k1(d["s"], d["a"]), INF)
+        ach = evalid & (d["s"][ev] < INF) & (
+            _pack_k1(d["s"][ev] + es, d["a"][ev] + ea) == d_k1[eu]
+        )
+        cnt_min = jnp.zeros((V,), jnp.int64).at[dest].set(1)
+
+        def sweep_cmin(_, c):
+            contrib = jnp.where(ach, c[ev], 0)
+            return jnp.minimum(
+                jnp.zeros((V,), jnp.int64).at[dest].set(1)
+                + _seg_sum(contrib, eu, V),
+                COUNT_SAT,
+            )
+
+        cnt_min = jax.lax.fori_loop(0, n_sweeps, sweep_cmin, cnt_min)
+
+        return dict(
+            d_s=d["s"], d_a=d["a"], d_nz=d["nz"], d_tot=d["tot"],
+            d_eid=d["eid"], floor_a=fa,
+            lv_s=lv["s"], lv_nz=lv["nz"], lv_tot=lv["tot"], lv_eid=lv["eid"],
+            cnt_tot=cnt_tot, cnt_min=cnt_min,
+        )
+
+    return jax.vmap(one)(eu, ev, es, ea, enz, etot, erank, evalid, src, dest)

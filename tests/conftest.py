@@ -11,10 +11,21 @@ import subprocess
 
 import pytest
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)  # keep the axon TPU plugin out
+os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
 ).strip()
+
+# The environment's sitecustomize may have imported jax and pinned the
+# TPU platform before this file runs; the config update below still wins
+# as long as no backend has been initialized yet.
+import jax  # noqa: E402
+
+try:
+    jax.config.update("jax_platforms", "cpu")
+except Exception:
+    pass
 
 REPO = pathlib.Path(__file__).resolve().parent.parent
 ORACLE_DIR = REPO / "tests" / "oracle"

@@ -1,0 +1,90 @@
+"""Device-engine tests on the virtual CPU mesh (conftest forces
+JAX_PLATFORMS=cpu with 8 fake devices)."""
+
+import numpy as np
+import pytest
+
+from alignasm_tpu.config import DEFAULT_CONFIG
+from alignasm_tpu.testing.synth import generate_hard_paf, generate_paf
+
+
+def _read(tmp_path, text, name="t.paf"):
+    from alignasm_tpu.io.paf import read_paf
+
+    p = tmp_path / name
+    p.write_text(text)
+    return read_paf(p)
+
+
+@pytest.mark.parametrize("kind,seed", [("basic", 0), ("basic", 3), ("hard", 0), ("hard", 5)])
+def test_device_engine_matches_exact(tmp_path, kind, seed):
+    import copy
+
+    from alignasm_tpu.engine.exact import solve_dataset
+    from alignasm_tpu.runtime.scheduler import solve_dataset_tpu
+
+    gen = generate_paf if kind == "basic" else generate_hard_paf
+    ds = _read(tmp_path, gen(n_contigs=10, seed=seed))
+    ds2 = copy.deepcopy(ds)
+    assert solve_dataset_tpu(ds, DEFAULT_CONFIG) == solve_dataset(ds2, DEFAULT_CONFIG)
+
+
+def test_kernel_matches_host_dp(tmp_path):
+    """Device d[]/best[]/floor vs the host exact engine's own DPs."""
+    from alignasm_tpu.engine import dial
+    from alignasm_tpu.engine.device import pack_graph
+    from alignasm_tpu.engine.graph import build_graph
+    from alignasm_tpu.engine.kshortest import KShortestWalks
+    from alignasm_tpu.model import distance as D
+    from alignasm_tpu.ops.relax import solve_graph_batch
+
+    ds = _read(tmp_path, generate_hard_paf(n_contigs=6, seed=1))
+    for contig in ds.contigs:
+        if len(contig) < 2:
+            continue
+        g = build_graph(contig, DEFAULT_CONFIG)
+        pg = pack_graph(g)
+        E = len(pg.eu)
+        dev = solve_graph_batch(
+            pg.eu[None], pg.ev[None], pg.es[None], pg.ea[None],
+            pg.enz[None], pg.etot[None], pg.erank[None],
+            np.ones((1, E), bool),
+            np.asarray([g.src], np.int32), np.asarray([g.dest], np.int32),
+            V=g.n_vertices, n_sweeps=g.n + 2,
+        )
+        solver = KShortestWalks(g.adj, D.CALC_SUM)
+        solver.solve(g.src, g.dest, 1)
+        for u in range(g.n_vertices):
+            hd = solver.d[u]
+            if hd is D.MAX_DIST:
+                assert int(dev["d_s"][0][u]) >= 2**62
+            else:
+                assert int(dev["d_s"][0][u]) == hd[0] + hd[1], u
+                assert int(dev["d_a"][0][u]) == hd[2], u
+                assert int(dev["d_nz"][0][u]) == hd[3], u
+                assert int(dev["d_tot"][0][u]) == hd[4], u
+                if u != g.dest:
+                    # best tree agreement
+                    e = int(dev["d_eid"][0][u])
+                    assert int(pg.ev[e]) == solver.best[u], u
+        anom_adj = [[(v, w[D.A]) for v, w in row] for row in g.adj]
+        anom_dis, _ = dial.k_weighted_bfs(anom_adj, g.src, 2)
+        assert int(dev["floor_a"][0][g.src]) == anom_dis[g.dest]
+
+
+def test_dryrun_multichip_virtual():
+    import __graft_entry__ as ge
+    import jax
+
+    n = min(8, len(jax.devices()))
+    ge.dryrun_multichip(n)
+
+
+def test_entry_compiles():
+    import __graft_entry__ as ge
+    import jax
+
+    fn, args = ge.entry()
+    out = jax.jit(fn)(*args)
+    jax.block_until_ready(out)
+    assert "d_s" in out
