@@ -35,7 +35,9 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    help="Baseline for coverage of alternative PAF file")
     p.add_argument("--non_skip_linkable", action="store_true",
                    help="Drop a->b edges when a->c->b exists")
-    p.add_argument("--engine", choices=["exact", "tpu"], default="exact")
+    p.add_argument("--engine", choices=["native", "exact", "tpu"], default="native",
+                   help="native: C++ host plane (default); exact: Python "
+                        "reference engine; tpu: batched device kernels")
     p.add_argument("--progress", action="store_true")
     return p
 
@@ -58,12 +60,30 @@ def run(argv=None) -> int:
         non_skip_linkable=args.non_skip_linkable,
     )
 
+    if args.alt and not args.alt.endswith(".paf"):
+        print(f"Wrong PAF file : {os.path.abspath(args.alt)}", file=sys.stderr)
+        return 1
+
     t0 = time.perf_counter()
+    if args.engine == "native":
+        from alignasm_tpu import native
+
+        alt = args.alt
+        if alt and os.path.getsize(alt) == 0:
+            alt = None  # zero-size alt disables the merge (alignasm.cpp:196-201)
+        native.run(
+            args.paf_loc,
+            alt_path=alt,
+            alt_baseline=cfg.alt_baseline,
+            non_skip_linkable=cfg.non_skip_linkable,
+            threads=args.thread,
+        )
+        elapsed = time.perf_counter() - t0
+        print(f"done in {elapsed:.2f}s")
+        return 0
+
     dataset = read_paf(args.paf_loc)
     if args.alt:
-        if not args.alt.endswith(".paf"):
-            print(f"Wrong PAF file : {os.path.abspath(args.alt)}", file=sys.stderr)
-            return 1
         merge_alt_paf(dataset, args.alt, cfg.alt_baseline)
     print("File read complete")
 

@@ -1,0 +1,144 @@
+#include "cs.h"
+
+#include <algorithm>
+#include <charconv>
+#include <cstdlib>
+#include <stdexcept>
+
+namespace aln {
+
+static bool alpha(char c) {
+    return (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z');
+}
+
+CsOps parse_cs(std::string_view cs) {
+    if (cs.substr(0, 5) != "cs:Z:")
+        throw std::runtime_error("record lacks a short-form cs:Z tag");
+    CsOps ops;
+    size_t pos = 5, n = cs.size();
+    while (pos < n) {
+        size_t beg = pos;
+        char t = cs[pos++];
+        i64 len = 0;
+        if (t == ':') {
+            auto res = std::from_chars(cs.data() + pos, cs.data() + n, len);
+            if (res.ec != std::errc{} || res.ptr == cs.data() + pos || len <= 0)
+                throw std::runtime_error("invalid :length op in cs tag");
+            pos = res.ptr - cs.data();
+        } else if (t == '*') {
+            if (pos + 2 > n || !alpha(cs[pos]) || !alpha(cs[pos + 1]))
+                throw std::runtime_error("invalid substitution op in cs tag");
+            pos += 2;
+            len = 1;
+        } else if (t == '+' || t == '-') {
+            size_t s = pos;
+            while (pos < n && alpha(cs[pos])) ++pos;
+            len = (i64) (pos - s);
+            if (!len) throw std::runtime_error("empty indel op in cs tag");
+        } else {
+            throw std::runtime_error("unsupported op in cs tag");
+        }
+        ops.op.push_back(t);
+        ops.len.push_back(len);
+        ops.beg.push_back((i32) beg);
+        ops.end.push_back((i32) pos);
+    }
+    return ops;
+}
+
+// iterate ops in query orientation (file order reversed for '-' strand)
+template <typename F>
+static void for_query_oriented(const CsOps &ops, bool fwd, F fn) {
+    i64 n = (i64) ops.op.size();
+    if (fwd)
+        for (i64 i = 0; i < n; i++) fn(ops.op[i], ops.len[i], i);
+    else
+        for (i64 i = n - 1; i >= 0; i--) fn(ops.op[i], ops.len[i], i);
+}
+
+void build_runs(Record &rec) {
+    CsOps ops = parse_cs(rec.cs);
+    i64 step = rec.fwd ? 1 : -1;
+    i64 ri = rec.ref_str, qi = rec.qry_str;
+    rec.qry_runs.clear();
+    rec.ref_runs.clear();
+    for_query_oriented(ops, rec.fwd, [&](char t, i64 len, i64) {
+        if (t == ':') {
+            rec.ref_runs.emplace_back(ri, ri + (len - 1) * step);
+            rec.qry_runs.emplace_back(qi, qi + len - 1);
+            ri += len * step;
+            qi += len;
+        } else if (t == '+') {
+            qi += len;
+        } else if (t == '-') {
+            ri += len * step;
+        } else {
+            ri += step;
+            qi += 1;
+        }
+    });
+    if (qi != rec.qry_end + 1 || ri != rec.ref_end + step)
+        throw std::runtime_error("cs consumption does not match PAF coords");
+}
+
+Clip clip_cs(const Record &rec, i64 eqs, i64 eqe, i64 ers, i64 ere) {
+    if (eqs == rec.qry_str && eqe == rec.qry_end) {
+        return {std::string(rec.cs), rec.mat_num, rec.aln_len, false};
+    }
+    CsOps ops = parse_cs(rec.cs);
+    struct Kept { char t; i64 len; i32 beg, end; };
+    std::vector<Kept> kept;
+    i64 qi = rec.qry_str;
+    for_query_oriented(ops, rec.fwd, [&](char t, i64 len, i64 i) {
+        if (t == ':') {
+            i64 op_end = qi + len - 1;
+            i64 ks = std::max(qi, eqs), ke = std::min(op_end, eqe);
+            if (ks <= ke) kept.push_back({':', ke - ks + 1, 0, 0});
+            qi += len;
+        } else if (t == '+') {
+            i64 op_end = qi + len - 1;
+            if (qi <= eqe && eqs <= op_end) {
+                if (qi < eqs || eqe < op_end)
+                    throw std::runtime_error("alignment clipped inside insertion");
+                kept.push_back({'+', len, ops.beg[i], ops.end[i]});
+            }
+            qi += len;
+        } else if (t == '*') {
+            if (eqs <= qi && qi <= eqe)
+                kept.push_back({'*', 1, ops.beg[i], ops.end[i]});
+            qi += 1;
+        } else {  // '-': deletion kept only strictly inside the left cut
+            if (eqs < qi && qi <= eqe)
+                kept.push_back({'-', len, ops.beg[i], ops.end[i]});
+        }
+    });
+    if (!rec.fwd) std::reverse(kept.begin(), kept.end());
+
+    Clip out;
+    out.cut = true;
+    out.cs = "cs:Z:";
+    i64 qbases = 0, rbases = 0;
+    char buf[24];
+    for (const auto &k : kept) {
+        if (k.t == ':') {
+            out.cs += ':';
+            auto r = std::to_chars(buf, buf + sizeof(buf), k.len);
+            out.cs.append(buf, r.ptr);
+            out.mat_num += (i32) k.len;
+            out.aln_len += (i32) k.len;
+            qbases += k.len;
+            rbases += k.len;
+        } else {
+            out.cs.append(rec.cs.substr(k.beg, k.end - k.beg));
+            out.aln_len += (i32) k.len;
+            if (k.t == '+') qbases += k.len;
+            else if (k.t == '-') rbases += k.len;
+            else { qbases += 1; rbases += 1; }
+        }
+    }
+    if (qbases != eqe - eqs + 1 || rbases != std::abs(ere - ers) + 1)
+        throw std::runtime_error("edited cs does not match edited coords");
+    return out;
+}
+
+}  // namespace aln

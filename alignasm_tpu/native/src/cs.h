@@ -1,0 +1,36 @@
+// Short-form cs:Z: tag machinery (parse / match-run ranges / clip).
+// Parity: paf_data.cpp:29-220 via the validated Python engine
+// (alignasm_tpu/io/cs.py).
+#pragma once
+
+#include <string>
+#include <string_view>
+
+#include "types.h"
+
+namespace aln {
+
+// Decoded op stream: one byte code + length + source span per op.
+struct CsOps {
+    std::vector<char> op;       // ':', '*', '+', '-'
+    std::vector<i64> len;
+    std::vector<i32> beg, end;  // char spans in the raw tag
+};
+
+// throws std::runtime_error on malformed tags (reference throws too)
+CsOps parse_cs(std::string_view cs);
+
+// fills rec.qry_runs / rec.ref_runs and validates consumption against
+// the record's (closed, strand-swapped) coordinates
+void build_runs(Record &rec);
+
+struct Clip {
+    std::string cs;
+    i32 mat_num = 0;
+    i32 aln_len = 0;
+    bool cut = false;
+};
+
+Clip clip_cs(const Record &rec, i64 eqs, i64 eqe, i64 ers, i64 ere);
+
+}  // namespace aln

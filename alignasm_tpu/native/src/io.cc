@@ -1,0 +1,261 @@
+#include "io.h"
+
+#include <charconv>
+#include <cstdio>
+#include <fstream>
+#include <stdexcept>
+
+#include "cs.h"
+
+namespace aln {
+
+namespace {
+
+std::string slurp(const std::string &path) {
+    std::ifstream in(path, std::ios::binary);
+    if (!in) throw std::runtime_error("cannot open " + path);
+    std::string buf;
+    in.seekg(0, std::ios::end);
+    buf.resize((size_t) in.tellg());
+    in.seekg(0);
+    in.read(buf.data(), (std::streamsize) buf.size());
+    return buf;
+}
+
+i64 to_i64(std::string_view sv) {
+    i64 v = 0;
+    auto r = std::from_chars(sv.data(), sv.data() + sv.size(), v);
+    if (r.ec != std::errc{}) throw std::runtime_error("bad integer field");
+    return v;
+}
+
+double to_f64(std::string_view sv) { return std::stod(std::string(sv)); }
+
+// split one line into tab fields (no copies)
+void split_fields(std::string_view line, std::vector<std::string_view> &out) {
+    out.clear();
+    size_t start = 0;
+    while (true) {
+        size_t pos = line.find('\t', start);
+        if (pos == std::string_view::npos) {
+            out.push_back(line.substr(start));
+            return;
+        }
+        out.push_back(line.substr(start, pos - start));
+        start = pos + 1;
+    }
+}
+
+std::string_view find_cs(const std::vector<std::string_view> &f) {
+    for (size_t i = 12; i < f.size(); i++)
+        if (f[i].substr(0, 5) == "cs:Z:") return f[i];
+    return {};
+}
+
+Record parse_record(const std::vector<std::string_view> &f, Dataset &ds,
+                    i64 qry_offset = 0) {
+    Record r;
+    r.qry_total = to_i64(f[1]);
+    r.qry_str = to_i64(f[2]) + qry_offset;
+    r.qry_end = to_i64(f[3]) + qry_offset - 1;  // half-open -> closed
+    if (r.qry_str > r.qry_end) throw std::runtime_error("qry start > end");
+    r.ref_total = to_i64(f[6]);
+    r.ref_str = to_i64(f[7]);
+    r.ref_end = to_i64(f[8]) - 1;
+    if (r.ref_str > r.ref_end) throw std::runtime_error("ref start > end");
+    std::string ref_chr(f[5]);
+    auto it = ds.chr_ids.find(ref_chr);
+    if (it == ds.chr_ids.end()) {
+        it = ds.chr_ids.emplace(ref_chr, (i32) ds.chr_names.size()).first;
+        ds.chr_names.push_back(ref_chr);
+    }
+    r.ref_chr = it->second;
+    r.fwd = f[4][0] == '+';
+    if (!r.fwd) std::swap(r.ref_str, r.ref_end);
+    r.map_qul = (uint8_t) to_i64(f[11]);
+    r.mat_num = (i32) to_i64(f[9]);
+    r.aln_len = (i32) to_i64(f[10]);
+    r.cs = find_cs(f);
+    if (r.cs.empty()) throw std::runtime_error("missing cs:Z tag");
+    build_runs(r);
+    return r;
+}
+
+template <typename F>
+void for_lines(std::string_view buf, F fn) {
+    size_t start = 0;
+    while (start < buf.size()) {
+        size_t pos = buf.find('\n', start);
+        if (pos == std::string_view::npos) pos = buf.size();
+        std::string_view line = buf.substr(start, pos - start);
+        if (!line.empty() && line.back() == '\r') line.remove_suffix(1);
+        if (!line.empty()) fn(line);
+        start = pos + 1;
+    }
+}
+
+}  // namespace
+
+Dataset read_paf(const std::string &path) {
+    Dataset ds;
+    ds.buffer = slurp(path);
+    std::vector<std::string_view> f;
+    std::string cur_name;
+    bool have = false;
+    i32 paf_index = 0, row = 0;
+    std::vector<Record> cur;
+    for_lines(ds.buffer, [&](std::string_view line) {
+        split_fields(line, f);
+        std::string qry(f[0]);
+        if (!have) { cur_name = qry; have = true; }
+        if (qry != cur_name) {
+            ds.contigs.push_back(std::move(cur));
+            ds.ctg_names.push_back(cur_name);
+            cur = {};
+            cur_name = qry;
+            paf_index++;
+        }
+        Record r = parse_record(f, ds);
+        ds.paf_map[qry] = paf_index;
+        r.ctg_index = (i32) cur.size();
+        r.cord_type = 0;
+        r.cord_row = row++;
+        cur.push_back(std::move(r));
+    });
+    if (!have) throw std::runtime_error("empty PAF input");
+    ds.contigs.push_back(std::move(cur));
+    ds.ctg_names.push_back(cur_name);
+    return ds;
+}
+
+void merge_alt(Dataset &ds, const std::string &alt_path, double alt_baseline) {
+    ds.alt_buffer = slurp(alt_path);
+    if (ds.alt_buffer.empty()) return;
+
+    std::string tar_name;
+    i64 tar_off = -1;
+    bool tar_flag = false, tar_init = false;
+    double tar_ratio = 0;
+    Record ratio_max;
+    bool have_ratio_max = false;
+
+    auto flush = [&]() {
+        if (!tar_init || tar_flag) return;
+        auto &target = ds.contigs[ds.paf_map.at(tar_name)];
+        ratio_max.ctg_index = (i32) target.size();
+        target.push_back(ratio_max);
+    };
+
+    std::vector<std::string_view> f;
+    i32 row = 0;
+    for_lines(ds.alt_buffer, [&](std::string_view line) {
+        split_fields(line, f);
+        std::string qry(f[0]);
+        size_t colon = qry.find(':');
+        if (colon == std::string::npos)
+            throw std::runtime_error("invalid alt query name");
+        std::string real = qry.substr(0, colon);
+        size_t dash = qry.find('-', colon + 1);
+        if (dash == std::string::npos) dash = qry.size();
+        i64 off = to_i64(std::string_view(qry).substr(colon + 1, dash - colon - 1)) - 1;
+
+        const auto &last = ds.contigs[ds.paf_map.at(real)].back();
+        Record r = parse_record(f, ds, off);
+        r.qry_total = last.qry_total;
+        r.cord_type = 1;
+        r.cord_row = row++;
+
+        if (!tar_init || tar_off != off || tar_name != real) {
+            flush();
+            tar_init = true;
+            tar_flag = false;
+            tar_ratio = 0;
+            tar_off = off;
+            tar_name = real;
+            have_ratio_max = false;
+        }
+        double ratio = to_f64(f[10]) / to_f64(f[1]);
+        if (ratio > tar_ratio) {
+            tar_ratio = ratio;
+            ratio_max = r;
+            have_ratio_max = true;
+        }
+        if (ratio > alt_baseline) {
+            auto &target = ds.contigs[ds.paf_map.at(real)];
+            r.ctg_index = (i32) target.size();
+            target.push_back(std::move(r));
+            tar_flag = true;
+        }
+    });
+    flush();
+    (void) have_ratio_max;
+}
+
+namespace {
+
+void append_i64(std::string &out, i64 v) {
+    char buf[24];
+    auto r = std::to_chars(buf, buf + sizeof(buf), v);
+    out.append(buf, r.ptr);
+}
+
+void write_one(std::string &out, const Dataset &ds, const std::string &name,
+               const std::vector<Record> &ctg, const OutRow &row) {
+    const Record &rec = ctg[row.ctg_index];
+    Clip clip = clip_cs(rec, row.qs, row.qe, row.rs, row.re);
+    out += name;
+    out += '\t'; append_i64(out, rec.qry_total);
+    out += '\t'; append_i64(out, row.qs);
+    out += '\t'; append_i64(out, row.qe + 1);
+    out += '\t'; out += rec.fwd ? '+' : '-';
+    out += '\t'; out += ds.chr_names[rec.ref_chr];
+    out += '\t'; append_i64(out, rec.ref_total);
+    out += '\t'; append_i64(out, rec.fwd ? row.rs : row.re);
+    out += '\t'; append_i64(out, (rec.fwd ? row.re : row.rs) + 1);
+    out += '\t'; append_i64(out, clip.mat_num);
+    out += '\t'; append_i64(out, clip.aln_len);
+    out += '\t'; append_i64(out, rec.map_qul);
+    out += '\t'; out += row.alt_flag ? "tp:A:S" : "tp:A:P";
+    out += '\t'; out += "xi:Z:";
+    out += rec.cord_type == 0 ? "P_" : "A_";
+    append_i64(out, rec.cord_row);
+    out += '\t'; out += clip.cs;
+    out += '\n';
+}
+
+void flush_file(const std::string &path, const std::string &content) {
+    std::ofstream o(path, std::ios::binary);
+    if (!o) throw std::runtime_error("cannot write " + path);
+    o.write(content.data(), (std::streamsize) content.size());
+}
+
+}  // namespace
+
+void write_rows(const Dataset &ds, const std::vector<std::vector<OutRow>> &rows,
+                const std::string &path) {
+    std::string out;
+    out.reserve(1 << 20);
+    for (size_t i = 0; i < rows.size(); i++)
+        for (const auto &row : rows[i])
+            write_one(out, ds, ds.ctg_names[i], ds.contigs[i], row);
+    flush_file(path, out);
+}
+
+void write_max_rows(const Dataset &ds,
+                    const std::vector<std::vector<std::vector<OutRow>>> &rows,
+                    const std::string &path) {
+    std::string out;
+    out.reserve(1 << 20);
+    for (size_t i = 0; i < rows.size(); i++) {
+        i32 cnt = 0;
+        for (const auto &group : rows[i]) {
+            ++cnt;
+            std::string name = ds.ctg_names[i] + "." + std::to_string(cnt);
+            for (const auto &row : group)
+                write_one(out, ds, name, ds.contigs[i], row);
+        }
+    }
+    flush_file(path, out);
+}
+
+}  // namespace aln

@@ -1,0 +1,34 @@
+// PAF dataset IO: fast tokenizing reader, alt-PAF merge, output writers.
+// Parity: alignasm.cpp:76-332 (parse/merge), :398-490 (writers), via the
+// validated Python engine (alignasm_tpu/io/paf.py).
+#pragma once
+
+#include <string>
+#include <unordered_map>
+
+#include "types.h"
+
+namespace aln {
+
+struct Dataset {
+    std::string buffer;       // whole main PAF file (records view into it)
+    std::string alt_buffer;   // whole alt PAF file
+    std::vector<std::vector<Record>> contigs;
+    std::vector<std::string> ctg_names;
+    std::vector<std::string> chr_names;               // id -> name
+    std::unordered_map<std::string, i32> chr_ids;     // name -> id
+    std::unordered_map<std::string, i32> paf_map;     // qry name -> contig
+};
+
+Dataset read_paf(const std::string &path);
+void merge_alt(Dataset &ds, const std::string &alt_path, double alt_baseline);
+
+// writes one output stream; rows_per_ctg[i] aligns with ds.contigs[i].
+// max mode suffixes ".<cnt>" per tied path group.
+void write_rows(const Dataset &ds, const std::vector<std::vector<OutRow>> &rows,
+                const std::string &path);
+void write_max_rows(const Dataset &ds,
+                    const std::vector<std::vector<std::vector<OutRow>>> &rows,
+                    const std::string &path);
+
+}  // namespace aln

@@ -1,0 +1,838 @@
+#include "solver.h"
+
+#include <algorithm>
+#include <cassert>
+#include <deque>
+#include <limits>
+#include <queue>
+#include <stdexcept>
+#include <unordered_map>
+
+namespace aln {
+
+namespace {
+
+constexpr i64 NO_CUT = std::numeric_limits<i64>::min();
+
+struct Edge {
+    i32 to;
+    Dist w;
+};
+
+// A graph vertex is either one record (pre==cur) or a cut overlap pair.
+struct Graph {
+    i64 n = 0;  // record count
+    std::vector<const Record *> recs;      // sorted order
+    std::vector<i64> part_idx;
+    std::vector<i64> parts;                // part starts + sentinel n
+    // vertex tables
+    std::vector<std::pair<i32, i32>> vtx;  // (pre, cur) per vertex id
+    std::vector<i64> pair_id;              // n*n → vertex id or -1? too big; use map
+    std::unordered_map<i64, i32> pair_vtx; // key i*n+j → vertex id (i<j)
+    // cut tables per pair vertex id (index aligned with vtx)
+    std::vector<i64> cut_pe_q, cut_pe_r;   // edited end of record i
+    std::vector<i64> cut_st_q, cut_st_r;   // edited start of record j
+    std::vector<std::vector<Edge>> adj;
+    i32 src = 0, dest = 0;
+
+    i32 vid(i64 i, i64 j) const {
+        if (i == j) return (i32) i;
+        auto it = pair_vtx.find(i * n + j);
+        return it == pair_vtx.end() ? -1 : it->second;
+    }
+};
+
+struct Vert {  // working view of a vertex (Internal_Vertex analogue)
+    i32 pre, cur;
+    i64 qs, qe, rs, re;
+    bool one() const { return pre == cur; }
+};
+
+// ---- cut-point two-pointer sweep (paf_data.cpp:294-378) -------------
+struct CutRes {
+    bool ok = false;
+    i64 pe_q = 0, pe_r = 0, st_q = 0, st_r = 0;
+};
+
+CutRes pair_cut(const Record &pre, const Record &cur) {
+    const auto &pq = pre.qry_runs, &cq = cur.qry_runs;
+    const auto &pr = pre.ref_runs, &cr = cur.ref_runs;
+    i64 pn = (i64) pq.size(), cn = (i64) cq.size();
+    i64 step = cur.fwd ? 1 : -1, step_pre = pre.fwd ? 1 : -1;
+    i64 min_gap = -1, g_i = -1, g_j = -1;
+    i64 pi = 0, pj = 0;
+    while (pi < pn && pj < cn) {
+        i64 li = pq[pi].first, ri = pq[pi].second;
+        i64 lj = cq[pj].first, rj = cq[pj].second;
+        if (li == lj) {
+            if (lj == rj) { pj++; continue; }
+            return {true, li, pr[pi].first, lj + 1, cr[pj].first + step};
+        }
+        if (li < lj) {
+            if (lj <= ri + 1)
+                return {true, lj - 1, pr[pi].first + (lj - 1 - li) * step_pre,
+                        lj, cr[pj].first};
+            i64 gap = lj - (ri + 1);
+            if (min_gap == -1 || gap < min_gap) { min_gap = gap; g_i = pi; g_j = pj; }
+            pi++;
+        } else {
+            if (li <= rj - 1)
+                return {true, li, pr[pi].first, li + 1,
+                        cr[pj].first + (li + 1 - cq[pj].first) * step};
+            pj++;
+        }
+    }
+    if (min_gap == -1) return {};
+    i64 li = pq[g_i].first, ri = pq[g_i].second;
+    return {true, ri, pr[g_i].first + (ri - li) * step_pre,
+            cq[g_j].first, cr[g_j].first};
+}
+
+// ---- graph construction (paf_data.cpp:531-696 semantics) ------------
+Graph build_graph(std::vector<Record> &records, const Config &cfg) {
+    Graph g;
+    g.n = (i64) records.size();
+    std::vector<Record *> order;
+    order.reserve(g.n);
+    for (auto &r : records) order.push_back(&r);
+    // std::sort: same libstdc++ introsort element movement the
+    // reference relies on for duplicate-key ordering
+    std::sort(order.begin(), order.end(), [](const Record *a, const Record *b) {
+        if (a->qry_str != b->qry_str) return a->qry_str < b->qry_str;
+        return a->qry_end < b->qry_end;
+    });
+    g.recs.assign(order.begin(), order.end());
+    for (i64 i = 0; i < g.n; i++) order[i]->sorted_index = (i32) i;
+
+    // parts: maximal runs of query-overlapping records
+    g.part_idx.resize(g.n);
+    i64 part_end = -1;
+    for (i64 i = 0; i < g.n; i++) {
+        if (part_end < g.recs[i]->qry_str) g.parts.push_back(i);
+        g.part_idx[i] = (i64) g.parts.size() - 1;
+        part_end = std::max(part_end, g.recs[i]->qry_end);
+    }
+    g.parts.push_back(g.n);
+
+    // vertices: one per record, then pair vertices in discovery order
+    for (i64 i = 0; i < g.n; i++) {
+        g.vtx.emplace_back((i32) i, (i32) i);
+        g.cut_pe_q.push_back(NO_CUT); g.cut_pe_r.push_back(NO_CUT);
+        g.cut_st_q.push_back(g.recs[i]->qry_str);
+        g.cut_st_r.push_back(g.recs[i]->ref_str);
+    }
+    for (i64 i = 0; i < g.n; i++) {
+        const Record &pre = *g.recs[i];
+        for (i64 j = i + 1; j < g.n; j++) {
+            const Record &cur = *g.recs[j];
+            if (pre.qry_end < cur.qry_str) break;
+            if (!partial_overlap(pre, cur)) continue;
+            CutRes c = pair_cut(pre, cur);
+            if (!c.ok)
+                throw std::runtime_error("overlapping records cannot connect");
+            g.pair_vtx[i * g.n + j] = (i32) g.vtx.size();
+            g.vtx.emplace_back((i32) i, (i32) j);
+            g.cut_pe_q.push_back(c.pe_q); g.cut_pe_r.push_back(c.pe_r);
+            g.cut_st_q.push_back(c.st_q); g.cut_st_r.push_back(c.st_r);
+        }
+    }
+    g.src = (i32) g.vtx.size();
+    g.dest = g.src + 1;
+    g.adj.resize(g.vtx.size() + 2);
+
+    auto vert = [&](i64 i, i64 j) -> Vert {
+        i32 id = g.vid(i, j);
+        return {(i32) i, (i32) j, g.cut_st_q[id], g.recs[j]->qry_end,
+                g.cut_st_r[id], g.recs[j]->ref_end};
+    };
+    auto valid = [&](i64 i, i64 j) { return g.vid(i, j) >= 0; };
+    auto linkable = [&](const Vert &l, const Vert &r) -> bool {
+        if (!valid(l.pre, l.cur) || !valid(r.pre, r.cur)) return false;
+        if (!r.one()) {
+            if (l.cur != r.pre) return false;
+            return l.qs < r.qs;
+        }
+        if (g.part_idx[l.cur] + 1 == g.part_idx[r.cur]) return true;
+        if (g.part_idx[l.cur] != g.part_idx[r.cur]) return false;
+        return l.qe < r.qs;
+    };
+    auto ref_abs = [&](i64 x) { return x < 0 ? -x * cfg.ref_negative_penalty : x; };
+    auto score = [&](Vert l, const Vert &r) -> Dist {
+        if (!r.one()) {
+            i32 id = g.vid(r.pre, r.cur);
+            l.qe = g.cut_pe_q[id];
+            l.re = g.cut_pe_r[id];
+        }
+        i64 qry_diff = r.qs - l.qe - 1;
+        i64 anom = 0, ref_diff = 0;
+        const Record &a = *g.recs[l.cur], &b = *g.recs[r.cur];
+        if (a.ref_chr == b.ref_chr && a.fwd == b.fwd) {
+            i64 sg = a.fwd ? r.rs - (l.re + 1) : l.re - (r.rs + 1);
+            ref_diff = ref_abs(sg);
+            if (ref_diff > cfg.sv_baseline) { anom++; ref_diff = cfg.sv_baseline; }
+        } else if (a.ref_chr == b.ref_chr) {
+            anom++;
+            ref_diff = cfg.sv_inv_penalty +
+                       (a.fwd ? ref_abs(r.re - (l.re + 1)) : ref_abs(r.rs - (l.rs + 1)));
+            if (ref_diff > cfg.sv_baseline) { anom++; ref_diff = cfg.sv_baseline; }
+        } else {
+            anom++;
+            ref_diff = cfg.sv_trans_penalty;
+        }
+        return {qry_diff * cfg.qry_weight, ref_diff * cfg.ref_weight, anom,
+                b.map_qul ? 1 : 0, 1};
+    };
+    auto add = [&](i32 u, i32 v, const Dist &w) { g.adj[u].push_back({v, w}); };
+    const bool nsl = cfg.non_skip_linkable;
+    const i64 BIG = std::numeric_limits<i64>::max();
+
+    // src -> first part
+    {
+        i64 l = g.parts[0], r = g.parts[1];
+        i64 min_qe = BIG;
+        for (i64 i = l; i < r; i++) {
+            if (nsl) {
+                if (min_qe < g.recs[i]->qry_str) break;
+                min_qe = std::min(min_qe, g.recs[i]->qry_end);
+            }
+            add(g.src, g.vid(i, i),
+                {g.recs[i]->qry_str * cfg.sv_front_end_coefficient, 0, 0,
+                 g.recs[i]->map_qul ? 1 : 0, 1});
+        }
+    }
+    // last part (+ (j,i) vertices) -> dest
+    {
+        i64 l = g.parts[g.parts.size() - 2], r = g.parts.back();
+        i64 max_qs = g.recs[r - 1]->qry_str;
+        for (i64 i = r - 1; i >= l; i--) {
+            if (nsl && g.recs[i]->qry_end < max_qs) continue;
+            Dist d{(g.recs[i]->qry_total - g.recs[i]->qry_end - 1) *
+                       cfg.sv_front_end_coefficient,
+                   0, 0, 0, 0};
+            add(g.vid(i, i), g.dest, d);
+            for (i64 j = i - 1; j >= 0; j--) {
+                if (g.recs[j]->contains(*g.recs[i])) continue;
+                if (g.recs[j]->qry_end >= g.recs[i]->qry_str && valid(j, i))
+                    add(g.vid(j, i), g.dest, d);
+            }
+        }
+    }
+    // intra-part
+    for (i64 blk = 0; blk + 1 < (i64) g.parts.size(); blk++) {
+        i64 l = g.parts[blk], r = g.parts[blk + 1];
+        for (i64 i = l; i < r; i++) {
+            i64 min_qe_ii = BIG;
+            for (i64 j = i + 1; j < r; j++) {
+                if (g.recs[i]->contains(*g.recs[j])) continue;
+                if (nsl) {
+                    if (min_qe_ii < g.recs[j]->qry_str) break;
+                    if (g.recs[i]->qry_end < g.recs[j]->qry_str)
+                        min_qe_ii = std::min(min_qe_ii, g.recs[j]->qry_end);
+                }
+                if (g.recs[i]->qry_end < g.recs[j]->qry_str) {
+                    Vert a = vert(i, i), b = vert(j, j);
+                    if (linkable(a, b)) add(g.vid(i, i), g.vid(j, j), score(a, b));
+                } else if (valid(i, j)) {
+                    Vert a = vert(i, i), b = vert(i, j);
+                    if (linkable(a, b)) add(g.vid(i, i), g.vid(i, j), score(a, b));
+                    i64 min_qe_ij = BIG;
+                    for (i64 k = j + 1; k < r; k++) {
+                        if (nsl) {
+                            if (min_qe_ij < g.recs[k]->qry_str) break;
+                            if (g.recs[j]->qry_end < g.recs[k]->qry_str)
+                                min_qe_ij = std::min(min_qe_ij, g.recs[k]->qry_end);
+                        }
+                        Vert kk = vert(k, k);
+                        if (linkable(b, kk))
+                            add(g.vid(i, j), g.vid(k, k), score(b, kk));
+                        if (valid(j, k)) {
+                            Vert jk = vert(j, k);
+                            if (linkable(b, jk))
+                                add(g.vid(i, j), g.vid(j, k), score(b, jk));
+                        }
+                    }
+                }
+            }
+        }
+    }
+    // part b -> part b+1
+    for (i64 blk = 0; blk + 2 < (i64) g.parts.size(); blk++) {
+        i64 l = g.parts[blk], r = g.parts[blk + 1];
+        i64 l2 = g.parts[blk + 1], r2 = g.parts[blk + 2];
+        for (i64 i = l; i < r; i++) {
+            Vert a = vert(i, i);
+            i64 min_qe_ii = BIG;
+            for (i64 k = l2; k < r2; k++) {
+                if (nsl) {
+                    if (min_qe_ii < g.recs[k]->qry_str) break;
+                    if (g.recs[i]->qry_end < g.recs[k]->qry_str)
+                        min_qe_ii = std::min(min_qe_ii, g.recs[k]->qry_end);
+                }
+                Vert kk = vert(k, k);
+                if (linkable(a, kk)) add(g.vid(i, i), g.vid(k, k), score(a, kk));
+            }
+            for (i64 j = i + 1; j < r; j++) {
+                if (g.recs[i]->contains(*g.recs[j])) continue;
+                if (g.recs[i]->qry_end < g.recs[j]->qry_str) break;
+                if (!valid(i, j)) continue;
+                Vert b = vert(i, j);
+                i64 min_qe_ij = BIG;
+                for (i64 k = l2; k < r2; k++) {
+                    if (nsl) {
+                        if (min_qe_ij < g.recs[k]->qry_str) break;
+                        if (g.recs[j]->qry_end < g.recs[k]->qry_str)
+                            min_qe_ij = std::min(min_qe_ij, g.recs[k]->qry_end);
+                    }
+                    Vert kk = vert(k, k);
+                    if (linkable(b, kk)) add(g.vid(i, j), g.vid(k, k), score(b, kk));
+                }
+            }
+        }
+    }
+    return g;
+}
+
+// ---- Kahn FIFO topological order ------------------------------------
+std::vector<i32> topo_order(const std::vector<std::vector<Edge>> &adj) {
+    i64 n = (i64) adj.size();
+    std::vector<i32> indeg(n, 0), out;
+    out.reserve(n);
+    for (i64 u = 0; u < n; u++)
+        for (const auto &e : adj[u]) indeg[e.to]++;
+    std::deque<i32> q;
+    for (i64 u = 0; u < n; u++)
+        if (!indeg[u]) q.push_back((i32) u);
+    while (!q.empty()) {
+        i32 u = q.front();
+        q.pop_front();
+        out.push_back(u);
+        for (const auto &e : adj[u])
+            if (--indeg[e.to] == 0) q.push_back(e.to);
+    }
+    if ((i64) out.size() != n) throw std::runtime_error("cycle in contig DAG");
+    return out;
+}
+
+// ---- lazy Eppstein k-shortest walks ---------------------------------
+// Persistent leftist heap in an arena; queue ties break on (arena
+// index, emplace index), matching the deterministic-allocator oracle.
+class Walks {
+public:
+    Walks(const Graph &g) : g_(g), V_((i64) g.adj.size()) {}
+
+    // shortest-path pass only (d[] / best[]); returns false if dest
+    // unreachable (cannot happen for valid contigs)
+    bool prepare() {
+        std::vector<std::vector<Edge>> rev(V_);
+        for (i64 u = 0; u < V_; u++)
+            for (const auto &e : g_.adj[u]) rev[e.to].push_back({(i32) u, e.w});
+        auto order = topo_order(rev);
+        d_.assign(V_, Dist{});
+        reach_.assign(V_, false);
+        best_.assign(V_, -1);
+        reach_[g_.dest] = true;
+        for (i32 v : order) {
+            if (!reach_[v]) continue;
+            for (const auto &e : rev[v]) {
+                Dist nd = d_[v] + e.w;
+                if (!reach_[e.to] || dist_less(nd, d_[e.to], Mode::CalcSum)) {
+                    reach_[e.to] = true;
+                    d_[e.to] = nd;
+                    best_[e.to] = v;
+                }
+            }
+        }
+        if (!reach_[g_.src]) return false;
+        dists_.push_back(d_[g_.src]);
+        last_.push_back(-1);
+        return true;
+    }
+
+    // number of walks achieving the minimum (sum, anom), saturated at
+    // `cap` — decides whether sidetrack heaps are needed at all
+    i64 count_min_walks(i64 cap) const {
+        std::vector<std::vector<Edge>> rev(V_);
+        for (i64 u = 0; u < V_; u++)
+            for (const auto &e : g_.adj[u]) rev[e.to].push_back({(i32) u, e.w});
+        auto order = topo_order(rev);
+        std::vector<i64> cnt(V_, 0);
+        cnt[g_.dest] = 1;
+        for (i32 v : order) {
+            if (!cnt[v]) continue;
+            for (const auto &e : rev[v]) {
+                if (!reach_[e.to]) continue;
+                Dist nd = d_[v] + e.w;
+                if (nd.sum() == d_[e.to].sum() && nd.a == d_[e.to].a)
+                    cnt[e.to] = std::min(cnt[e.to] + cnt[v], cap);
+            }
+        }
+        return cnt[g_.src];
+    }
+
+    // builds the persistent sidetrack heaps (the expensive part of
+    // Eppstein prep); lazily called before the first next()
+    void ensure_heaps() {
+        if (heaps_ready_) return;
+        heaps_ready_ = true;
+        std::vector<std::vector<i32>> tree(V_);
+        for (i64 u = 0; u < V_; u++)
+            if (best_[u] != -1) tree[best_[u]].push_back((i32) u);
+        heap_of_.assign(V_, -1);
+        std::deque<i32> q{ (i32) g_.dest };
+        while (!q.empty()) {
+            i32 u = q.front();
+            q.pop_front();
+            bool seen_best = false;
+            i32 h = heap_of_[u];
+            for (const auto &e : g_.adj[u]) {
+                if (!reach_[e.to]) continue;
+                Dist c = e.w + d_[e.to] - d_[u];
+                if (!seen_best && e.to == best_[u] && c.is_zero_like()) {
+                    seen_best = true;  // the tree edge is skipped exactly once
+                    continue;
+                }
+                h = heap_insert(h, c, u, e.to);
+            }
+            heap_of_[u] = h;
+            for (i32 p : tree[u]) { heap_of_[p] = h; q.push_back(p); }
+        }
+        if (heap_of_[g_.src] != -1)
+            emplace(d_[g_.src] + hk_[heap_of_[g_.src]], heap_of_[g_.src], -1);
+    }
+
+    // emit the next walk; returns false when exhausted.  Walk i's
+    // distance lands in dists()[i].
+    bool next() {
+        ensure_heaps();
+        if (q_.empty()) return false;
+        QE top = q_.top();
+        q_.pop();
+        i32 cur = top.cand;
+        Dist cd = cand_d_[cur];
+        dists_.push_back(cd);
+        last_.push_back(cur);
+        i32 ch = cand_h_[cur];
+        i32 hv = heap_of_[hv_[ch]];
+        if (hv != -1) emplace(cd + hk_[hv], hv, cur);
+        if (hl_[ch] != -1) emplace(cd + hk_[hl_[ch]] - hk_[ch], hl_[ch], cand_prev_[cur]);
+        if (hr_[ch] != -1) emplace(cd + hk_[hr_[ch]] - hk_[ch], hr_[ch], cand_prev_[cur]);
+        return true;
+    }
+
+    const std::vector<Dist> &dists() const { return dists_; }
+
+    // the k-th walk as explicit (u, v, w) edges
+    std::vector<std::tuple<i32, i32, Dist>> recover(i64 k) const {
+        std::vector<std::tuple<i32, i32, Dist>> side, path;
+        i32 cur = last_[k];
+        while (cur != -1) {
+            i32 h = cand_h_[cur];
+            side.emplace_back(hu_[h], hv_[h], hk_[h] + d_[hu_[h]] - d_[hv_[h]]);
+            cur = cand_prev_[cur];
+        }
+        std::reverse(side.begin(), side.end());
+        size_t idx = 0;
+        i32 at = g_.src;
+        while (at != g_.dest || idx < side.size()) {
+            if (idx < side.size() && at == std::get<0>(side[idx])) {
+                path.push_back(side[idx]);
+                at = std::get<1>(side[idx]);
+                idx++;
+            } else {
+                i32 nx = best_[at];
+                path.emplace_back(at, nx, d_[at] - d_[nx]);
+                at = nx;
+            }
+        }
+        return path;
+    }
+
+    const std::vector<Dist> &d() const { return d_; }
+    const std::vector<char> &reach() const { return reach_; }
+    const std::vector<i32> &best() const { return best_; }
+
+private:
+    i32 heap_insert(i32 a, const Dist &k, i32 u, i32 v) {
+        if (a == -1 || !dist_less(hk_[a], k, Mode::CalcSum)) {
+            hk_.push_back(k); hu_.push_back(u); hv_.push_back(v);
+            hl_.push_back(a); hr_.push_back(-1); hrank_.push_back(1);
+            return (i32) hk_.size() - 1;
+        }
+        i32 l = hl_[a], r = heap_insert(hr_[a], k, u, v);
+        if (l == -1 || hrank_[l] < hrank_[r]) std::swap(l, r);
+        i32 rank = r != -1 ? hrank_[r] + 1 : 0;
+        hk_.push_back(hk_[a]); hu_.push_back(hu_[a]); hv_.push_back(hv_[a]);
+        hl_.push_back(l); hr_.push_back(r); hrank_.push_back(rank);
+        return (i32) hk_.size() - 1;
+    }
+
+    struct QE {
+        Dist d;
+        i32 heap;
+        i32 cand;
+        bool operator>(const QE &o) const {
+            if (dist_less(d, o.d, Mode::CalcSum)) return false;
+            if (dist_less(o.d, d, Mode::CalcSum)) return true;
+            if (heap != o.heap) return heap > o.heap;
+            return cand > o.cand;
+        }
+    };
+
+    void emplace(const Dist &d, i32 h, i32 pre) {
+        i32 cur = (i32) cand_h_.size();
+        cand_h_.push_back(h);
+        cand_prev_.push_back(pre);
+        cand_d_.push_back(d);
+        q_.push({d, h, cur});
+    }
+
+    const Graph &g_;
+    i64 V_;
+    std::vector<Dist> d_;
+    std::vector<char> reach_;
+    std::vector<i32> best_;
+    // heap arena
+    std::vector<Dist> hk_;
+    std::vector<i32> hu_, hv_, hl_, hr_, hrank_;
+    std::vector<i32> heap_of_;
+    // candidates
+    std::vector<i32> cand_h_, cand_prev_;
+    std::vector<Dist> cand_d_;
+    std::priority_queue<QE, std::vector<QE>, std::greater<QE>> q_;
+    std::vector<Dist> dists_;
+    std::vector<i32> last_;
+    bool heaps_ready_ = false;
+};
+
+using EdgePath = std::vector<std::tuple<i32, i32, Dist>>;
+
+// ---- QRY_SCORE-mode gap re-solve (paf_data.cpp:750-792) -------------
+struct Upgrader {
+    const Graph &g;
+    std::vector<i32> order_pos;
+    std::vector<i32> order_vtx;
+
+    explicit Upgrader(const Graph &g_) : g(g_) {
+        order_vtx = topo_order(g.adj);
+        order_pos.resize(order_vtx.size());
+        for (i64 i = 0; i < (i64) order_vtx.size(); i++)
+            order_pos[order_vtx[i]] = (i32) i;
+    }
+
+    EdgePath recover(i32 s, i32 t, bool wl_flag = false, i32 wl = -1) const {
+        if (s == t) return {};
+        std::unordered_map<i32, Dist> dist;
+        std::unordered_map<i32, i32> prev;
+        dist[s] = Dist{};
+        prev[s] = -1;
+        for (i32 i = order_pos[s]; i < order_pos[t]; i++) {
+            i32 u = order_vtx[i];
+            auto it = dist.find(u);
+            if (it == dist.end()) continue;
+            Dist du = it->second;
+            for (const auto &e : g.adj[u]) {
+                if (wl_flag && e.to == t) {
+                    if (u == g.src || u == g.dest) continue;
+                    if (g.vtx[u].second != wl) continue;
+                }
+                Dist nd = du + e.w;
+                auto jt = dist.find(e.to);
+                if (jt == dist.end() || dist_less(nd, jt->second, Mode::QryScore)) {
+                    dist[e.to] = nd;
+                    prev[e.to] = u;
+                }
+            }
+        }
+        if (!dist.count(t)) throw std::runtime_error("gap re-solve: unreachable");
+        EdgePath path;
+        i32 at = t;
+        while (at != s) {
+            i32 p = prev[at];
+            path.emplace_back(p, at, dist[at] - dist[p]);
+            at = p;
+        }
+        std::reverse(path.begin(), path.end());
+        return path;
+    }
+
+    // upgrade_edge_path_with_alt_path (paf_data.cpp:795-921)
+    EdgePath upgrade(const EdgePath &path) const {
+        EdgePath out;
+        i64 n = (i64) path.size();
+        for (i64 i = 0; i < n; i++) {
+            auto [u, v, w] = path[i];
+            if (u == g.src) {
+                i32 y = g.vtx[v].second;
+                auto [nu, nv, nw] = path[i + 1];
+                if (nv == g.dest) {
+                    auto alt = recover(u, nv, true, y);
+                    if (alt.empty()) out.push_back(path[i]);
+                    else { alt.pop_back(); out.insert(out.end(), alt.begin(), alt.end()); }
+                } else if (g.vtx[nv].first == g.vtx[nv].second) {
+                    auto alt = recover(u, nv, true, y);
+                    if (alt.empty()) out.push_back(path[i]);
+                    else { alt.pop_back(); out.insert(out.end(), alt.begin(), alt.end()); }
+                } else {
+                    auto alt = recover(u, nv, false);
+                    if (alt.empty()) { out.push_back(path[i]); out.push_back(path[i + 1]); }
+                    else out.insert(out.end(), alt.begin(), alt.end());
+                    i++;
+                }
+            } else if (v == g.dest) {
+                i32 cont = std::get<1>(out.back());
+                auto alt = recover(cont, v, false);
+                if (!alt.empty()) out.insert(out.end(), alt.begin(), alt.end());
+            } else {
+                i32 cont = std::get<1>(out.back());
+                auto [x, y] = g.vtx[v];
+                if (x != y) { out.push_back(path[i]); continue; }
+                auto [nu, nv, nw] = path[i + 1];
+                if (nv == g.dest || g.vtx[nv].first == g.vtx[nv].second) {
+                    auto alt = recover(cont, nv, true, y);
+                    if (alt.empty()) out.push_back(path[i]);
+                    else { alt.pop_back(); out.insert(out.end(), alt.begin(), alt.end()); }
+                } else {
+                    auto alt = recover(cont, nv, false);
+                    if (alt.empty()) { out.push_back(path[i]); out.push_back(path[i + 1]); }
+                    else out.insert(out.end(), alt.begin(), alt.end());
+                    i++;
+                }
+            }
+        }
+        return out;
+    }
+};
+
+}  // namespace
+
+// ---- edge path -> output rows (paf_data.cpp:1489-1568) --------------
+static std::vector<OutRow> to_rows(const Graph &g, const Upgrader &up,
+                                   EdgePath path,
+                                   std::unordered_map<i32, bool> &not_alt) {
+    for (auto &[u, v, w] : path) {
+        if (v != g.dest) {
+            auto [x, y] = g.vtx[v];
+            not_alt[g.recs[x]->ctg_index] = true;
+            not_alt[g.recs[y]->ctg_index] = true;
+        }
+    }
+    path = up.upgrade(path);
+    if (std::getenv("ALN_DEBUG_WALKS")) {
+        fprintf(stderr, "upgraded:");
+        for (auto &[u, v, w] : path) fprintf(stderr, " %d->%d", u, v);
+        fprintf(stderr, "\n");
+    }
+    std::vector<OutRow> rows;
+    auto push = [&](i64 rec_sorted) {
+        const Record &r = *g.recs[rec_sorted];
+        rows.push_back({r.ctg_index, r.qry_str, r.qry_end, r.ref_str, r.ref_end, false});
+    };
+    auto cut_between = [&](i64 a, i64 b) {
+        i32 id = g.vid(a, b);
+        auto &px = rows[rows.size() - 2];
+        px.qe = g.cut_pe_q[id];
+        px.re = g.cut_pe_r[id];
+        auto &py = rows.back();
+        py.qs = g.cut_st_q[id];
+        py.rs = g.cut_st_r[id];
+    };
+    for (const auto &[u, v, w] : path) {
+        if (u == g.src) {
+            push(g.vtx[v].first);
+        } else if (v == g.dest) {
+            // nothing
+        } else {
+            auto [x1, x2] = g.vtx[u];
+            auto [y1, y2] = g.vtx[v];
+            if (x1 == x2) {
+                if (y1 == y2) push(y1);
+                else { push(y2); cut_between(y1, y2); }
+            } else {
+                if (y1 == y2) push(y2);
+                else { push(y2); cut_between(x2, y2); }
+            }
+        }
+    }
+    for (auto &row : rows) {
+        auto it = not_alt.find(row.ctg_index);
+        row.alt_flag = (it == not_alt.end() || !it->second);
+    }
+    return rows;
+}
+
+static i64 coverage(const std::vector<OutRow> &rows) {
+    i64 c = 0;
+    for (const auto &r : rows) c += (r.qe - r.qs) + std::abs(r.re - r.rs);
+    return c;
+}
+
+// min-anomaly floor, computed as a DAG DP (value-equal to the
+// reference's Dial BFS, k_weighted_bfs.hpp:16)
+static i64 anom_floor(const Graph &g) {
+    auto order = topo_order(g.adj);
+    std::vector<i64> f(g.adj.size(), std::numeric_limits<i64>::max());
+    f[g.src] = 0;
+    for (i32 u : order) {
+        if (f[u] == std::numeric_limits<i64>::max()) continue;
+        for (const auto &e : g.adj[u]) f[e.to] = std::min(f[e.to], f[u] + e.w.a);
+    }
+    return f[g.dest];
+}
+
+// per-anomaly-level minimum score sums to dest (for the lazy-walk
+// early-stop bound); levels above `cap` are ignored
+static std::vector<i64> level_min_sums(const Graph &g, i64 cap) {
+    const i64 INF = std::numeric_limits<i64>::max();
+    auto order = topo_order(g.adj);
+    std::vector<std::vector<i64>> f(g.adj.size(), std::vector<i64>(cap + 1, INF));
+    f[g.src][0] = 0;
+    for (i32 u : order) {
+        for (i64 a = 0; a <= cap; a++) {
+            if (f[u][a] == INF) continue;
+            for (const auto &e : g.adj[u]) {
+                i64 a2 = a + e.w.a;
+                if (a2 > cap) continue;
+                f[e.to][a2] = std::min(f[e.to][a2], f[u][a] + e.w.sum());
+            }
+        }
+    }
+    return f[g.dest];
+}
+
+ContigResult solve_contig(std::vector<Record> &records, const Config &cfg) {
+    ContigResult res;
+    if (records.size() == 1) {
+        records[0].sorted_index = 0;
+        const Record &r = records[0];
+        res.out.push_back({r.ctg_index, r.qry_str, r.qry_end, r.ref_str, r.ref_end, false});
+        return res;
+    }
+    Graph g = build_graph(records, cfg);
+    i64 floor_a = anom_floor(g);
+
+    Walks walks(g);
+    if (!walks.prepare()) throw std::runtime_error("dest unreachable");
+
+    // by value: the dists vector reallocates as walks are emitted
+    const Dist min_d = walks.dists()[0];
+
+    // fast path: unique best walk, no anomaly tradeoff possible — the
+    // tie sweep and alt scan are both no-ops, so skip Eppstein entirely
+    if (cfg.lazy_walks && min_d.a == floor_a &&
+        walks.count_min_walks(2) == 1) {
+        Upgrader up0(g);
+        std::unordered_map<i32, bool> not_alt0;
+        res.out = to_rows(g, up0, walks.recover(0), not_alt0);
+        return res;
+    }
+
+    // lazy enumeration budget: the reference always enumerates k=10000
+    // walks; walks beyond max(level-min k1 bound) provably cannot
+    // change any output (see engine/device.py finish logic), so stop
+    // early while keeping the scan semantics identical.
+    i64 k_budget = cfg.max_path_count;
+    i64 stop_sum = std::numeric_limits<i64>::max();
+    i64 stop_anom = std::numeric_limits<i64>::max();
+    bool need_alt = min_d.a != floor_a;
+    if (cfg.lazy_walks) {
+        i64 tie_bound_sum = min_d.sum(), tie_bound_anom = min_d.a;
+        if (!need_alt) {
+            stop_sum = tie_bound_sum;
+            stop_anom = tie_bound_anom;
+        } else {
+            auto lv = level_min_sums(g, min_d.a - 1);
+            // improving sequence: levels in ascending (sum, anom);
+            // only improving levels' groups are ever converted
+            std::vector<std::pair<i64, i64>> cand;  // (sum, anom)
+            for (i64 a = 0; a < (i64) lv.size(); a++)
+                if (lv[a] != std::numeric_limits<i64>::max())
+                    cand.emplace_back(lv[a], a);
+            std::sort(cand.begin(), cand.end());
+            i64 best_up = 0, best_down = 0;
+            bool have = false;
+            i64 bound_sum = tie_bound_sum, bound_anom = tie_bound_anom;
+            for (auto [s, a] : cand) {
+                i64 up = s - min_d.sum(), down = min_d.a - a;
+                if (!have || up * best_down < down * best_up) {
+                    have = true;
+                    best_up = up;
+                    best_down = down;
+                    if (s > bound_sum || (s == bound_sum && a > bound_anom)) {
+                        bound_sum = s;
+                        bound_anom = a;
+                    }
+                }
+            }
+            stop_sum = bound_sum;
+            stop_anom = bound_anom;
+        }
+    }
+    // enumerate until the bound (exclusive of walks strictly beyond it)
+    while ((i64) walks.dists().size() < k_budget) {
+        if (!walks.next()) break;
+        const Dist &d = walks.dists().back();
+        if (d.sum() > stop_sum || (d.sum() == stop_sum && d.a > stop_anom)) break;
+    }
+    const auto &kd = walks.dists();
+
+    if (std::getenv("ALN_DEBUG_WALKS")) {
+        for (i64 i = 0; i < (i64) kd.size(); i++) {
+            const Dist &d = kd[i];
+            fprintf(stderr, "walk %lld: %lld %lld %lld %lld %lld |", (long long) i,
+                    (long long) d.q, (long long) d.r, (long long) d.a,
+                    (long long) d.nz, (long long) d.tot);
+            for (auto &[u, v, w] : walks.recover(i))
+                fprintf(stderr, " %d->%d", u, v);
+            fprintf(stderr, "\n");
+        }
+    }
+
+    Upgrader up(g);
+    std::unordered_map<i32, bool> not_alt;
+    auto convert = [&](i64 k) { return to_rows(g, up, walks.recover(k), not_alt); };
+
+    res.out = convert(0);
+    i64 max_cov = coverage(res.out);
+    auto eq_sum_anom = [](const Dist &a, const Dist &b) {
+        return a.sum() == b.sum() && a.a == b.a;
+    };
+    for (i64 idx = 1; idx < (i64) kd.size() && eq_sum_anom(min_d, kd[idx]); idx++) {
+        auto rows = convert(idx);
+        i64 cov = coverage(rows);
+        if (cov > max_cov) {
+            max_cov = cov;
+            res.out = std::move(rows);
+            res.max_out.clear();
+        } else if (cov == max_cov) {
+            res.max_out.push_back(std::move(rows));
+        }
+    }
+
+    max_cov = -1;
+    if ((i64) kd.size() >= 2 && need_alt) {
+        i64 ans_up = 0, ans_down = 0, ans_idx = -1;
+        for (i64 i = 1; i < (i64) kd.size(); i++) {
+            const Dist &d = kd[i];
+            if (d.a >= min_d.a) continue;
+            i64 u2 = d.sum() - min_d.sum();
+            i64 dn = min_d.a - d.a;
+            if (ans_idx == -1 || u2 * ans_down < dn * ans_up) {
+                ans_up = u2;
+                ans_down = dn;
+                ans_idx = i;
+                res.alt = convert(ans_idx);
+                max_cov = coverage(res.alt);
+            } else if (ans_idx != -1 && eq_sum_anom(d, kd[ans_idx])) {
+                auto rows = convert(i);
+                i64 cov = coverage(rows);
+                if (cov > max_cov) {
+                    max_cov = cov;
+                    res.alt = std::move(rows);
+                }
+            }
+        }
+    }
+    return res;
+}
+
+}  // namespace aln

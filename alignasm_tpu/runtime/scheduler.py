@@ -97,7 +97,8 @@ def solve_dataset_tpu(dataset, cfg: AlignasmConfig, batch_size: int = 64):
         B = len(chunk)
         V = _next_pow2(max(pg.g.n_vertices for _i, pg in chunk))
         E = _next_pow2(max(max(len(pg.eu), 1) for _i, pg in chunk))
-        n_sweeps = max(pg.g.n for _i, pg in chunk) + 2
+        # pow2-rounded so bucket shapes (and XLA compiles) stay bounded
+        n_sweeps = _next_pow2(max(pg.g.n for _i, pg in chunk) + 2)
 
         def pad(arrs, dtype, fill):
             out = np.full((B, E), fill, dtype)
