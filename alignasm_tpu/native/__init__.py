@@ -46,17 +46,28 @@ def build(force: bool = False) -> pathlib.Path:
     return _LIB
 
 
+class Stats(ctypes.Structure):
+    _fields_ = [
+        ("read_s", ctypes.c_double),
+        ("solve_s", ctypes.c_double),
+        ("write_s", ctypes.c_double),
+        ("contigs", ctypes.c_longlong),
+        ("records", ctypes.c_longlong),
+    ]
+
+
 def get_lib():
     global _lib
     if _lib is None:
         build()
         lib = ctypes.CDLL(str(_LIB))
-        lib.aln_run.argtypes = [
+        lib.aln_run_stats.argtypes = [
             ctypes.c_char_p, ctypes.c_char_p, ctypes.c_double,
             ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int,
+            ctypes.POINTER(Stats),
         ]
-        lib.aln_run.restype = ctypes.c_int
+        lib.aln_run_stats.restype = ctypes.c_int
         _lib = lib
     return _lib
 
@@ -69,11 +80,13 @@ def run(
     threads: int = 0,
     lazy_walks: bool = True,
     out_prefix: str | None = None,
-) -> None:
-    """Run the full native pipeline; writes <stem>.aln[.alt|.all].paf."""
+) -> dict:
+    """Run the full native pipeline; writes <stem>.aln[.alt|.all].paf.
+    Returns phase timings and counters."""
     lib = get_lib()
     err = ctypes.create_string_buffer(4096)
-    rc = lib.aln_run(
+    stats = Stats()
+    rc = lib.aln_run_stats(
         os.fsencode(paf_path),
         os.fsencode(alt_path) if alt_path else b"",
         alt_baseline,
@@ -83,6 +96,14 @@ def run(
         os.fsencode(out_prefix) if out_prefix else b"",
         err,
         len(err),
+        ctypes.byref(stats),
     )
     if rc != 0:
         raise NativeError(err.value.decode(errors="replace"))
+    return {
+        "read_s": stats.read_s,
+        "solve_s": stats.solve_s,
+        "write_s": stats.write_s,
+        "contigs": stats.contigs,
+        "records": stats.records,
+    }

@@ -7,6 +7,7 @@
 // chunking for skewed contig sizes.
 #include <atomic>
 #include <mutex>
+#include <chrono>
 #include <cstring>
 #include <exception>
 #include <string>
@@ -14,6 +15,12 @@
 
 #include "io.h"
 #include "solver.h"
+
+// phase timings + counters reported back through aln_run_stats
+struct AlnStats {
+    double read_s, solve_s, write_s;
+    long long contigs, records;
+};
 
 namespace {
 
@@ -27,17 +34,25 @@ void set_err(char *err, int errlen, const std::string &msg) {
 
 extern "C" {
 
-int aln_run(const char *paf_path, const char *alt_path, double alt_baseline,
-            int non_skip_linkable, int threads, int lazy_walks,
-            const char *out_prefix, char *err, int errlen) {
+int aln_run_stats(const char *paf_path, const char *alt_path, double alt_baseline,
+                  int non_skip_linkable, int threads, int lazy_walks,
+                  const char *out_prefix, char *err, int errlen,
+                  AlnStats *stats) {
+    using clk = std::chrono::steady_clock;
+    auto secs = [](clk::time_point a, clk::time_point b) {
+        return std::chrono::duration<double>(b - a).count();
+    };
     try {
         aln::Config cfg;
         cfg.alt_baseline = alt_baseline;
         cfg.non_skip_linkable = non_skip_linkable != 0;
         cfg.lazy_walks = lazy_walks != 0;
 
-        aln::Dataset ds = aln::read_paf(paf_path);
+        int io_threads = threads > 0 ? threads : (int) std::thread::hardware_concurrency();
+        auto t0 = clk::now();
+        aln::Dataset ds = aln::read_paf(paf_path, io_threads);
         if (alt_path && alt_path[0]) aln::merge_alt(ds, alt_path, alt_baseline);
+        auto t1 = clk::now();
 
         size_t n = ds.contigs.size();
         std::vector<aln::ContigResult> results(n);
@@ -67,6 +82,7 @@ int aln_run(const char *paf_path, const char *alt_path, double alt_baseline,
             for (auto &t : pool) t.join();
         }
         if (failed) { set_err(err, errlen, fail_msg); return 2; }
+        auto t2 = clk::now();
 
         std::string prefix = out_prefix && out_prefix[0] ? out_prefix : "";
         if (prefix.empty()) {
@@ -80,14 +96,31 @@ int aln_run(const char *paf_path, const char *alt_path, double alt_baseline,
             alts[i] = std::move(results[i].alt);
             maxes[i] = std::move(results[i].max_out);
         }
-        aln::write_rows(ds, outs, prefix + ".aln.paf");
-        aln::write_rows(ds, alts, prefix + ".aln.alt.paf");
+        aln::write_rows(ds, outs, prefix + ".aln.paf", io_threads);
+        aln::write_rows(ds, alts, prefix + ".aln.alt.paf", io_threads);
         aln::write_max_rows(ds, maxes, prefix + ".aln.all.paf");
+        auto t3 = clk::now();
+        if (stats) {
+            stats->read_s = secs(t0, t1);
+            stats->solve_s = secs(t1, t2);
+            stats->write_s = secs(t2, t3);
+            stats->contigs = (long long) n;
+            long long recs = 0;
+            for (const auto &c : ds.contigs) recs += (long long) c.size();
+            stats->records = recs;
+        }
         return 0;
     } catch (const std::exception &e) {
         set_err(err, errlen, e.what());
         return 1;
     }
+}
+
+int aln_run(const char *paf_path, const char *alt_path, double alt_baseline,
+            int non_skip_linkable, int threads, int lazy_walks,
+            const char *out_prefix, char *err, int errlen) {
+    return aln_run_stats(paf_path, alt_path, alt_baseline, non_skip_linkable,
+                         threads, lazy_walks, out_prefix, err, errlen, nullptr);
 }
 
 }  // extern "C"

@@ -1,6 +1,8 @@
 #include "io.h"
 
+#include <atomic>
 #include <charconv>
+#include <thread>
 #include <cstdio>
 #include <fstream>
 #include <stdexcept>
@@ -96,17 +98,78 @@ void for_lines(std::string_view buf, F fn) {
 
 }  // namespace
 
-Dataset read_paf(const std::string &path) {
+Dataset read_paf(const std::string &path, int threads) {
     Dataset ds;
     ds.buffer = slurp(path);
+
+    // pass 1 (serial): line spans + chromosome interning in
+    // first-appearance order (ids must match the reference's)
+    std::vector<std::string_view> lines;
+    for_lines(ds.buffer, [&](std::string_view line) { lines.push_back(line); });
+    if (lines.empty()) throw std::runtime_error("empty PAF input");
+    {
+        std::vector<std::string_view> f;
+        for (auto line : lines) {
+            // scan to field 5 (ref chr) cheaply
+            size_t pos = 0;
+            for (int k = 0; k < 5; k++) {
+                pos = line.find('\t', pos);
+                if (pos == std::string_view::npos)
+                    throw std::runtime_error("short PAF row");
+                pos++;
+            }
+            size_t end = line.find('\t', pos);
+            std::string name(line.substr(pos, end - pos));
+            if (!ds.chr_ids.count(name)) {
+                ds.chr_ids.emplace(name, (i32) ds.chr_names.size());
+                ds.chr_names.push_back(name);
+            }
+        }
+    }
+
+    // pass 2 (parallel): full record parse per line
+    std::vector<Record> recs(lines.size());
+    auto parse_range = [&](size_t lo, size_t hi, std::string *fail) {
+        std::vector<std::string_view> f;
+        try {
+            for (size_t i = lo; i < hi; i++) {
+                split_fields(lines[i], f);
+                recs[i] = parse_record(f, ds);
+                recs[i].cord_type = 0;
+                recs[i].cord_row = (i32) i;
+            }
+        } catch (const std::exception &e) {
+            *fail = e.what();
+        }
+    };
+    int nt = std::max(1, threads);
+    if (nt == 1 || lines.size() < 256) {
+        std::string fail;
+        parse_range(0, lines.size(), &fail);
+        if (!fail.empty()) throw std::runtime_error(fail);
+    } else {
+        std::vector<std::thread> pool;
+        std::vector<std::string> fails(nt);
+        size_t chunk = (lines.size() + nt - 1) / nt;
+        for (int t = 0; t < nt; t++) {
+            size_t lo = t * chunk, hi = std::min(lines.size(), lo + chunk);
+            if (lo >= hi) break;
+            pool.emplace_back(parse_range, lo, hi, &fails[t]);
+        }
+        for (auto &th : pool) th.join();
+        for (auto &msg : fails)
+            if (!msg.empty()) throw std::runtime_error(msg);
+    }
+
+    // pass 3 (serial): group into contigs on query-name change
     std::vector<std::string_view> f;
     std::string cur_name;
     bool have = false;
-    i32 paf_index = 0, row = 0;
+    i32 paf_index = 0;
     std::vector<Record> cur;
-    for_lines(ds.buffer, [&](std::string_view line) {
-        split_fields(line, f);
-        std::string qry(f[0]);
+    for (size_t i = 0; i < lines.size(); i++) {
+        size_t tab = lines[i].find('\t');
+        std::string qry(lines[i].substr(0, tab));
         if (!have) { cur_name = qry; have = true; }
         if (qry != cur_name) {
             ds.contigs.push_back(std::move(cur));
@@ -115,14 +178,10 @@ Dataset read_paf(const std::string &path) {
             cur_name = qry;
             paf_index++;
         }
-        Record r = parse_record(f, ds);
         ds.paf_map[qry] = paf_index;
-        r.ctg_index = (i32) cur.size();
-        r.cord_type = 0;
-        r.cord_row = row++;
-        cur.push_back(std::move(r));
-    });
-    if (!have) throw std::runtime_error("empty PAF input");
+        recs[i].ctg_index = (i32) cur.size();
+        cur.push_back(std::move(recs[i]));
+    }
     ds.contigs.push_back(std::move(cur));
     ds.ctg_names.push_back(cur_name);
     return ds;
@@ -232,12 +291,37 @@ void flush_file(const std::string &path, const std::string &content) {
 }  // namespace
 
 void write_rows(const Dataset &ds, const std::vector<std::vector<OutRow>> &rows,
-                const std::string &path) {
+                const std::string &path, int threads) {
+    int nt = std::max(1, threads);
+    if (nt == 1 || rows.size() < 64) {
+        std::string out;
+        out.reserve(1 << 20);
+        for (size_t i = 0; i < rows.size(); i++)
+            for (const auto &row : rows[i])
+                write_one(out, ds, ds.ctg_names[i], ds.contigs[i], row);
+        flush_file(path, out);
+        return;
+    }
+    // format per contig in parallel, concatenate in order
+    std::vector<std::string> parts(rows.size());
+    std::atomic<size_t> next{0};
+    std::vector<std::thread> pool;
+    for (int t = 0; t < nt; t++) {
+        pool.emplace_back([&] {
+            while (true) {
+                size_t i = next.fetch_add(1);
+                if (i >= rows.size()) break;
+                for (const auto &row : rows[i])
+                    write_one(parts[i], ds, ds.ctg_names[i], ds.contigs[i], row);
+            }
+        });
+    }
+    for (auto &th : pool) th.join();
     std::string out;
-    out.reserve(1 << 20);
-    for (size_t i = 0; i < rows.size(); i++)
-        for (const auto &row : rows[i])
-            write_one(out, ds, ds.ctg_names[i], ds.contigs[i], row);
+    size_t total = 0;
+    for (const auto &p : parts) total += p.size();
+    out.reserve(total);
+    for (const auto &p : parts) out += p;
     flush_file(path, out);
 }
 

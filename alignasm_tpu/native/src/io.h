@@ -20,13 +20,13 @@ struct Dataset {
     std::unordered_map<std::string, i32> paf_map;     // qry name -> contig
 };
 
-Dataset read_paf(const std::string &path);
+Dataset read_paf(const std::string &path, int threads = 1);
 void merge_alt(Dataset &ds, const std::string &alt_path, double alt_baseline);
 
 // writes one output stream; rows_per_ctg[i] aligns with ds.contigs[i].
 // max mode suffixes ".<cnt>" per tied path group.
 void write_rows(const Dataset &ds, const std::vector<std::vector<OutRow>> &rows,
-                const std::string &path);
+                const std::string &path, int threads = 1);
 void write_max_rows(const Dataset &ds,
                     const std::vector<std::vector<std::vector<OutRow>>> &rows,
                     const std::string &path);
