@@ -1,0 +1,85 @@
+"""Runtime subsystems: resume journal, multihost sharding, config."""
+
+import dataclasses
+import pathlib
+
+from alignasm_tpu.config import DEFAULT_CONFIG
+from alignasm_tpu.engine.exact import solve_dataset
+from alignasm_tpu.io.paf import read_paf
+from alignasm_tpu.parallel.multihost import run_multihost, shard_indices
+from alignasm_tpu.runtime.checkpoint import solve_dataset_resumable
+from alignasm_tpu.testing.synth import generate_hard_paf
+
+
+def _dataset(tmp_path, seed=3, n=8):
+    p = tmp_path / "r.paf"
+    p.write_text(generate_hard_paf(n_contigs=n, seed=seed))
+    return p
+
+
+def test_resume_journal(tmp_path):
+    p = _dataset(tmp_path)
+    journal = tmp_path / "journal.bin"
+
+    ds = read_paf(p)
+    o1, a1, m1, stats1 = solve_dataset_resumable(ds, DEFAULT_CONFIG, str(journal))
+    assert stats1 == {"resumed": 0, "solved": len(ds.contigs)}
+
+    # second run: everything resumes, nothing re-solves
+    ds2 = read_paf(p)
+    o2, a2, m2, stats2 = solve_dataset_resumable(ds2, DEFAULT_CONFIG, str(journal))
+    assert stats2 == {"resumed": len(ds.contigs), "solved": 0}
+    assert (o1, a1, m1) == (o2, a2, m2)
+
+    # matches the non-resumable engine
+    ds3 = read_paf(p)
+    assert solve_dataset(ds3, DEFAULT_CONFIG) == (o1, a1, m1)
+
+
+def test_resume_journal_survives_truncation(tmp_path):
+    p = _dataset(tmp_path)
+    journal = tmp_path / "journal.bin"
+    ds = read_paf(p)
+    solve_dataset_resumable(ds, DEFAULT_CONFIG, str(journal))
+    # simulate a crash mid-write: chop bytes off the tail
+    raw = journal.read_bytes()
+    journal.write_bytes(raw[: len(raw) - 7])
+    ds2 = read_paf(p)
+    o, a, m, stats = solve_dataset_resumable(ds2, DEFAULT_CONFIG, str(journal))
+    assert stats["solved"] >= 1  # the truncated record re-solves
+    assert solve_dataset(read_paf(p), DEFAULT_CONFIG) == (o, a, m)
+
+
+def test_shard_indices_cover_and_partition():
+    n, world = 23, 4
+    seen = []
+    for r in range(world):
+        seen += shard_indices(n, r, world)
+    assert sorted(seen) == list(range(n))
+
+
+def test_multihost_single_process_matches_cli(tmp_path, oracle_bin):
+    from tests.conftest import run_oracle
+
+    p = _dataset(tmp_path, seed=9, n=6)
+    oracle_outs = run_oracle(oracle_bin, p, tmp_path)
+    mh = tmp_path / "mh.paf"
+    mh.write_bytes(p.read_bytes())
+    run_multihost(str(mh))
+    for o, suffix in zip(oracle_outs, ("", ".alt", ".all")):
+        got = pathlib.Path(str(mh)[:-4] + f".aln{suffix}.paf")
+        assert o.read_bytes() == got.read_bytes()
+
+
+def test_config_reference_defaults():
+    c = DEFAULT_CONFIG
+    assert (c.qry_weight, c.ref_weight, c.ref_negative_penalty) == (1, 1, 2)
+    assert (c.sv_baseline, c.sv_trans_penalty, c.sv_inv_penalty) == (10**6, 2000, 500)
+    assert (c.sv_front_end_coefficient, c.max_path_count, c.max_anom) == (2, 10**4, 1)
+    assert c.alt_baseline == 0.5 and c.non_skip_linkable is False
+    # frozen: configs are immutable values
+    try:
+        c.qry_weight = 2
+        assert False
+    except dataclasses.FrozenInstanceError:
+        pass

@@ -1,0 +1,69 @@
+"""Scale behavior: large single contigs must stay fast and lean —
+the reference's dense n^2 cut matrices demand a 512 GB-class host for
+karyotype inputs (README.md:25); sparse tables remove that by design."""
+
+import resource
+import time
+
+import numpy as np
+import pytest
+
+from alignasm_tpu.testing.synth import _make_record
+
+
+def _chain_contig(n_segments: int, seed: int = 5) -> str:
+    rng = np.random.default_rng(seed)
+    lines = []
+    qry_pos, ref_pos = 10, 1000
+    for _ in range(n_segments):
+        rec, qlen, rlen = _make_record(
+            rng, "bigctg", 10**9, qry_pos, int(rng.integers(150, 400)),
+            "chr1", 3 * 10**8, ref_pos, True, 60,
+        )
+        lines.append(rec.to_line())
+        if rng.random() < 0.3:
+            ov = int(rng.integers(5, max(6, qlen // 2)))
+            dup, dq, dr = _make_record(
+                rng, "bigctg", 10**9, qry_pos + qlen - ov,
+                int(rng.integers(ov + 20, ov + 300)),
+                "chr1", 3 * 10**8, ref_pos + int(rng.integers(2000, 8000)),
+                True, 60,
+            )
+            lines.append(dup.to_line())
+            qry_pos += qlen + dq - ov + int(rng.integers(1, 50))
+            ref_pos += rlen + dr
+        else:
+            qry_pos += qlen + int(rng.integers(1, 50))
+            ref_pos += rlen + int(rng.integers(0, 100))
+    total = qry_pos + 1000
+    fixed = []
+    for line in lines:
+        f = line.split("\t")
+        f[1] = str(total)
+        fixed.append("\t".join(f))
+    return "\n".join(fixed) + "\n"
+
+
+def test_native_big_contig_fast_and_lean(tmp_path, oracle_bin):
+    from alignasm_tpu import native
+    from tests.conftest import run_oracle
+
+    paf = tmp_path / "big.paf"
+    paf.write_text(_chain_contig(1200))
+    n_records = paf.read_text().count("\n")
+    assert n_records >= 1500
+
+    oracle_outs = run_oracle(oracle_bin, paf, tmp_path)
+
+    nat = tmp_path / "nbig.paf"
+    nat.write_bytes(paf.read_bytes())
+    rss_before = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    t0 = time.perf_counter()
+    stats = native.run(str(nat), threads=2)
+    elapsed = time.perf_counter() - t0
+    assert stats["records"] == n_records
+    assert elapsed < 5.0, f"big contig took {elapsed:.1f}s"
+
+    for o, suffix in zip(oracle_outs, ("", ".alt", ".all")):
+        got = (tmp_path / f"nbig.aln{suffix}.paf").read_bytes()
+        assert o.read_bytes() == got, f"aln{suffix} differs on big contig"
