@@ -39,6 +39,12 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    help="native: C++ host plane (default); exact: Python "
                         "reference engine; tpu: batched device kernels")
     p.add_argument("--progress", action="store_true")
+    p.add_argument("--profile", metavar="DIR",
+                   help="write a jax.profiler trace (tpu engine) and phase "
+                        "timings to DIR")
+    p.add_argument("--resume", metavar="JOURNAL",
+                   help="journal file for per-contig checkpoint/resume "
+                        "(exact engine)")
     return p
 
 
@@ -71,15 +77,24 @@ def run(argv=None) -> int:
         alt = args.alt
         if alt and os.path.getsize(alt) == 0:
             alt = None  # zero-size alt disables the merge (alignasm.cpp:196-201)
-        native.run(
-            args.paf_loc,
-            alt_path=alt,
-            alt_baseline=cfg.alt_baseline,
-            non_skip_linkable=cfg.non_skip_linkable,
-            threads=args.thread,
-        )
+        try:
+            stats = native.run(
+                args.paf_loc,
+                alt_path=alt,
+                alt_baseline=cfg.alt_baseline,
+                non_skip_linkable=cfg.non_skip_linkable,
+                threads=args.thread,
+            )
+        except native.NativeError as exc:
+            print(f"alignasm_tpu: {exc}", file=sys.stderr)
+            return 1
         elapsed = time.perf_counter() - t0
-        print(f"done in {elapsed:.2f}s")
+        cps = stats["contigs"] / elapsed if elapsed else 0.0
+        print(
+            f"{stats['contigs']} contigs, {stats['records']} records in "
+            f"{elapsed:.2f}s ({cps:.0f} contigs/s; read {stats['read_s']:.2f}s "
+            f"solve {stats['solve_s']:.2f}s write {stats['write_s']:.2f}s)"
+        )
         return 0
 
     dataset = read_paf(args.paf_loc)
@@ -87,10 +102,27 @@ def run(argv=None) -> int:
         merge_alt_paf(dataset, args.alt, cfg.alt_baseline)
     print("File read complete")
 
+    profile_ctx = None
+    if args.profile:
+        import jax
+
+        os.makedirs(args.profile, exist_ok=True)
+        profile_ctx = jax.profiler.trace(args.profile)
+        profile_ctx.__enter__()
+
     if args.engine == "tpu":
         from alignasm_tpu.runtime.scheduler import solve_dataset_tpu
 
         outs, alt_outs, max_outs = solve_dataset_tpu(dataset, cfg)
+        if args.progress:
+            print(f"device engine stats: {solve_dataset_tpu.last_stats}")
+    elif args.resume:
+        from alignasm_tpu.runtime.checkpoint import solve_dataset_resumable
+
+        outs, alt_outs, max_outs, stats = solve_dataset_resumable(
+            dataset, cfg, args.resume
+        )
+        print(f"resume: {stats}")
     elif args.thread > 1:
         from alignasm_tpu.runtime.scheduler import solve_dataset_parallel
 
@@ -99,6 +131,9 @@ def run(argv=None) -> int:
         from alignasm_tpu.engine.exact import solve_dataset
 
         outs, alt_outs, max_outs = solve_dataset(dataset, cfg)
+
+    if profile_ctx is not None:
+        profile_ctx.__exit__(None, None, None)
 
     print("Write output PAF file")
     out_p, alt_p, all_p = output_paths(args.paf_loc)

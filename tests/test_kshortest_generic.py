@@ -1,0 +1,73 @@
+"""Generic k-shortest-walks fuzz: random DAGs with PafDistance weights,
+element-wise against the reference solver (tests/oracle/ksw_harness,
+which links the deterministic allocator)."""
+
+import pathlib
+import random
+import subprocess
+
+import pytest
+
+from alignasm_tpu.engine.kshortest import KShortestWalks
+from alignasm_tpu.model import distance as D
+
+HARNESS = pathlib.Path(__file__).parent / "oracle" / "bin" / "ksw_harness"
+
+
+def _random_dag(rng: random.Random, n: int, p: float):
+    """Random DAG on n vertices (edges only forward) with small weights
+    so distance ties are frequent."""
+    adj = [[] for _ in range(n)]
+    for u in range(n - 1):
+        for v in range(u + 1, n):
+            if rng.random() < p:
+                w = (
+                    rng.randrange(0, 4),      # qry
+                    rng.randrange(0, 4),      # ref
+                    rng.randrange(0, 2),      # anom
+                    rng.randrange(0, 2),      # nz
+                    1,
+                )
+                adj[u].append((v, w))
+    return adj
+
+
+@pytest.fixture(scope="module")
+def harness(oracle_bin):
+    # oracle_bin fixture builds the oracle tree; build the harness too
+    if not HARNESS.exists():
+        subprocess.run(
+            ["make", "-C", str(HARNESS.parent.parent), "bin/ksw_harness"],
+            check=True, capture_output=True,
+        )
+    return HARNESS
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_random_dag_enumeration_matches_reference(harness, seed):
+    rng = random.Random(seed)
+    n = rng.randrange(6, 16)
+    adj = _random_dag(rng, n, p=0.45)
+    src, dest = 0, n - 1
+    k = 200
+
+    lines = [f"{n} {src} {dest} {k} {sum(len(a) for a in adj)}"]
+    for u in range(n):
+        for v, w in adj[u]:
+            lines.append(f"{u} {v} {w[0]} {w[1]} {w[2]} {w[3]} {w[4]}")
+    ref = subprocess.run(
+        [str(harness)], input="\n".join(lines), capture_output=True,
+        text=True, check=True,
+    ).stdout.splitlines()
+    ref = [l for l in ref if l and l != "END"]
+
+    solver = KShortestWalks(adj, D.CALC_SUM)
+    kd = solver.solve(src, dest, k)
+    assert len(kd) == len(ref), (len(kd), len(ref))
+    for i, line in enumerate(ref):
+        head, _, tail = line.partition("|")
+        ref_d = tuple(int(x) for x in head.split()[1:])
+        ref_path = tail.split()
+        assert kd[i] == ref_d, f"walk {i}: {kd[i]} vs {ref_d}"
+        my_path = [f"{u}->{v}" for u, v, _w in solver.recover(src, dest, i)]
+        assert my_path == ref_path, f"walk {i} path"
