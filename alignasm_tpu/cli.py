@@ -113,7 +113,9 @@ def run(argv=None) -> int:
     if args.engine == "tpu":
         from alignasm_tpu.runtime.scheduler import solve_dataset_tpu
 
-        outs, alt_outs, max_outs = solve_dataset_tpu(dataset, cfg)
+        outs, alt_outs, max_outs = solve_dataset_tpu(
+            dataset, cfg, src_paths=(args.paf_loc, args.alt or None)
+        )
         if args.progress:
             print(f"device engine stats: {solve_dataset_tpu.last_stats}")
     elif args.resume:

@@ -25,11 +25,9 @@ from fractions import Fraction
 import numpy as np
 
 from alignasm_tpu.config import AlignasmConfig
-from alignasm_tpu.engine.graph import ContigGraph, build_graph
+from alignasm_tpu.engine.graph import ContigGraph
 from alignasm_tpu.engine.kshortest import topology_sort
 from alignasm_tpu.engine import exact as exact_engine
-from alignasm_tpu.model import distance as D
-from alignasm_tpu.model.records import PafOutput
 
 _RANK_SHIFT = 26
 _INF = np.int64(2**62)
@@ -108,6 +106,50 @@ class Fallback(Exception):
     be solved by the exact host engine."""
 
 
+def pack_graph_from_native(contig: list, exp: dict) -> PackedGraph:
+    """Build a finish-compatible PackedGraph from the native exporter's
+    struct-of-arrays (native/src/export.cc) — the C++ host plane does
+    the sort/cut/score work; Python only reassembles views."""
+    n = exp["n"]
+    V = exp["n_vertices"]
+    recs = [contig[int(k)] for k in exp["perm"]]
+    for i, rec in enumerate(recs):
+        contig[rec.ctg_index].ctg_sorted_index = i
+
+    vtx_pairs = list(zip(exp["vtx_pre"].tolist(), exp["vtx_cur"].tolist()))
+    cut_str = {}
+    cut_pre_end = {}
+    NO_CUT = np.int64(-(2**63))
+    for vid, (i, j) in enumerate(vtx_pairs):
+        cut_str[(i, j)] = (int(exp["cut_st_q"][vid]), int(exp["cut_st_r"][vid]))
+        if exp["cut_pe_q"][vid] != NO_CUT:
+            cut_pre_end[(i, j)] = (
+                int(exp["cut_pe_q"][vid]), int(exp["cut_pe_r"][vid])
+            )
+
+    eu = exp["eu"]; ev = exp["ev"]
+    edge_w = list(zip(
+        exp["eq"].tolist(), exp["er"].tolist(), exp["ea"].tolist(),
+        exp["enz"].tolist(), exp["etot"].tolist(),
+    ))
+    adj: list = [[] for _ in range(V)]
+    ev_l = ev.tolist()
+    for e, u in enumerate(eu.tolist()):
+        adj[u].append((ev_l[e], edge_w[e]))
+
+    g = ContigGraph(
+        n=n, recs=recs, part_idx=None, parts=None,
+        cut_pre_end=cut_pre_end, cut_str=cut_str, cut_overlap_idx={},
+        vtx_pairs=vtx_pairs,
+        vtx_index={p: i for i, p in enumerate(vtx_pairs)},
+        adj=adj, src=exp["src"], dest=exp["dest"],
+    )
+    return PackedGraph(
+        g=g, eu=eu, ev=ev, es=exp["eq"] + exp["er"], ea=exp["ea"],
+        enz=exp["enz"], etot=exp["etot"], erank=exp["erank"], edge_w=edge_w,
+    )
+
+
 def _frac(nz, tot):
     return Fraction(int(nz), int(tot) if tot else 1)
 
@@ -126,7 +168,7 @@ def _backtrack_best(pg: PackedGraph, d_eid, src):
         u = v
 
 
-def _enumerate_group(pg: PackedGraph, d_s, d_a, src, limit):
+def _enumerate_group(pg: PackedGraph, d_s, d_a, src, limit, inf=int(_INF)):
     """All paths src->dest achieving the min (sum, anom) key — the
     leading tie group (paf_data.cpp:1595-1611).  DFS over achieving
     edges in adjacency order."""
@@ -148,7 +190,7 @@ def _enumerate_group(pg: PackedGraph, d_s, d_a, src, limit):
         # push in reverse so adjacency order pops first
         for e in reversed(adj_eids[u]):
             v = int(pg.ev[e])
-            if d_s[v] >= _INF:
+            if d_s[v] >= inf:
                 continue
             if (int(d_s[v] + pg.es[e]) << 16) | int(d_a[v] + pg.ea[e]) == k1(u):
                 stack.append((v, pref + [(u, v, pg.edge_w[e])]))
@@ -173,7 +215,7 @@ def _order_group(paths):
     return [paths[i] for _f, i in keyed]
 
 
-def _enumerate_level_group(pg: PackedGraph, lv_s, src, level, limit):
+def _enumerate_level_group(pg: PackedGraph, lv_s, src, level, limit, inf=int(_INF)):
     """All paths achieving the level-`level` minimum sum."""
     g = pg.g
     adj_eids: list = [[] for _ in range(g.n_vertices)]
@@ -192,30 +234,30 @@ def _enumerate_level_group(pg: PackedGraph, lv_s, src, level, limit):
         for e in reversed(adj_eids[u]):
             v = int(pg.ev[e])
             a2 = a - int(pg.ea[e])
-            if a2 < 0 or lv_s[v, a2] >= _INF:
+            if a2 < 0 or lv_s[v, a2] >= inf:
                 continue
             if int(lv_s[v, a2] + pg.es[e]) == int(lv_s[u, a]):
                 stack.append((v, a2, pref + [(u, v, pg.edge_w[e])]))
     return out
 
 
-def finish_contig(pg: PackedGraph, dev, cfg: AlignasmConfig):
+def finish_contig(pg: PackedGraph, dev, cfg: AlignasmConfig, inf=int(_INF)):
     """Reconstruct the reference's outputs from device DP results.
 
-    Raises Fallback whenever the result could depend on the reference's
-    walk-enumeration order beyond what the DPs determine.
+    ``inf`` is the kernel's unreachable sentinel (2^62 for the int64
+    kernel, 2^30 for the int32 kernel).  Raises Fallback whenever the
+    result could depend on the reference's walk-enumeration order beyond
+    what the DPs determine.
     """
     g = pg.g
     src, dest = g.src, g.dest
     d_s = np.asarray(dev["d_s"]); d_a = np.asarray(dev["d_a"])
-    d_nz = np.asarray(dev["d_nz"]); d_tot = np.asarray(dev["d_tot"])
     d_eid = np.asarray(dev["d_eid"])
-    lv_s = np.asarray(dev["lv_s"]); lv_nz = np.asarray(dev["lv_nz"])
-    lv_tot = np.asarray(dev["lv_tot"])
+    lv_s = np.asarray(dev["lv_s"]) if dev.get("lv_s") is not None else None
     cnt_tot = int(dev["cnt_tot"][src]); cnt_min = int(dev["cnt_min"][src])
     floor_a = int(dev["floor_a"][src])
 
-    assert d_s[src] < _INF, "dest unreachable"
+    assert d_s[src] < inf, "dest unreachable"
     min_sum = int(d_s[src]); min_anom = int(d_a[src])
 
     # topo cache for the upgrade pass (identical to exact engine)
@@ -236,7 +278,7 @@ def finish_contig(pg: PackedGraph, dev, cfg: AlignasmConfig):
     max_cov = exact_engine._total_coverage(out)
     max_out: list = []
     if cnt_min > 1:
-        group = _enumerate_group(pg, d_s, d_a, src, cnt_min + 1)
+        group = _enumerate_group(pg, d_s, d_a, src, cnt_min + 1, inf)
         assert len(group) == cnt_min, (len(group), cnt_min)
         ordered = _order_group(group)
         # ordered[0] must be path1 (the best tree path is the first walk)
@@ -256,6 +298,8 @@ def finish_contig(pg: PackedGraph, dev, cfg: AlignasmConfig):
     # ---- alt path -----------------------------------------------------
     alt_out: list = []
     if cnt_tot >= 2 and min_anom != floor_a:
+        if lv_s is None:
+            raise Fallback("level DP results missing for alt scan")
         if cnt_tot > _K_BUDGET:
             raise Fallback("k budget binds for alt scan")
         if min_anom > _MAX_LEVELS:
@@ -265,7 +309,7 @@ def finish_contig(pg: PackedGraph, dev, cfg: AlignasmConfig):
         for a in range(0, min_anom):
             if a >= lv_s.shape[1]:
                 raise Fallback("anomaly level beyond device DP range")
-            if lv_s[src, a] < _INF:
+            if lv_s[src, a] < inf:
                 levels.append((int(lv_s[src, a]), a))
         levels.sort()
         ans_up = ans_down = 0
@@ -277,7 +321,7 @@ def finish_contig(pg: PackedGraph, dev, cfg: AlignasmConfig):
             if not have or up * ans_down < down * ans_up:
                 have = True
                 ans_up, ans_down = up, down
-                group = _enumerate_level_group(pg, lv_s, src, a, 4096)
+                group = _enumerate_level_group(pg, lv_s, src, a, 4096, inf)
                 ordered = _order_group(group)
                 first = True
                 for p in ordered:

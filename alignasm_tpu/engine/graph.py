@@ -24,7 +24,6 @@ import numpy as np
 
 from alignasm_tpu.config import AlignasmConfig
 from alignasm_tpu.engine.introsort import libstdcxx_sort
-from alignasm_tpu.model import distance as D
 from alignasm_tpu.model.records import PafRecord, qry_partial_overlap
 
 

@@ -15,7 +15,7 @@ import threading
 _DIR = pathlib.Path(__file__).resolve().parent
 _SRC = _DIR / "src"
 _LIB = _DIR / "libalignasm.so"
-_SOURCES = ["cs.cc", "io.cc", "solver.cc", "api.cc"]
+_SOURCES = ["cs.cc", "io.cc", "solver.cc", "api.cc", "export.cc"]
 _lock = threading.Lock()
 _lib = None
 
@@ -68,8 +68,99 @@ def get_lib():
             ctypes.POINTER(Stats),
         ]
         lib.aln_run_stats.restype = ctypes.c_int
+        lib.aln_open.argtypes = [
+            ctypes.c_char_p, ctypes.c_char_p, ctypes.c_double,
+            ctypes.c_int, ctypes.c_int, ctypes.c_longlong,
+            ctypes.c_char_p, ctypes.c_int,
+        ]
+        lib.aln_open.restype = ctypes.c_void_p
+        lib.aln_close.argtypes = [ctypes.c_void_p]
+        lib.aln_num_contigs.argtypes = [ctypes.c_void_p]
+        lib.aln_num_contigs.restype = ctypes.c_longlong
+        lib.aln_contig_meta.argtypes = [
+            ctypes.c_void_p, ctypes.c_longlong,
+            ctypes.POINTER(ctypes.c_longlong),
+        ]
+        lib.aln_contig_meta.restype = ctypes.c_int
+        import numpy.ctypeslib as npc
+
+        i32p = npc.ndpointer(dtype="int32", flags="C_CONTIGUOUS")
+        i64p = npc.ndpointer(dtype="int64", flags="C_CONTIGUOUS")
+        lib.aln_contig_graph.argtypes = [
+            ctypes.c_void_p, ctypes.c_longlong,
+            i32p, i32p, i64p, i64p, i32p, i32p, i32p, i64p,
+            i32p, i32p, i64p, i64p, i64p, i64p, i32p,
+        ]
+        lib.aln_contig_graph.restype = ctypes.c_int
         _lib = lib
     return _lib
+
+
+class GraphExporter:
+    """Native-built contig graphs, handed to the device engine as packed
+    struct-of-arrays.  Use as a context manager."""
+
+    def __init__(self, paf_path, alt_path=None, alt_baseline=0.5,
+                 non_skip_linkable=False, threads=0, max_records=512):
+        import numpy as np
+
+        self._np = np
+        lib = get_lib()
+        err = ctypes.create_string_buffer(4096)
+        self._h = lib.aln_open(
+            os.fsencode(paf_path),
+            os.fsencode(alt_path) if alt_path else b"",
+            alt_baseline, 1 if non_skip_linkable else 0, threads,
+            max_records, err, len(err),
+        )
+        if not self._h:
+            raise NativeError(err.value.decode(errors="replace"))
+        self._lib = lib
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def close(self):
+        if self._h:
+            self._lib.aln_close(self._h)
+            self._h = None
+
+    def __len__(self):
+        return int(self._lib.aln_num_contigs(self._h))
+
+    def contig_graph(self, i: int):
+        """Returns None if the contig wasn't packed (singleton/oversize),
+        else a dict of numpy arrays + meta."""
+        np = self._np
+        meta = (ctypes.c_longlong * 6)()
+        if self._lib.aln_contig_meta(self._h, i, meta) != 0:
+            raise IndexError(i)
+        built, n, V, E, src, dest = (int(x) for x in meta)
+        if not built:
+            return None
+        out = dict(
+            n=n, n_vertices=V, src=src, dest=dest,
+            eu=np.empty(E, np.int32), ev=np.empty(E, np.int32),
+            eq=np.empty(E, np.int64), er=np.empty(E, np.int64),
+            ea=np.empty(E, np.int32), enz=np.empty(E, np.int32),
+            etot=np.empty(E, np.int32), erank=np.empty(E, np.int64),
+            vtx_pre=np.empty(V - 2, np.int32), vtx_cur=np.empty(V - 2, np.int32),
+            cut_pe_q=np.empty(V - 2, np.int64), cut_pe_r=np.empty(V - 2, np.int64),
+            cut_st_q=np.empty(V - 2, np.int64), cut_st_r=np.empty(V - 2, np.int64),
+            perm=np.empty(n, np.int32),
+        )
+        rc = self._lib.aln_contig_graph(
+            self._h, i, out["eu"], out["ev"], out["eq"], out["er"],
+            out["ea"], out["enz"], out["etot"], out["erank"],
+            out["vtx_pre"], out["vtx_cur"], out["cut_pe_q"], out["cut_pe_r"],
+            out["cut_st_q"], out["cut_st_r"], out["perm"],
+        )
+        if rc != 0:
+            raise NativeError(f"contig {i}: graph export failed (rc={rc})")
+        return out
 
 
 def run(

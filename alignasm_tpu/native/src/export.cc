@@ -1,0 +1,202 @@
+// Device-engine export ABI: the C++ host plane parses the PAF, builds
+// every contig DAG (threaded), and hands packed struct-of-arrays graphs
+// to Python, which runs the batched TPU kernels and the host finish.
+// This keeps the runtime around the TPU compute path native — the
+// Python layer only orchestrates device calls.
+//
+// Arrival ranks reproduce the reference's reversed-relaxation order
+// (see alignasm_tpu/engine/device.py:pack_graph): for forward edge
+// (u -> v), rank = kahn_pos_of_v_in_rev_topo << 26 | index_within_
+// rev_adjacency, unique per edge.
+#include <atomic>
+#include <cstring>
+#include <deque>
+#include <memory>
+#include <thread>
+
+#include "io.h"
+#include "solver.h"
+
+namespace {
+
+struct PackedContig {
+    aln::Graph graph;
+    std::vector<int64_t> erank;
+    bool built = false;
+    std::string error;
+};
+
+struct ExportCtx {
+    aln::Dataset ds;
+    aln::Config cfg;
+    std::vector<PackedContig> packed;
+};
+
+void compute_ranks(PackedContig &pc) {
+    const aln::Graph &g = pc.graph;
+    int64_t V = (int64_t) g.adj.size();
+    // g_rev adjacency counts + Kahn order (in-degree in g_rev equals
+    // forward out-degree)
+    std::vector<int32_t> indeg(V);
+    std::vector<std::vector<int32_t>> grev(V);
+    for (int64_t u = 0; u < V; u++) {
+        indeg[u] = (int32_t) g.adj[u].size();
+        for (const auto &e : g.adj[u]) grev[e.to].push_back((int32_t) u);
+    }
+    std::deque<int32_t> q;
+    for (int64_t u = 0; u < V; u++)
+        if (!indeg[u]) q.push_back((int32_t) u);
+    std::vector<int64_t> kahn(V, 0);
+    int64_t pos = 0;
+    while (!q.empty()) {
+        int32_t x = q.front();
+        q.pop_front();
+        kahn[x] = pos++;
+        for (int32_t to : grev[x])
+            if (--indeg[to] == 0) q.push_back(to);
+    }
+    // per-target running index in g_rev list order (u-major)
+    std::vector<int32_t> rev_idx(V, 0);
+    pc.erank.clear();
+    for (int64_t u = 0; u < V; u++)
+        for (const auto &e : g.adj[u])
+            pc.erank.push_back((kahn[e.to] << 26) | rev_idx[e.to]++);
+}
+
+void set_err(char *err, int errlen, const std::string &msg) {
+    if (err && errlen > 0) std::snprintf(err, (size_t) errlen, "%s", msg.c_str());
+}
+
+}  // namespace
+
+extern "C" {
+
+void *aln_open(const char *paf_path, const char *alt_path, double alt_baseline,
+               int non_skip_linkable, int threads, long long max_records,
+               char *err, int errlen) {
+    try {
+        auto ctx = std::make_unique<ExportCtx>();
+        ctx->cfg.alt_baseline = alt_baseline;
+        ctx->cfg.non_skip_linkable = non_skip_linkable != 0;
+        int nt = threads > 0 ? threads : (int) std::thread::hardware_concurrency();
+        ctx->ds = aln::read_paf(paf_path, nt);
+        if (alt_path && alt_path[0])
+            aln::merge_alt(ctx->ds, alt_path, alt_baseline);
+
+        size_t n = ctx->ds.contigs.size();
+        ctx->packed.resize(n);
+        std::atomic<size_t> next{0};
+        auto worker = [&] {
+            while (true) {
+                size_t i = next.fetch_add(1);
+                if (i >= n) break;
+                auto &contig = ctx->ds.contigs[i];
+                if ((long long) contig.size() < 2 ||
+                    (long long) contig.size() > max_records)
+                    continue;
+                auto &pc = ctx->packed[i];
+                try {
+                    pc.graph = aln::build_graph(contig, ctx->cfg);
+                    compute_ranks(pc);
+                    pc.built = true;
+                } catch (const std::exception &e) {
+                    pc.error = e.what();
+                }
+            }
+        };
+        if (nt <= 1 || n <= 1) {
+            worker();
+        } else {
+            std::vector<std::thread> pool;
+            for (int t = 0; t < nt; t++) pool.emplace_back(worker);
+            for (auto &t : pool) t.join();
+        }
+        return ctx.release();
+    } catch (const std::exception &e) {
+        set_err(err, errlen, e.what());
+        return nullptr;
+    }
+}
+
+void aln_close(void *h) { delete (ExportCtx *) h; }
+
+long long aln_num_contigs(void *h) {
+    return (long long) ((ExportCtx *) h)->ds.contigs.size();
+}
+
+// meta[0..5] = built, n_records, n_vertices, n_edges, src, dest
+int aln_contig_meta(void *h, long long i, long long *meta) {
+    auto &ctx = *(ExportCtx *) h;
+    if (i < 0 || i >= (long long) ctx.packed.size()) return 1;
+    const auto &pc = ctx.packed[i];
+    meta[0] = pc.built ? 1 : 0;
+    meta[1] = (long long) ctx.ds.contigs[i].size();
+    if (!pc.built) {
+        meta[2] = meta[3] = meta[4] = meta[5] = 0;
+        return 0;
+    }
+    const auto &g = pc.graph;
+    long long ne = 0;
+    for (const auto &a : g.adj) ne += (long long) a.size();
+    meta[2] = (long long) g.adj.size();
+    meta[3] = ne;
+    meta[4] = g.src;
+    meta[5] = g.dest;
+    return 0;
+}
+
+// fills caller-allocated buffers; sizes from aln_contig_meta.
+//   eu, ev            int32[E]
+//   eq, er            int64[E]   (qry / ref score components)
+//   ea, enz, etot     int32[E]
+//   erank             int64[E]
+//   vtx_pre, vtx_cur  int32[V]
+//   cut_pe_q/r, cut_st_q/r  int64[V]
+//   perm              int32[n]   (sorted position -> original ctg_index)
+int aln_contig_graph(void *h, long long i,
+                     int32_t *eu, int32_t *ev, int64_t *eq, int64_t *er,
+                     int32_t *ea, int32_t *enz, int32_t *etot, int64_t *erank,
+                     int32_t *vtx_pre, int32_t *vtx_cur,
+                     int64_t *cut_pe_q, int64_t *cut_pe_r,
+                     int64_t *cut_st_q, int64_t *cut_st_r,
+                     int32_t *perm) {
+    auto &ctx = *(ExportCtx *) h;
+    if (i < 0 || i >= (long long) ctx.packed.size()) return 1;
+    const auto &pc = ctx.packed[i];
+    if (!pc.built) return 2;
+    const auto &g = pc.graph;
+    long long e = 0;
+    for (size_t u = 0; u < g.adj.size(); u++) {
+        for (const auto &edge : g.adj[u]) {
+            eu[e] = (int32_t) u;
+            ev[e] = edge.to;
+            eq[e] = edge.w.q;
+            er[e] = edge.w.r;
+            ea[e] = (int32_t) edge.w.a;
+            enz[e] = (int32_t) edge.w.nz;
+            etot[e] = (int32_t) edge.w.tot;
+            erank[e] = pc.erank[e];
+            e++;
+        }
+    }
+    size_t V = g.vtx.size();
+    for (size_t v = 0; v < V; v++) {
+        vtx_pre[v] = g.vtx[v].first;
+        vtx_cur[v] = g.vtx[v].second;
+        cut_pe_q[v] = g.cut_pe_q[v];
+        cut_pe_r[v] = g.cut_pe_r[v];
+        cut_st_q[v] = g.cut_st_q[v];
+        cut_st_r[v] = g.cut_st_r[v];
+    }
+    // src/dest have no vtx entries; caller uses meta for them
+    for (int64_t k = 0; k < g.n; k++) perm[k] = g.recs[k]->ctg_index;
+    return 0;
+}
+
+const char *aln_contig_error(void *h, long long i) {
+    auto &ctx = *(ExportCtx *) h;
+    if (i < 0 || i >= (long long) ctx.packed.size()) return "index out of range";
+    return ctx.packed[i].error.c_str();
+}
+
+}  // extern "C"

@@ -14,34 +14,6 @@ namespace {
 
 constexpr i64 NO_CUT = std::numeric_limits<i64>::min();
 
-struct Edge {
-    i32 to;
-    Dist w;
-};
-
-// A graph vertex is either one record (pre==cur) or a cut overlap pair.
-struct Graph {
-    i64 n = 0;  // record count
-    std::vector<const Record *> recs;      // sorted order
-    std::vector<i64> part_idx;
-    std::vector<i64> parts;                // part starts + sentinel n
-    // vertex tables
-    std::vector<std::pair<i32, i32>> vtx;  // (pre, cur) per vertex id
-    std::vector<i64> pair_id;              // n*n → vertex id or -1? too big; use map
-    std::unordered_map<i64, i32> pair_vtx; // key i*n+j → vertex id (i<j)
-    // cut tables per pair vertex id (index aligned with vtx)
-    std::vector<i64> cut_pe_q, cut_pe_r;   // edited end of record i
-    std::vector<i64> cut_st_q, cut_st_r;   // edited start of record j
-    std::vector<std::vector<Edge>> adj;
-    i32 src = 0, dest = 0;
-
-    i32 vid(i64 i, i64 j) const {
-        if (i == j) return (i32) i;
-        auto it = pair_vtx.find(i * n + j);
-        return it == pair_vtx.end() ? -1 : it->second;
-    }
-};
-
 struct Vert {  // working view of a vertex (Internal_Vertex analogue)
     i32 pre, cur;
     i64 qs, qe, rs, re;
@@ -87,6 +59,8 @@ CutRes pair_cut(const Record &pre, const Record &cur) {
     return {true, ri, pr[g_i].first + (ri - li) * step_pre,
             cq[g_j].first, cr[g_j].first};
 }
+
+}  // namespace
 
 // ---- graph construction (paf_data.cpp:531-696 semantics) ------------
 Graph build_graph(std::vector<Record> &records, const Config &cfg) {
@@ -291,6 +265,8 @@ Graph build_graph(std::vector<Record> &records, const Config &cfg) {
     }
     return g;
 }
+
+namespace {
 
 // ---- Kahn FIFO topological order ------------------------------------
 std::vector<i32> topo_order(const std::vector<std::vector<Edge>> &adj) {

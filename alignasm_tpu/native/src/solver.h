@@ -6,6 +6,8 @@
 // there (solve_ctg_read, paf_data.cpp:223-1650).
 #pragma once
 
+#include <unordered_map>
+
 #include "types.h"
 
 namespace aln {
@@ -19,5 +21,35 @@ struct ContigResult {
 // records: the contig's records in input order (ctg_index == position);
 // sorted_index is written back into each record.
 ContigResult solve_contig(std::vector<Record> &records, const Config &cfg);
+
+// ---- graph internals, exposed for the device-engine export ABI ------
+
+struct Edge {
+    i32 to;
+    Dist w;
+};
+
+// A graph vertex is either one record (pre==cur) or a cut overlap pair.
+struct Graph {
+    i64 n = 0;  // record count
+    std::vector<const Record *> recs;      // sorted order
+    std::vector<i64> part_idx;
+    std::vector<i64> parts;                // part starts + sentinel n
+    std::vector<std::pair<i32, i32>> vtx;  // (pre, cur) per vertex id
+    std::unordered_map<i64, i32> pair_vtx; // key i*n+j -> vertex id (i<j)
+    // cut tables per vertex id (aligned with vtx)
+    std::vector<i64> cut_pe_q, cut_pe_r;   // edited end of record i
+    std::vector<i64> cut_st_q, cut_st_r;   // edited start of record j
+    std::vector<std::vector<Edge>> adj;
+    i32 src = 0, dest = 0;
+
+    i32 vid(i64 i, i64 j) const {
+        if (i == j) return (i32) i;
+        auto it = pair_vtx.find(i * n + j);
+        return it == pair_vtx.end() ? -1 : it->second;
+    }
+};
+
+Graph build_graph(std::vector<Record> &records, const Config &cfg);
 
 }  // namespace aln

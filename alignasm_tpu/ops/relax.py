@@ -32,7 +32,6 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from alignasm_tpu.ops.semiring import ANOM_BITS, QUL_BITS, QUL_ONE
 

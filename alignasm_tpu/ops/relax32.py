@@ -1,0 +1,229 @@
+"""int32 variant of the batched DAG relaxation program.
+
+TPU v5e has no native int64 — the packed-key kernels in ops/relax.py
+pay a large emulation tax.  This variant keeps every comparison in
+native int32/f32 while preserving exact semantics:
+
+  * (sum, anom) compare as two masked passes instead of one packed key
+    (path sums must fit int32 — the host guards per bucket and falls
+    back to the int64 kernel otherwise);
+  * the mapq fraction compares as correctly-rounded f32 division
+    (order- and equality-exact for denominators <= 2^10, see
+    ops/pallas_relax.py);
+  * arrival ranks are densely re-ranked per contig on host
+    (order-preserving, < 2^26).
+
+Outputs mirror ops/relax.py's solve_graph_batch.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+INF32 = jnp.int32(2**30)
+FINF = jnp.float32(np.inf)
+COUNT_SAT = jnp.int32(10_001)
+MAX_LEVELS = 8
+
+
+def _seg_min(vals, seg, num):
+    return jax.ops.segment_min(vals, seg, num_segments=num)
+
+
+def _seg_sum(vals, seg, num):
+    return jax.ops.segment_sum(vals, seg, num_segments=num)
+
+
+def _qkey(nz, tot):
+    return -(nz.astype(jnp.float32) / jnp.maximum(tot, 1).astype(jnp.float32))
+
+
+def _argmin4(k1, k2, k3, k4, seg, num, valid):
+    """Segmented lex argmin over (k1, k2 int32, k3 f32, k4 int32 unique)."""
+    k1 = jnp.where(valid, k1, INF32)
+    m1 = _seg_min(k1, seg, num)
+    on = valid & (k1 == m1[seg])
+    m2 = _seg_min(jnp.where(on, k2, INF32), seg, num)
+    on = on & (k2 == m2[seg])
+    m3 = _seg_min(jnp.where(on, k3, FINF), seg, num)
+    on = on & (k3 == m3[seg])
+    m4 = _seg_min(jnp.where(on, k4, INF32), seg, num)
+    return m1, m2, m3, m4
+
+
+@functools.partial(jax.jit, static_argnames=("V", "A", "n_sweeps"))
+def level_dp_batch32(eu, ev, es, ea, enz, etot, erank, evalid, src, dest,
+                     V, A=MAX_LEVELS, n_sweeps=None):
+    """Per-anomaly-level constrained SP only — phase 2, run just for the
+    contigs whose best path misses the anomaly floor (alt scan needed;
+    usually a small minority)."""
+    B, E = eu.shape
+    if n_sweeps is None:
+        n_sweeps = V
+
+    def one(eu, ev, es, ea, enz, etot, erank, evalid, src, dest):
+        lv = dict(
+            s=jnp.full((V, A), INF32).at[dest, 0].set(0),
+            nz=jnp.zeros((V, A), jnp.int32),
+            tot=jnp.zeros((V, A), jnp.int32),
+            rank=jnp.full((V, A), INF32).at[dest, 0].set(-1),
+            eid=jnp.full((V, A), -1, jnp.int32),
+        )
+        a_ids = jnp.arange(A, dtype=jnp.int32)
+        seg_flat = eu[:, None] * A + a_ids[None, :]
+        child_lv = a_ids[None, :] - ea[:, None]
+        lv_ok0 = evalid[:, None] & (child_lv >= 0)
+        child_lv_c = jnp.clip(child_lv, 0, A - 1)
+
+        def sweep_lv(_, lv):
+            gs = lv["s"][ev[:, None], child_lv_c]
+            cs = gs + es[:, None]
+            cnz = lv["nz"][ev[:, None], child_lv_c] + enz[:, None]
+            ctot = lv["tot"][ev[:, None], child_lv_c] + etot[:, None]
+            ok = lv_ok0 & (gs < INF32)
+            crank = jnp.broadcast_to(erank[:, None], cs.shape)
+            m1, _m2, m3, m4 = _argmin4(
+                jnp.where(ok, cs, INF32).reshape(-1),
+                jnp.zeros_like(cs).reshape(-1),
+                _qkey(cnz, ctot).reshape(-1),
+                crank.reshape(-1),
+                seg_flat.reshape(-1), V * A, ok.reshape(-1),
+            )
+            m1 = m1.reshape(V, A); m3 = m3.reshape(V, A); m4 = m4.reshape(V, A)
+            cur3 = _qkey(lv["nz"], lv["tot"])
+            better = (m1 < lv["s"]) | ((m1 == lv["s"]) & (
+                (m3 < cur3) | ((m3 == cur3) & (m4 < lv["rank"]))
+            ))
+            better = better & (m1 < INF32)
+            win = ok & (crank == m4[eu[:, None], a_ids[None, :]]) \
+                & better[eu[:, None], a_ids[None, :]]
+            eids = jnp.broadcast_to(
+                jnp.arange(E, dtype=jnp.int32)[:, None], win.shape)
+            w_eid = _seg_min(
+                jnp.where(win, eids, E).reshape(-1), seg_flat.reshape(-1), V * A
+            ).reshape(V, A)
+            got = w_eid < E
+            w = jnp.clip(w_eid, 0, E - 1)
+            a_grid = jnp.broadcast_to(a_ids[None, :], (V, A))
+            return dict(
+                s=jnp.where(got, cs[w, a_grid], lv["s"]),
+                nz=jnp.where(got, cnz[w, a_grid], lv["nz"]),
+                tot=jnp.where(got, ctot[w, a_grid], lv["tot"]),
+                rank=jnp.where(got, erank[w], lv["rank"]),
+                eid=jnp.where(got, w, lv["eid"]),
+            )
+
+        lv = jax.lax.fori_loop(0, n_sweeps, sweep_lv, lv)
+        return dict(lv_s=lv["s"], lv_nz=lv["nz"], lv_tot=lv["tot"],
+                    lv_eid=lv["eid"])
+
+    return jax.vmap(one)(eu, ev, es, ea, enz, etot, erank, evalid, src, dest)
+
+
+@functools.partial(jax.jit, static_argnames=("V", "n_sweeps"))
+def sp_batch32(
+    eu, ev, es, ea, enz, etot, erank, evalid, src, dest, V, n_sweeps=None,
+):
+    """Phase 1: distance-to-sink, anomaly floor, walk counts (int32)."""
+    B, E = eu.shape
+    if n_sweeps is None:
+        n_sweeps = V
+
+    def one(eu, ev, es, ea, enz, etot, erank, evalid, src, dest):
+        init = dict(
+            s=jnp.full((V,), INF32).at[dest].set(0),
+            a=jnp.zeros((V,), jnp.int32),
+            nz=jnp.zeros((V,), jnp.int32),
+            tot=jnp.zeros((V,), jnp.int32),
+            rank=jnp.full((V,), INF32).at[dest].set(-1),
+            eid=jnp.full((V,), -1, jnp.int32),
+        )
+
+        def sweep(_, st):
+            cs = st["s"][ev] + es
+            ca = st["a"][ev] + ea
+            cnz = st["nz"][ev] + enz
+            ctot = st["tot"][ev] + etot
+            ok = evalid & (st["s"][ev] < INF32)
+            m1, m2, m3, m4 = _argmin4(
+                jnp.where(ok, cs, INF32), ca, _qkey(cnz, ctot), erank, eu, V, ok
+            )
+            cur3 = _qkey(st["nz"], st["tot"])
+            better = (m1 < st["s"]) | ((m1 == st["s"]) & ((m2 < st["a"]) | (
+                (m2 == st["a"]) & ((m3 < cur3) | ((m3 == cur3) & (m4 < st["rank"])))
+            )))
+            better = better & (m1 < INF32)
+            win = ok & (erank == m4[eu]) & better[eu]
+            eids = jnp.arange(E, dtype=jnp.int32)
+            w_eid = _seg_min(jnp.where(win, eids, E), eu, V)
+            got = w_eid < E
+            w = jnp.clip(w_eid, 0, E - 1)
+            upd = lambda cur, cand: jnp.where(got, cand[w], cur)
+            return dict(
+                s=upd(st["s"], cs), a=upd(st["a"], ca),
+                nz=upd(st["nz"], cnz), tot=upd(st["tot"], ctot),
+                rank=jnp.where(got, erank[w], st["rank"]),
+                eid=jnp.where(got, w, st["eid"]),
+            )
+
+        d = jax.lax.fori_loop(0, n_sweeps, sweep, init)
+
+        # anomaly floor
+        fa = jnp.full((V,), INF32).at[dest].set(0)
+
+        def sweep_anom(_, fa):
+            c = jnp.where(evalid & (fa[ev] < INF32), fa[ev] + ea, INF32)
+            return jnp.minimum(fa, _seg_min(c, eu, V))
+
+        fa = jax.lax.fori_loop(0, n_sweeps, sweep_anom, fa)
+
+        # walk counts (saturating int32)
+        base = jnp.zeros((V,), jnp.int32).at[dest].set(1)
+
+        def sweep_cnt(_, c):
+            return jnp.minimum(
+                base + _seg_sum(jnp.where(evalid, c[ev], 0), eu, V), COUNT_SAT
+            )
+
+        cnt_tot = jax.lax.fori_loop(0, n_sweeps, sweep_cnt, base)
+
+        ach = evalid & (d["s"][ev] < INF32) & (
+            (d["s"][ev] + es == d["s"][eu]) & (d["a"][ev] + ea == d["a"][eu])
+        )
+
+        def sweep_cmin(_, c):
+            return jnp.minimum(
+                base + _seg_sum(jnp.where(ach, c[ev], 0), eu, V), COUNT_SAT
+            )
+
+        cnt_min = jax.lax.fori_loop(0, n_sweeps, sweep_cmin, base)
+
+        return dict(
+            d_s=d["s"], d_a=d["a"], d_nz=d["nz"], d_tot=d["tot"],
+            d_eid=d["eid"], floor_a=fa,
+            cnt_tot=cnt_tot, cnt_min=cnt_min,
+        )
+
+    return jax.vmap(one)(eu, ev, es, ea, enz, etot, erank, evalid, src, dest)
+
+
+def rerank_dense(erank: np.ndarray) -> np.ndarray:
+    """Order-preserving dense re-rank of int64 arrival ranks into int32."""
+    order = np.argsort(erank, kind="stable")
+    out = np.empty(len(order), np.int32)
+    out[order] = np.arange(len(order), dtype=np.int32)
+    return out
+
+
+def solve_graph_batch32(eu, ev, es, ea, enz, etot, erank, evalid, src, dest,
+                        V, A=MAX_LEVELS, n_sweeps=None):
+    """Compatibility wrapper: phase-1 SP/counts + phase-2 level DP."""
+    out = dict(sp_batch32(eu, ev, es, ea, enz, etot, erank, evalid, src, dest,
+                          V=V, n_sweeps=n_sweeps))
+    out.update(level_dp_batch32(eu, ev, es, ea, enz, etot, erank, evalid,
+                                src, dest, V=V, A=A, n_sweeps=n_sweeps))
+    return out

@@ -15,11 +15,8 @@ Two axes of scale (SURVEY.md §2.9/§5.7-5.8):
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from alignasm_tpu.ops.relax import solve_graph_batch, INF, _qul_key, _pack_k1

@@ -51,19 +51,23 @@ def _next_pow2(x: int) -> int:
     return 1 << max(3, (x - 1).bit_length())
 
 
-def solve_dataset_tpu(dataset, cfg: AlignasmConfig, batch_size: int = 64):
+def solve_dataset_tpu(dataset, cfg: AlignasmConfig, batch_size: int = 64,
+                      src_paths=None):
     """Batched device solve.
 
-    Host builds + packs the contig DAGs, groups them into padded
-    buckets (shared static shapes → bounded recompiles), runs the
-    batched relaxation program per bucket, then finishes each contig on
-    host.  Contigs whose outcome is walk-order-sensitive (Fallback) or
-    oversized run through the exact host engine — results are always
-    byte-identical to the reference.
+    The host plane builds + packs the contig DAGs — natively (C++) when
+    ``src_paths=(paf, alt_or_None)`` is given, else in Python — groups
+    them into padded buckets (shared static shapes → bounded
+    recompiles), runs the batched relaxation program per bucket, then
+    finishes each contig on host.  Contigs whose outcome is
+    walk-order-sensitive (Fallback) or oversized run through the exact
+    host engine — results are always byte-identical to the reference.
     """
     import numpy as np
 
-    from alignasm_tpu.engine.device import Fallback, finish_contig, pack_graph
+    from alignasm_tpu.engine.device import (
+        Fallback, finish_contig, pack_graph, pack_graph_from_native,
+    )
     from alignasm_tpu.engine.exact import solve_contig
     from alignasm_tpu.engine.graph import build_graph
     from alignasm_tpu.model.records import PafOutput
@@ -73,7 +77,24 @@ def solve_dataset_tpu(dataset, cfg: AlignasmConfig, batch_size: int = 64):
     outs = [None] * n
     alt_outs = [None] * n
     max_outs = [None] * n
-    stats = {"device": 0, "fallback": 0, "singleton": 0, "oversize": 0}
+    stats = {"device": 0, "fallback": 0, "singleton": 0, "oversize": 0,
+             "host_plane": "python"}
+
+    exporter = None
+    if src_paths is not None:
+        try:
+            from alignasm_tpu import native
+
+            exporter = native.GraphExporter(
+                src_paths[0], alt_path=src_paths[1],
+                alt_baseline=cfg.alt_baseline,
+                non_skip_linkable=cfg.non_skip_linkable,
+                max_records=cfg.max_device_records,
+            )
+            assert len(exporter) == n, "native/python contig count mismatch"
+            stats["host_plane"] = "native"
+        except Exception:
+            exporter = None
 
     packed = []  # (contig index, PackedGraph)
     for i, contig in enumerate(dataset.contigs):
@@ -88,8 +109,32 @@ def solve_dataset_tpu(dataset, cfg: AlignasmConfig, batch_size: int = 64):
             outs[i], alt_outs[i], max_outs[i] = solve_contig(contig, cfg)
             stats["oversize"] += 1
             continue
+        if exporter is not None:
+            exp = exporter.contig_graph(i)
+            if exp is not None:
+                packed.append((i, pack_graph_from_native(contig, exp)))
+                continue
         packed.append((i, pack_graph(build_graph(contig, cfg))))
+    if exporter is not None:
+        exporter.close()
 
+    from alignasm_tpu.ops.relax32 import (
+        level_dp_batch32, rerank_dense, sp_batch32,
+    )
+
+    # int32 eligibility: every path sum is bounded by the sum over
+    # vertices of their max outgoing edge score; guard well under the
+    # int32 kernel's 2^30 sentinel (TPU v5e has no native int64)
+    def fits32(pg) -> bool:
+        if len(pg.eu) == 0:
+            return True
+        seg_max = {}
+        for u, s in zip(pg.eu.tolist(), pg.es.tolist()):
+            if s > seg_max.get(u, -1):
+                seg_max[u] = s
+        return sum(seg_max.values()) < 2**29
+
+    stats["int32_buckets"] = 0
     # bucket by padded shapes
     packed.sort(key=lambda t: (t[1].g.n_vertices, len(t[1].eu)))
     for lo in range(0, len(packed), batch_size):
@@ -99,6 +144,7 @@ def solve_dataset_tpu(dataset, cfg: AlignasmConfig, batch_size: int = 64):
         E = _next_pow2(max(max(len(pg.eu), 1) for _i, pg in chunk))
         # pow2-rounded so bucket shapes (and XLA compiles) stay bounded
         n_sweeps = _next_pow2(max(pg.g.n for _i, pg in chunk) + 2)
+        use32 = all(fits32(pg) for _i, pg in chunk)
 
         def pad(arrs, dtype, fill):
             out = np.full((B, E), fill, dtype)
@@ -106,29 +152,69 @@ def solve_dataset_tpu(dataset, cfg: AlignasmConfig, batch_size: int = 64):
                 out[b, : len(a)] = a
             return out
 
+        idt = np.int32 if use32 else np.int64
         eu = pad([pg.eu for _i, pg in chunk], np.int32, 0)
         ev = pad([pg.ev for _i, pg in chunk], np.int32, 0)
-        es = pad([pg.es for _i, pg in chunk], np.int64, 0)
+        es = pad([pg.es for _i, pg in chunk], idt, 0)
         ea = pad([pg.ea for _i, pg in chunk], np.int32, 0)
         enz = pad([pg.enz for _i, pg in chunk], np.int32, 0)
         etot = pad([pg.etot for _i, pg in chunk], np.int32, 0)
-        erank = pad([pg.erank for _i, pg in chunk], np.int64, 0)
+        ranks = [
+            rerank_dense(pg.erank) if use32 else pg.erank for _i, pg in chunk
+        ]
+        erank = pad(ranks, idt, 0)
         evalid = np.zeros((B, E), bool)
         for b, (_i, pg) in enumerate(chunk):
             evalid[b, : len(pg.eu)] = True
         srcs = np.asarray([pg.g.src for _i, pg in chunk], np.int32)
         dests = np.asarray([pg.g.dest for _i, pg in chunk], np.int32)
 
-        dev = solve_graph_batch(
-            eu, ev, es, ea, enz, etot, erank, evalid, srcs, dests,
-            V=V, n_sweeps=n_sweeps,
-        )
-        dev = {k: np.asarray(v) for k, v in dev.items()}
+        if use32:
+            stats["int32_buckets"] += 1
+            dev = sp_batch32(
+                eu, ev, es, ea, enz, etot, erank, evalid, srcs, dests,
+                V=V, n_sweeps=n_sweeps,
+            )
+            dev = {k: np.asarray(v) for k, v in dev.items()}
+            # phase 2: the level DP only for contigs needing the alt scan
+            need = [
+                b for b in range(B)
+                if int(dev["cnt_tot"][b][srcs[b]]) >= 2
+                and int(dev["d_a"][b][srcs[b]]) != int(dev["floor_a"][b][srcs[b]])
+            ]
+            lv = {k: [None] * B for k in ("lv_s", "lv_nz", "lv_tot", "lv_eid")}
+            if need:
+                # pad the selection to a pow2 batch so shapes stay bounded
+                padded = need + [need[0]] * (_next_pow2(len(need)) - len(need))
+                sel = np.asarray(padded)
+                lv_dev = level_dp_batch32(
+                    eu[sel], ev[sel], es[sel], ea[sel], enz[sel], etot[sel],
+                    erank[sel], evalid[sel], srcs[sel], dests[sel],
+                    V=V, n_sweeps=n_sweeps,
+                )
+                for k in lv:
+                    arr = np.asarray(lv_dev[k])
+                    for j, b in enumerate(need):
+                        lv[k][b] = arr[j]
+            inf = 2**30
+        else:
+            dev = solve_graph_batch(
+                eu, ev, es, ea, enz, etot, erank, evalid, srcs, dests,
+                V=V, n_sweeps=n_sweeps,
+            )
+            dev = {k: np.asarray(v) for k, v in dev.items()}
+            lv = None
+            inf = 2**62
 
         for b, (i, pg) in enumerate(chunk):
             per = {k: v[b] for k, v in dev.items()}
+            if lv is not None:
+                for k in lv:
+                    per[k] = lv[k][b]
             try:
-                outs[i], alt_outs[i], max_outs[i] = finish_contig(pg, per, cfg)
+                outs[i], alt_outs[i], max_outs[i] = finish_contig(
+                    pg, per, cfg, inf=inf
+                )
                 stats["device"] += 1
             except Fallback:
                 outs[i], alt_outs[i], max_outs[i] = solve_contig(

@@ -82,11 +82,12 @@ def main() -> None:
         small = work / "bench_tpu.paf"
         small.write_text(generate_paf(n_contigs=n_tpu, seed=SEED,
                                       max_records_per_contig=24))
+        paths = (str(small), None)
         ds = read_paf(small)
-        solve_dataset_tpu(ds, DEFAULT_CONFIG)  # warm-up / compile
+        solve_dataset_tpu(ds, DEFAULT_CONFIG, src_paths=paths)  # warm-up
         ds = read_paf(small)
         t0 = time.perf_counter()
-        solve_dataset_tpu(ds, DEFAULT_CONFIG)
+        solve_dataset_tpu(ds, DEFAULT_CONFIG, src_paths=paths)
         tpu_cps = round(n_tpu / (time.perf_counter() - t0), 2)
         tpu_stats = solve_dataset_tpu.last_stats
     except Exception:
