@@ -73,7 +73,7 @@ def main() -> None:
     # --- batched TPU engine (informational, bounded subset) -------------
     tpu_cps = None
     tpu_stats = None
-    n_tpu = int(os.environ.get("BENCH_TPU_CONTIGS", "200"))
+    n_tpu = int(os.environ.get("BENCH_TPU_CONTIGS", "100"))
     try:
         from alignasm_tpu.config import DEFAULT_CONFIG
         from alignasm_tpu.io.paf import read_paf
