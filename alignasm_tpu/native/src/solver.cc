@@ -487,44 +487,53 @@ struct Upgrader {
     const Graph &g;
     std::vector<i32> order_pos;
     std::vector<i32> order_vtx;
+    // epoch-stamped scratch: recover() runs once per path edge, so a
+    // hash map per call dominates on dense graphs; stamps make reuse O(1)
+    mutable std::vector<Dist> dist_;
+    mutable std::vector<i32> prev_;
+    mutable std::vector<i64> stamp_;
+    mutable i64 epoch_ = 0;
 
     explicit Upgrader(const Graph &g_) : g(g_) {
         order_vtx = topo_order(g.adj);
         order_pos.resize(order_vtx.size());
         for (i64 i = 0; i < (i64) order_vtx.size(); i++)
             order_pos[order_vtx[i]] = (i32) i;
+        dist_.resize(g.adj.size());
+        prev_.resize(g.adj.size());
+        stamp_.assign(g.adj.size(), 0);
     }
 
     EdgePath recover(i32 s, i32 t, bool wl_flag = false, i32 wl = -1) const {
         if (s == t) return {};
-        std::unordered_map<i32, Dist> dist;
-        std::unordered_map<i32, i32> prev;
-        dist[s] = Dist{};
-        prev[s] = -1;
+        ++epoch_;
+        auto seen = [&](i32 v) { return stamp_[v] == epoch_; };
+        auto set = [&](i32 v, const Dist &d, i32 p) {
+            stamp_[v] = epoch_;
+            dist_[v] = d;
+            prev_[v] = p;
+        };
+        set(s, Dist{}, -1);
         for (i32 i = order_pos[s]; i < order_pos[t]; i++) {
             i32 u = order_vtx[i];
-            auto it = dist.find(u);
-            if (it == dist.end()) continue;
-            Dist du = it->second;
+            if (!seen(u)) continue;
+            Dist du = dist_[u];
             for (const auto &e : g.adj[u]) {
                 if (wl_flag && e.to == t) {
                     if (u == g.src || u == g.dest) continue;
                     if (g.vtx[u].second != wl) continue;
                 }
                 Dist nd = du + e.w;
-                auto jt = dist.find(e.to);
-                if (jt == dist.end() || dist_less(nd, jt->second, Mode::QryScore)) {
-                    dist[e.to] = nd;
-                    prev[e.to] = u;
-                }
+                if (!seen(e.to) || dist_less(nd, dist_[e.to], Mode::QryScore))
+                    set(e.to, nd, u);
             }
         }
-        if (!dist.count(t)) throw std::runtime_error("gap re-solve: unreachable");
+        if (!seen(t)) throw std::runtime_error("gap re-solve: unreachable");
         EdgePath path;
         i32 at = t;
         while (at != s) {
-            i32 p = prev[at];
-            path.emplace_back(p, at, dist[at] - dist[p]);
+            i32 p = prev_[at];
+            path.emplace_back(p, at, dist_[at] - dist_[p]);
             at = p;
         }
         std::reverse(path.begin(), path.end());
