@@ -71,9 +71,23 @@ def main() -> None:
     identical = ref_main == (work / "bench.aln.paf").read_bytes()
 
     # --- batched TPU engine (informational, bounded subset) -------------
+    # guarded by an alarm: first-time bucket compiles through the remote
+    # helper can take minutes; never let them sink the whole bench run
+    import signal
+
     tpu_cps = None
     tpu_stats = None
     n_tpu = int(os.environ.get("BENCH_TPU_CONTIGS", "100"))
+    tpu_budget = int(os.environ.get("BENCH_TPU_BUDGET_S", "300"))
+
+    class _Timeout(Exception):
+        pass
+
+    def _alarm(_sig, _frm):
+        raise _Timeout()
+
+    signal.signal(signal.SIGALRM, _alarm)
+    signal.alarm(tpu_budget if n_tpu else 0)
     try:
         from alignasm_tpu.config import DEFAULT_CONFIG
         from alignasm_tpu.io.paf import read_paf
@@ -92,6 +106,8 @@ def main() -> None:
         tpu_stats = solve_dataset_tpu.last_stats
     except Exception:
         pass
+    finally:
+        signal.alarm(0)
 
     print(json.dumps({
         "metric": "contigs_per_s",

@@ -88,3 +88,34 @@ def test_entry_compiles():
     out = jax.jit(fn)(*args)
     jax.block_until_ready(out)
     assert "d_s" in out
+
+
+def test_int64_kernel_path_for_large_coordinates(tmp_path):
+    """Chromosome-scale coordinates exceed the int32 path-sum bound and
+    must route to the int64 kernel — results still match exact."""
+    import copy
+
+    from alignasm_tpu.engine.exact import solve_dataset
+    from alignasm_tpu.io.paf import read_paf
+    from alignasm_tpu.runtime.scheduler import solve_dataset_tpu
+
+    base = 480_000_000  # near the top of a large chromosome
+    total = 500_000_000
+    rows = []
+    q = 1000
+    for k in range(6):
+        ln = 5000 + 17 * k
+        rows.append(
+            f"big\t{total}\t{q}\t{q + ln}\t+\tchrX\t{total}\t{base + q}\t{base + q + ln}"
+            f"\t{ln}\t{ln}\t60\tcs:Z::{ln}"
+        )
+        q += ln + 100 + k
+    p = tmp_path / "bigco.paf"
+    p.write_text("\n".join(rows) + "\n")
+    ds = read_paf(p)
+    ds2 = copy.deepcopy(ds)
+    t = solve_dataset_tpu(ds, DEFAULT_CONFIG)
+    assert solve_dataset_tpu.last_stats["int32_buckets"] == 0, (
+        "large coordinates must use the int64 kernel"
+    )
+    assert t == solve_dataset(ds2, DEFAULT_CONFIG)
