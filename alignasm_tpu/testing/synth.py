@@ -366,3 +366,63 @@ def generate_alt_paf(main_paf: str, seed: int = 0, n_groups: int = 12) -> str:
 def write_paf(path: str, **kwargs) -> None:
     with open(path, "w") as fh:
         fh.write(generate_paf(**kwargs))
+
+
+# ---------------------------------------------------------------------------
+# Named evaluation configs (BASELINE.json `configs`).  Real genomes are not
+# fetchable in this environment, so each config is a parameterized synthetic
+# with the same shape characteristics: contig counts, record densities, SV
+# richness, and coordinate scales.
+# ---------------------------------------------------------------------------
+
+def config_synth50() -> str:
+    """configs[0]: synthetic 50-contig PAF, exact CPU-runnable oracle."""
+    return generate_paf(n_contigs=50, seed=7)
+
+
+def config_ecoli() -> str:
+    """configs[1]: ~100 contigs against a single 4.6 Mb reference."""
+    return generate_paf(n_contigs=100, seed=101, max_records_per_contig=12,
+                        mean_segment=800)
+
+
+def config_yeast() -> str:
+    """configs[2]: 16-chromosome genome, multi-reference path ambiguity
+    (duplicate/ambiguous segments drive alt-path output)."""
+    return generate_hard_paf(n_contigs=64, seed=202, mean_segment=500)
+
+
+def config_chr20() -> str:
+    """configs[3]: SV-rich single-chromosome cancer assembly — inversion/
+    translocation-heavy contigs with deep k-shortest alternatives."""
+    parts = [generate_hard_paf(n_contigs=40, seed=s, mean_segment=350)
+             for s in (303, 304, 305)]
+    out = []
+    for i, part in enumerate(parts):
+        for line in part.splitlines():
+            f = line.split("\t")
+            f[0] = f"c20_{i}_{f[0]}"
+            out.append("\t".join(f))
+    return "\n".join(out) + "\n"
+
+
+def config_karyotype(n_contigs: int = 10_000) -> str:
+    """configs[4]: full-karyotype scale (~10k contigs)."""
+    blocks = []
+    per = 1000
+    for b in range(n_contigs // per):
+        chunk = generate_paf(n_contigs=per, seed=1000 + b,
+                             max_records_per_contig=24)
+        for line in chunk.splitlines():
+            f = line.split("\t")
+            f[0] = f"b{b}_{f[0]}"
+            blocks.append("\t".join(f))
+    return "\n".join(blocks) + "\n"
+
+
+EVAL_CONFIGS = {
+    "synth50": config_synth50,
+    "ecoli": config_ecoli,
+    "yeast": config_yeast,
+    "chr20": config_chr20,
+}

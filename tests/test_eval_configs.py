@@ -1,0 +1,35 @@
+"""The BASELINE evaluation configs through every engine vs the oracle."""
+
+import copy
+import pathlib
+
+import pytest
+
+from alignasm_tpu import native
+from alignasm_tpu.config import DEFAULT_CONFIG
+from alignasm_tpu.engine.exact import solve_dataset
+from alignasm_tpu.io.paf import read_paf
+from alignasm_tpu.runtime.scheduler import solve_dataset_tpu
+from alignasm_tpu.testing.synth import EVAL_CONFIGS
+from tests.conftest import run_oracle
+
+
+@pytest.mark.parametrize("name", sorted(EVAL_CONFIGS))
+def test_eval_config_all_engines(oracle_bin, tmp_path, name):
+    paf = tmp_path / f"{name}.paf"
+    paf.write_text(EVAL_CONFIGS[name]())
+    oracle_outs = run_oracle(oracle_bin, paf, tmp_path)
+
+    # native engine: byte-identical files
+    nat = tmp_path / f"n_{name}.paf"
+    nat.write_bytes(paf.read_bytes())
+    native.run(str(nat), threads=4)
+    for o, suffix in zip(oracle_outs, ("", ".alt", ".all")):
+        got = pathlib.Path(str(nat)[:-4] + f".aln{suffix}.paf")
+        assert o.read_bytes() == got.read_bytes(), f"{name} aln{suffix} (native)"
+
+    # device engine path equals the exact engine structurally
+    ds = read_paf(paf)
+    ds2 = copy.deepcopy(ds)
+    t = solve_dataset_tpu(ds, DEFAULT_CONFIG, src_paths=(str(paf), None))
+    assert t == solve_dataset(ds2, DEFAULT_CONFIG), f"{name} (device)"
