@@ -92,6 +92,21 @@ def get_lib():
             i32p, i32p, i64p, i64p, i64p, i64p, i32p,
         ]
         lib.aln_contig_graph.restype = ctypes.c_int
+        lib.aln_solve_one.argtypes = [
+            ctypes.c_void_p, ctypes.c_longlong, ctypes.c_int,
+        ]
+        lib.aln_solve_one.restype = ctypes.c_int
+        lib.aln_result_sizes.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_longlong),
+        ]
+        lib.aln_result_max_group_size.argtypes = [
+            ctypes.c_void_p, ctypes.c_longlong,
+        ]
+        lib.aln_result_max_group_size.restype = ctypes.c_longlong
+        lib.aln_result_rows.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_longlong, i64p,
+        ]
+        lib.aln_result_rows.restype = ctypes.c_int
         _lib = lib
     return _lib
 
@@ -161,6 +176,37 @@ class GraphExporter:
         if rc != 0:
             raise NativeError(f"contig {i}: graph export failed (rc={rc})")
         return out
+
+    def solve_contig(self, i: int):
+        """Solve one contig natively; returns (out, alt, max_out) as
+        PafOutput lists — the fallback path for the device engine."""
+        np = self._np
+        from alignasm_tpu.model.records import PafOutput
+
+        rc = self._lib.aln_solve_one(self._h, i, 1)
+        if rc != 0:
+            raise NativeError(f"contig {i}: native solve failed (rc={rc})")
+        sizes = (ctypes.c_longlong * 3)()
+        self._lib.aln_result_sizes(self._h, sizes)
+
+        def fetch(which, gi, count):
+            buf = np.empty(count * 6, np.int64)
+            if count:
+                self._lib.aln_result_rows(self._h, which, gi, buf)
+            rows = buf.reshape(count, 6)
+            return [
+                PafOutput(int(r[0]), int(r[1]), int(r[2]), int(r[3]),
+                          int(r[4]), bool(r[5]))
+                for r in rows
+            ]
+
+        out = fetch(0, 0, int(sizes[0]))
+        alt = fetch(1, 0, int(sizes[1]))
+        max_out = [
+            fetch(2, gi, int(self._lib.aln_result_max_group_size(self._h, gi)))
+            for gi in range(int(sizes[2]))
+        ]
+        return out, alt, max_out
 
 
 def run(

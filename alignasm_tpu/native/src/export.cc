@@ -30,6 +30,8 @@ struct ExportCtx {
     aln::Dataset ds;
     aln::Config cfg;
     std::vector<PackedContig> packed;
+    aln::ContigResult last_result;
+    std::string last_error;
 };
 
 void compute_ranks(PackedContig &pc) {
@@ -197,6 +199,67 @@ const char *aln_contig_error(void *h, long long i) {
     auto &ctx = *(ExportCtx *) h;
     if (i < 0 || i >= (long long) ctx.packed.size()) return "index out of range";
     return ctx.packed[i].error.c_str();
+}
+
+}  // extern "C"
+
+// ---- per-contig native solve (fallback path for the device engine) ----
+// Stores the result in the context; fetch with aln_result_sizes /
+// aln_result_rows.  Row layout: [ctg_index, qs, qe, rs, re, alt] i64.
+
+extern "C" {
+
+int aln_solve_one(void *h, long long i, int lazy_walks) {
+    auto &ctx = *(ExportCtx *) h;
+    if (i < 0 || i >= (long long) ctx.ds.contigs.size()) return 1;
+    try {
+        aln::Config cfg = ctx.cfg;
+        cfg.lazy_walks = lazy_walks != 0;
+        ctx.last_result = aln::solve_contig(ctx.ds.contigs[i], cfg);
+        return 0;
+    } catch (const std::exception &e) {
+        ctx.last_error = e.what();
+        return 2;
+    }
+}
+
+// sizes[0] = |out|, sizes[1] = |alt|, sizes[2] = number of max groups
+int aln_result_sizes(void *h, long long *sizes) {
+    auto &ctx = *(ExportCtx *) h;
+    sizes[0] = (long long) ctx.last_result.out.size();
+    sizes[1] = (long long) ctx.last_result.alt.size();
+    sizes[2] = (long long) ctx.last_result.max_out.size();
+    return 0;
+}
+
+long long aln_result_max_group_size(void *h, long long gi) {
+    auto &ctx = *(ExportCtx *) h;
+    if (gi < 0 || gi >= (long long) ctx.last_result.max_out.size()) return -1;
+    return (long long) ctx.last_result.max_out[gi].size();
+}
+
+static void fill_rows(const std::vector<aln::OutRow> &rows, int64_t *buf) {
+    for (size_t k = 0; k < rows.size(); k++) {
+        const auto &r = rows[k];
+        buf[k * 6 + 0] = r.ctg_index;
+        buf[k * 6 + 1] = r.qs;
+        buf[k * 6 + 2] = r.qe;
+        buf[k * 6 + 3] = r.rs;
+        buf[k * 6 + 4] = r.re;
+        buf[k * 6 + 5] = r.alt_flag ? 1 : 0;
+    }
+}
+
+// which: 0 = out, 1 = alt, 2 = max group gi
+int aln_result_rows(void *h, int which, long long gi, int64_t *buf) {
+    auto &ctx = *(ExportCtx *) h;
+    if (which == 0) fill_rows(ctx.last_result.out, buf);
+    else if (which == 1) fill_rows(ctx.last_result.alt, buf);
+    else {
+        if (gi < 0 || gi >= (long long) ctx.last_result.max_out.size()) return 1;
+        fill_rows(ctx.last_result.max_out[gi], buf);
+    }
+    return 0;
 }
 
 }  // extern "C"

@@ -106,7 +106,10 @@ def solve_dataset_tpu(dataset, cfg: AlignasmConfig, batch_size: int = 64,
             stats["singleton"] += 1
             continue
         if len(contig) > cfg.max_device_records:
-            outs[i], alt_outs[i], max_outs[i] = solve_contig(contig, cfg)
+            if exporter is not None:
+                outs[i], alt_outs[i], max_outs[i] = exporter.solve_contig(i)
+            else:
+                outs[i], alt_outs[i], max_outs[i] = solve_contig(contig, cfg)
             stats["oversize"] += 1
             continue
         if exporter is not None:
@@ -115,8 +118,6 @@ def solve_dataset_tpu(dataset, cfg: AlignasmConfig, batch_size: int = 64,
                 packed.append((i, pack_graph_from_native(contig, exp)))
                 continue
         packed.append((i, pack_graph(build_graph(contig, cfg))))
-    if exporter is not None:
-        exporter.close()
 
     from alignasm_tpu.ops.relax32 import (
         level_dp_batch32, rerank_dense, sp_batch32,
@@ -217,10 +218,15 @@ def solve_dataset_tpu(dataset, cfg: AlignasmConfig, batch_size: int = 64,
                 )
                 stats["device"] += 1
             except Fallback:
-                outs[i], alt_outs[i], max_outs[i] = solve_contig(
-                    dataset.contigs[i], cfg
-                )
+                if exporter is not None:
+                    outs[i], alt_outs[i], max_outs[i] = exporter.solve_contig(i)
+                else:
+                    outs[i], alt_outs[i], max_outs[i] = solve_contig(
+                        dataset.contigs[i], cfg
+                    )
                 stats["fallback"] += 1
 
+    if exporter is not None:
+        exporter.close()
     solve_dataset_tpu.last_stats = stats
     return outs, alt_outs, max_outs
