@@ -118,8 +118,8 @@ def level_dp_batch32(eu, ev, es, ea, enz, etot, erank, evalid, src, dest,
             )
 
         lv = jax.lax.fori_loop(0, n_sweeps, sweep_lv, lv)
-        return dict(lv_s=lv["s"], lv_nz=lv["nz"], lv_tot=lv["tot"],
-                    lv_eid=lv["eid"])
+        # only lv_s and lv_eid feed the host finish; stack for one transfer
+        return jnp.stack([lv["s"], lv["eid"]])
 
     return jax.vmap(one)(eu, ev, es, ea, enz, etot, erank, evalid, src, dest)
 
@@ -202,13 +202,21 @@ def sp_batch32(
 
         cnt_min = jax.lax.fori_loop(0, n_sweeps, sweep_cmin, base)
 
-        return dict(
-            d_s=d["s"], d_a=d["a"], d_nz=d["nz"], d_tot=d["tot"],
-            d_eid=d["eid"], floor_a=fa,
-            cnt_tot=cnt_tot, cnt_min=cnt_min,
-        )
+        # one stacked result -> ONE device-to-host transfer per bucket
+        # (small-array transfer latency dominates on tunneled backends)
+        return jnp.stack([d["s"], d["a"], d["eid"], fa, cnt_tot, cnt_min])
 
     return jax.vmap(one)(eu, ev, es, ea, enz, etot, erank, evalid, src, dest)
+
+
+SP_ROWS = ("d_s", "d_a", "d_eid", "floor_a", "cnt_tot", "cnt_min")
+
+
+def unpack_sp(stacked_row):
+    """Per-contig dict view of one (6, V) stacked phase-1 result."""
+    out = {k: stacked_row[j] for j, k in enumerate(SP_ROWS)}
+    out["lv_s"] = None
+    return out
 
 
 def rerank_dense(erank: np.ndarray) -> np.ndarray:
@@ -218,12 +226,3 @@ def rerank_dense(erank: np.ndarray) -> np.ndarray:
     out[order] = np.arange(len(order), dtype=np.int32)
     return out
 
-
-def solve_graph_batch32(eu, ev, es, ea, enz, etot, erank, evalid, src, dest,
-                        V, A=MAX_LEVELS, n_sweeps=None):
-    """Compatibility wrapper: phase-1 SP/counts + phase-2 level DP."""
-    out = dict(sp_batch32(eu, ev, es, ea, enz, etot, erank, evalid, src, dest,
-                          V=V, n_sweeps=n_sweeps))
-    out.update(level_dp_batch32(eu, ev, es, ea, enz, etot, erank, evalid,
-                                src, dest, V=V, A=A, n_sweeps=n_sweeps))
-    return out

@@ -120,7 +120,7 @@ def solve_dataset_tpu(dataset, cfg: AlignasmConfig, batch_size: int = 64,
         packed.append((i, pack_graph(build_graph(contig, cfg))))
 
     from alignasm_tpu.ops.relax32 import (
-        level_dp_batch32, rerank_dense, sp_batch32,
+        level_dp_batch32, rerank_dense, sp_batch32, unpack_sp,
     )
 
     # int32 eligibility: every path sum is bounded by the sum over
@@ -138,6 +138,7 @@ def solve_dataset_tpu(dataset, cfg: AlignasmConfig, batch_size: int = 64,
     stats["int32_buckets"] = 0
     # bucket by padded shapes
     packed.sort(key=lambda t: (t[1].g.n_vertices, len(t[1].eu)))
+    bucket_inputs = []
     for lo in range(0, len(packed), batch_size):
         chunk = packed[lo:lo + batch_size]
         B = len(chunk)
@@ -170,33 +171,48 @@ def solve_dataset_tpu(dataset, cfg: AlignasmConfig, batch_size: int = 64,
         srcs = np.asarray([pg.g.src for _i, pg in chunk], np.int32)
         dests = np.asarray([pg.g.dest for _i, pg in chunk], np.int32)
 
-        if use32:
+        bucket_inputs.append(dict(
+            chunk=chunk, B=B, V=V, n_sweeps=n_sweeps, use32=use32,
+            args=(eu, ev, es, ea, enz, etot, erank, evalid, srcs, dests),
+        ))
+
+    # launch every phase-1 kernel before syncing any — buckets overlap
+    # on device and transfer latency amortizes across the dataset
+    for binp in bucket_inputs:
+        if binp["use32"]:
             stats["int32_buckets"] += 1
-            dev = sp_batch32(
-                eu, ev, es, ea, enz, etot, erank, evalid, srcs, dests,
-                V=V, n_sweeps=n_sweeps,
+            binp["pending"] = sp_batch32(
+                *binp["args"], V=binp["V"], n_sweeps=binp["n_sweeps"]
             )
-            dev = {k: np.asarray(v) for k, v in dev.items()}
+
+    for binp in bucket_inputs:
+        chunk = binp["chunk"]
+        B = binp["B"]
+        V = binp["V"]
+        n_sweeps = binp["n_sweeps"]
+        use32 = binp["use32"]
+        eu, ev, es, ea, enz, etot, erank, evalid, srcs, dests = binp["args"]
+        if use32:
+            stacked = np.asarray(binp["pending"])  # (B, 6, V): one transfer
+            pers = [unpack_sp(stacked[b]) for b in range(B)]
             # phase 2: the level DP only for contigs needing the alt scan
             need = [
                 b for b in range(B)
-                if int(dev["cnt_tot"][b][srcs[b]]) >= 2
-                and int(dev["d_a"][b][srcs[b]]) != int(dev["floor_a"][b][srcs[b]])
+                if int(pers[b]["cnt_tot"][srcs[b]]) >= 2
+                and int(pers[b]["d_a"][srcs[b]]) != int(pers[b]["floor_a"][srcs[b]])
             ]
-            lv = {k: [None] * B for k in ("lv_s", "lv_nz", "lv_tot", "lv_eid")}
             if need:
                 # pad the selection to a pow2 batch so shapes stay bounded
                 padded = need + [need[0]] * (_next_pow2(len(need)) - len(need))
                 sel = np.asarray(padded)
-                lv_dev = level_dp_batch32(
+                lv_dev = np.asarray(level_dp_batch32(
                     eu[sel], ev[sel], es[sel], ea[sel], enz[sel], etot[sel],
                     erank[sel], evalid[sel], srcs[sel], dests[sel],
                     V=V, n_sweeps=n_sweeps,
-                )
-                for k in lv:
-                    arr = np.asarray(lv_dev[k])
-                    for j, b in enumerate(need):
-                        lv[k][b] = arr[j]
+                ))  # (B', 2, V, A)
+                for j, b in enumerate(need):
+                    pers[b]["lv_s"] = lv_dev[j][0]
+                    pers[b]["lv_eid"] = lv_dev[j][1]
             inf = 2**30
         else:
             dev = solve_graph_batch(
@@ -204,14 +220,11 @@ def solve_dataset_tpu(dataset, cfg: AlignasmConfig, batch_size: int = 64,
                 V=V, n_sweeps=n_sweeps,
             )
             dev = {k: np.asarray(v) for k, v in dev.items()}
-            lv = None
+            pers = [{k: v[b] for k, v in dev.items()} for b in range(B)]
             inf = 2**62
 
         for b, (i, pg) in enumerate(chunk):
-            per = {k: v[b] for k, v in dev.items()}
-            if lv is not None:
-                for k in lv:
-                    per[k] = lv[k][b]
+            per = pers[b]
             try:
                 outs[i], alt_outs[i], max_outs[i] = finish_contig(
                     pg, per, cfg, inf=inf
