@@ -83,3 +83,42 @@ def test_config_reference_defaults():
         assert False
     except dataclasses.FrozenInstanceError:
         pass
+
+
+def test_multihost_two_processes(tmp_path, oracle_bin):
+    """Real jax.distributed run: 2 processes, modulo-sharded contigs,
+    rank-0 ordered merge — byte-identical to the oracle."""
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    from tests.conftest import run_oracle
+
+    p = _dataset(tmp_path, seed=12, n=8)
+    oracle_outs = run_oracle(oracle_bin, p, tmp_path)
+    mh = tmp_path / "mh2p.paf"
+    mh.write_bytes(p.read_bytes())
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = ""  # no fake devices in the children
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-m", "alignasm_tpu.parallel.multihost", str(mh),
+             "--coordinator", f"localhost:{port}", "--num-processes", "2",
+             "--process-id", str(rank)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        )
+        for rank in range(2)
+    ]
+    for proc in procs:
+        out, _ = proc.communicate(timeout=180)
+        assert proc.returncode == 0, out.decode()[-2000:]
+    for o, suffix in zip(oracle_outs, ("", ".alt", ".all")):
+        got = pathlib.Path(str(mh)[:-4] + f".aln{suffix}.paf")
+        assert o.read_bytes() == got.read_bytes(), f"aln{suffix}"
