@@ -109,16 +109,19 @@ def main() -> None:
     finally:
         signal.alarm(0)
 
+    n_records = sum(1 for _ in open(paf))
     print(json.dumps({
         "metric": "contigs_per_s",
         "value": round(native_cps, 2),
         "unit": "contigs/s",
         "vs_baseline": round(native_cps / ref_cps, 4),
         "baseline_contigs_per_s": round(ref_cps, 2),
+        "records_per_s": round(n_records / native_elapsed, 2),
         "output_identical": identical,
         "tpu_engine_contigs_per_s": tpu_cps,
         "tpu_engine_stats": tpu_stats,
         "n_contigs": N_CONTIGS,
+        "n_records": n_records,
         "threads": ncpu,
     }))
 
