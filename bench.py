@@ -78,7 +78,9 @@ def main() -> None:
     tpu_cps = None
     tpu_stats = None
     n_tpu = int(os.environ.get("BENCH_TPU_CONTIGS", "100"))
-    tpu_budget = int(os.environ.get("BENCH_TPU_BUDGET_S", "300"))
+    # the first device->host transfer in a process stalls ~285 s on
+    # this tunnel (see BENCH_RESULTS notes); the budget must cover it
+    tpu_budget = int(os.environ.get("BENCH_TPU_BUDGET_S", "450"))
 
     class _Timeout(Exception):
         pass
