@@ -51,6 +51,33 @@ def _next_pow2(x: int) -> int:
     return 1 << max(3, (x - 1).bit_length())
 
 
+_warmed = False
+
+
+def _warm_transfer_async():
+    """The first device->host transfer in a process can stall for minutes
+    on tunneled backends; trigger it in the background so it overlaps
+    with graph packing and kernel compilation."""
+    global _warmed
+    if _warmed:
+        return
+    _warmed = True
+
+    def work():
+        try:
+            import jax
+            import numpy as np
+
+            x = jax.jit(lambda v: v + 1)(np.zeros(8, np.int32))
+            np.asarray(x)
+        except Exception:
+            pass
+
+    import threading
+
+    threading.Thread(target=work, daemon=True).start()
+
+
 def solve_dataset_tpu(dataset, cfg: AlignasmConfig, batch_size: int = 64,
                       src_paths=None):
     """Batched device solve.
@@ -73,6 +100,7 @@ def solve_dataset_tpu(dataset, cfg: AlignasmConfig, batch_size: int = 64,
     from alignasm_tpu.model.records import PafOutput
     from alignasm_tpu.ops.relax import solve_graph_batch
 
+    _warm_transfer_async()
     n = len(dataset.contigs)
     outs = [None] * n
     alt_outs = [None] * n
