@@ -4,9 +4,10 @@ Parity target: /root/reference/src/alignasm.cpp:28-74 (flags) and
 :398-490 (output naming): ``<input>.aln.paf``, ``<input>.aln.alt.paf``,
 ``<input>.aln.all.paf``.
 
-Engine selection is new: ``--engine exact`` (host, oracle-faithful) or
-``--engine tpu`` (batched device kernels; falls back to exact for
-contigs above the device size cap).
+Engine selection is new: ``--engine native`` (C++ host plane, default),
+``--engine tpu`` (batched device kernels with a native host plane and
+exact fallback), or ``--engine exact`` (pure-Python oracle-faithful
+engine, also behind ``--resume`` and ``-t N`` process pooling).
 """
 
 from __future__ import annotations
