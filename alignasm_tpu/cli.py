@@ -114,11 +114,20 @@ def run(argv=None) -> int:
     if args.engine == "tpu":
         from alignasm_tpu.runtime.scheduler import solve_dataset_tpu
 
+        out_p, alt_p, all_p = output_paths(args.paf_loc)
         outs, alt_outs, max_outs = solve_dataset_tpu(
-            dataset, cfg, src_paths=(args.paf_loc, args.alt or None)
+            dataset, cfg, src_paths=(args.paf_loc, args.alt or None),
+            write_prefix=out_p[: -len(".aln.paf")],
         )
         if args.progress:
             print(f"device engine stats: {solve_dataset_tpu.last_stats}")
+        if solve_dataset_tpu.last_stats.get("written_natively"):
+            elapsed = time.perf_counter() - t0
+            n_rec = sum(len(c) for c in dataset.contigs)
+            print("Write output PAF file")
+            print(f"{len(dataset.contigs)} contigs, {n_rec} records in "
+                  f"{elapsed:.2f}s ({len(dataset.contigs) / elapsed:.1f} contigs/s)")
+            return 0
     elif args.resume:
         from alignasm_tpu.runtime.checkpoint import solve_dataset_resumable
 

@@ -107,6 +107,12 @@ def get_lib():
             ctypes.c_void_p, ctypes.c_int, ctypes.c_longlong, i64p,
         ]
         lib.aln_result_rows.restype = ctypes.c_int
+        lib.aln_write_outputs.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p,
+            i64p, i64p, i64p, i64p, i64p, i64p, i64p,
+            ctypes.c_int, ctypes.c_char_p, ctypes.c_int,
+        ]
+        lib.aln_write_outputs.restype = ctypes.c_int
         _lib = lib
     return _lib
 
@@ -207,6 +213,43 @@ class GraphExporter:
             for gi in range(int(sizes[2]))
         ]
         return out, alt, max_out
+
+    def write_outputs(self, out_prefix: str, outs, alt_outs, max_outs,
+                      threads: int = 0) -> None:
+        """Write the three output PAFs natively from PafOutput lists
+        (the device engine's results) — clip + format + write in C++."""
+        np = self._np
+
+        def flat(groups):
+            rows = []
+            off = [0]
+            for g in groups:
+                for r in g:
+                    rows.append((r.ctg_index, r.edited_qry_str, r.edited_qry_end,
+                                 r.edited_ref_str, r.edited_ref_end,
+                                 1 if r.is_alt_path else 0))
+                off.append(len(rows))
+            arr = np.asarray(rows, np.int64).reshape(-1, 6) if rows else \
+                np.empty((0, 6), np.int64)
+            return arr.reshape(-1), np.asarray(off, np.int64)
+
+        m_rows, m_off = flat(outs)
+        a_rows, a_off = flat(alt_outs)
+        # max mode: flatten groups with a per-contig group-count index
+        all_groups = []
+        gcnt_off = [0]
+        for groups in max_outs:
+            all_groups.extend(groups)
+            gcnt_off.append(len(all_groups))
+        x_rows, x_goff = flat(all_groups)
+        err = ctypes.create_string_buffer(4096)
+        rc = self._lib.aln_write_outputs(
+            self._h, os.fsencode(out_prefix),
+            m_rows, m_off, a_rows, a_off, x_rows, x_goff,
+            np.asarray(gcnt_off, np.int64), threads, err, len(err),
+        )
+        if rc != 0:
+            raise NativeError(err.value.decode(errors="replace"))
 
 
 def run(

@@ -263,3 +263,50 @@ int aln_result_rows(void *h, int which, long long gi, int64_t *buf) {
 }
 
 }  // extern "C"
+
+// ---- native output writing for externally-computed rows ---------------
+// rows: flat [ctg_index, qs, qe, rs, re, alt] i64 per row;
+// offsets: per-contig row starts into `rows` (n_contigs + 1 entries).
+// max mode adds group offsets: per contig, groups partition its rows.
+
+extern "C" {
+
+int aln_write_outputs(void *h, const char *out_prefix,
+                      const int64_t *main_rows, const int64_t *main_off,
+                      const int64_t *alt_rows, const int64_t *alt_off,
+                      const int64_t *max_rows, const int64_t *max_goff,
+                      const int64_t *max_gcnt_off, int threads,
+                      char *err, int errlen) {
+    auto &ctx = *(ExportCtx *) h;
+    try {
+        size_t n = ctx.ds.contigs.size();
+        auto unpack = [](const int64_t *rows, int64_t lo, int64_t hi) {
+            std::vector<aln::OutRow> out;
+            out.reserve((size_t) (hi - lo));
+            for (int64_t k = lo; k < hi; k++) {
+                const int64_t *r = rows + k * 6;
+                out.push_back({(aln::i32) r[0], r[1], r[2], r[3], r[4], r[5] != 0});
+            }
+            return out;
+        };
+        std::vector<std::vector<aln::OutRow>> mains(n), alts(n);
+        std::vector<std::vector<std::vector<aln::OutRow>>> maxes(n);
+        for (size_t i = 0; i < n; i++) {
+            mains[i] = unpack(main_rows, main_off[i], main_off[i + 1]);
+            alts[i] = unpack(alt_rows, alt_off[i], alt_off[i + 1]);
+            // groups of contig i: indices [max_gcnt_off[i], max_gcnt_off[i+1])
+            for (int64_t gi = max_gcnt_off[i]; gi < max_gcnt_off[i + 1]; gi++)
+                maxes[i].push_back(unpack(max_rows, max_goff[gi], max_goff[gi + 1]));
+        }
+        std::string prefix(out_prefix);
+        aln::write_rows(ctx.ds, mains, prefix + ".aln.paf", threads);
+        aln::write_rows(ctx.ds, alts, prefix + ".aln.alt.paf", threads);
+        aln::write_max_rows(ctx.ds, maxes, prefix + ".aln.all.paf");
+        return 0;
+    } catch (const std::exception &e) {
+        set_err(err, errlen, e.what());
+        return 1;
+    }
+}
+
+}  // extern "C"

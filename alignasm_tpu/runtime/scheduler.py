@@ -79,7 +79,7 @@ def _warm_transfer_async():
 
 
 def solve_dataset_tpu(dataset, cfg: AlignasmConfig, batch_size: int = 64,
-                      src_paths=None):
+                      src_paths=None, write_prefix=None):
     """Batched device solve.
 
     The host plane builds + packs the contig DAGs — natively (C++) when
@@ -268,6 +268,10 @@ def solve_dataset_tpu(dataset, cfg: AlignasmConfig, batch_size: int = 64,
                 stats["fallback"] += 1
 
     if exporter is not None:
+        if write_prefix is not None:
+            # clip + format + write the three PAFs in C++
+            exporter.write_outputs(write_prefix, outs, alt_outs, max_outs)
+            stats["written_natively"] = True
         exporter.close()
     solve_dataset_tpu.last_stats = stats
     return outs, alt_outs, max_outs
