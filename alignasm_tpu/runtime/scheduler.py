@@ -78,7 +78,7 @@ def _warm_transfer_async():
     threading.Thread(target=work, daemon=True).start()
 
 
-def solve_dataset_tpu(dataset, cfg: AlignasmConfig, batch_size: int = 64,
+def solve_dataset_tpu(dataset, cfg: AlignasmConfig, batch_size: int = 256,
                       src_paths=None, write_prefix=None):
     """Batched device solve.
 
