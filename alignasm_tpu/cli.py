@@ -85,6 +85,7 @@ def run(argv=None) -> int:
                 alt_baseline=cfg.alt_baseline,
                 non_skip_linkable=cfg.non_skip_linkable,
                 threads=args.thread,
+                config=cfg,
             )
         except native.NativeError as exc:
             print(f"alignasm_tpu: {exc}", file=sys.stderr)

@@ -56,6 +56,28 @@ class Stats(ctypes.Structure):
     ]
 
 
+class ScoringParams(ctypes.Structure):
+    """Mirrors AlnScoring in src/api.cc — the runtime scoring knobs of
+    AlignasmConfig, so custom configs reach the C++ engine too."""
+
+    _fields_ = [
+        ("qry_weight", ctypes.c_longlong),
+        ("ref_weight", ctypes.c_longlong),
+        ("ref_negative_penalty", ctypes.c_longlong),
+        ("sv_baseline", ctypes.c_longlong),
+        ("sv_trans_penalty", ctypes.c_longlong),
+        ("sv_inv_penalty", ctypes.c_longlong),
+        ("sv_front_end_coefficient", ctypes.c_longlong),
+        ("max_path_count", ctypes.c_longlong),
+    ]
+
+    @classmethod
+    def from_config(cls, cfg):
+        return cls(cfg.qry_weight, cfg.ref_weight, cfg.ref_negative_penalty,
+                   cfg.sv_baseline, cfg.sv_trans_penalty, cfg.sv_inv_penalty,
+                   cfg.sv_front_end_coefficient, cfg.max_path_count)
+
+
 def get_lib():
     global _lib
     if _lib is None:
@@ -68,6 +90,13 @@ def get_lib():
             ctypes.POINTER(Stats),
         ]
         lib.aln_run_stats.restype = ctypes.c_int
+        lib.aln_run_stats2.argtypes = [
+            ctypes.c_char_p, ctypes.c_char_p, ctypes.c_double,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int,
+            ctypes.POINTER(Stats), ctypes.POINTER(ScoringParams),
+        ]
+        lib.aln_run_stats2.restype = ctypes.c_int
         lib.aln_open.argtypes = [
             ctypes.c_char_p, ctypes.c_char_p, ctypes.c_double,
             ctypes.c_int, ctypes.c_int, ctypes.c_longlong,
@@ -260,13 +289,16 @@ def run(
     threads: int = 0,
     lazy_walks: bool = True,
     out_prefix: str | None = None,
+    config=None,
 ) -> dict:
     """Run the full native pipeline; writes <stem>.aln[.alt|.all].paf.
+    ``config`` (an AlignasmConfig) forwards custom scoring constants.
     Returns phase timings and counters."""
     lib = get_lib()
     err = ctypes.create_string_buffer(4096)
     stats = Stats()
-    rc = lib.aln_run_stats(
+    scoring = ScoringParams.from_config(config) if config is not None else None
+    rc = lib.aln_run_stats2(
         os.fsencode(paf_path),
         os.fsencode(alt_path) if alt_path else b"",
         alt_baseline,
@@ -277,6 +309,7 @@ def run(
         err,
         len(err),
         ctypes.byref(stats),
+        ctypes.byref(scoring) if scoring is not None else None,
     )
     if rc != 0:
         raise NativeError(err.value.decode(errors="replace"))

@@ -22,6 +22,28 @@ struct AlnStats {
     long long contigs, records;
 };
 
+// scoring knobs passed from Python (reference defaults when null);
+// layout mirrors alignasm_tpu.native.ScoringParams
+struct AlnScoring {
+    long long qry_weight, ref_weight, ref_negative_penalty;
+    long long sv_baseline, sv_trans_penalty, sv_inv_penalty;
+    long long sv_front_end_coefficient, max_path_count;
+};
+
+namespace aln {
+void apply_scoring(Config &cfg, const AlnScoring *s) {
+    if (!s) return;
+    cfg.qry_weight = s->qry_weight;
+    cfg.ref_weight = s->ref_weight;
+    cfg.ref_negative_penalty = s->ref_negative_penalty;
+    cfg.sv_baseline = s->sv_baseline;
+    cfg.sv_trans_penalty = s->sv_trans_penalty;
+    cfg.sv_inv_penalty = s->sv_inv_penalty;
+    cfg.sv_front_end_coefficient = s->sv_front_end_coefficient;
+    cfg.max_path_count = s->max_path_count;
+}
+}  // namespace aln
+
 namespace {
 
 void set_err(char *err, int errlen, const std::string &msg) {
@@ -34,10 +56,10 @@ void set_err(char *err, int errlen, const std::string &msg) {
 
 extern "C" {
 
-int aln_run_stats(const char *paf_path, const char *alt_path, double alt_baseline,
-                  int non_skip_linkable, int threads, int lazy_walks,
-                  const char *out_prefix, char *err, int errlen,
-                  AlnStats *stats) {
+int aln_run_stats2(const char *paf_path, const char *alt_path, double alt_baseline,
+                   int non_skip_linkable, int threads, int lazy_walks,
+                   const char *out_prefix, char *err, int errlen,
+                   AlnStats *stats, const AlnScoring *scoring) {
     using clk = std::chrono::steady_clock;
     auto secs = [](clk::time_point a, clk::time_point b) {
         return std::chrono::duration<double>(b - a).count();
@@ -47,6 +69,7 @@ int aln_run_stats(const char *paf_path, const char *alt_path, double alt_baselin
         cfg.alt_baseline = alt_baseline;
         cfg.non_skip_linkable = non_skip_linkable != 0;
         cfg.lazy_walks = lazy_walks != 0;
+        aln::apply_scoring(cfg, scoring);
 
         int io_threads = threads > 0 ? threads : (int) std::thread::hardware_concurrency();
         auto t0 = clk::now();
@@ -114,6 +137,15 @@ int aln_run_stats(const char *paf_path, const char *alt_path, double alt_baselin
         set_err(err, errlen, e.what());
         return 1;
     }
+}
+
+int aln_run_stats(const char *paf_path, const char *alt_path, double alt_baseline,
+                  int non_skip_linkable, int threads, int lazy_walks,
+                  const char *out_prefix, char *err, int errlen,
+                  AlnStats *stats) {
+    return aln_run_stats2(paf_path, alt_path, alt_baseline, non_skip_linkable,
+                          threads, lazy_walks, out_prefix, err, errlen, stats,
+                          nullptr);
 }
 
 int aln_run(const char *paf_path, const char *alt_path, double alt_baseline,

@@ -61,3 +61,29 @@ def test_native_error_surface(tmp_path):
     bad.write_text("ctg\t100\t0\t10\t+\tchr1\t100\t0\t10\t10\t10\t60\n")  # no cs
     with pytest.raises(native.NativeError, match="cs:Z"):
         native.run(str(bad))
+
+
+def test_native_custom_scoring_matches_exact(tmp_path):
+    """Non-default scoring constants must flow through the C ABI and
+    produce the same outputs as the Python engine."""
+    import dataclasses
+    import io
+
+    from alignasm_tpu.config import DEFAULT_CONFIG
+    from alignasm_tpu.engine.exact import solve_dataset
+    from alignasm_tpu.io.paf import read_paf, write_outputs
+
+    cfg = dataclasses.replace(
+        DEFAULT_CONFIG, sv_inv_penalty=9999, sv_trans_penalty=12345,
+        ref_negative_penalty=3,
+    )
+    paf = tmp_path / "c.paf"
+    paf.write_text(generate_hard_paf(n_contigs=10, seed=14))
+    native.run(str(paf), config=cfg)
+    ds = read_paf(paf)
+    o, a, m = solve_dataset(ds, cfg)
+    for rows, suffix, maxmode in [(o, "", False), (a, ".alt", False), (m, ".all", True)]:
+        buf = io.StringIO()
+        write_outputs(ds, rows, buf, name_suffix_counts=maxmode)
+        got = pathlib.Path(str(paf)[:-4] + f".aln{suffix}.paf").read_text()
+        assert buf.getvalue() == got, f"aln{suffix}"
