@@ -103,6 +103,10 @@ def get_lib():
             ctypes.c_char_p, ctypes.c_int,
         ]
         lib.aln_open.restype = ctypes.c_void_p
+        lib.aln_open2.argtypes = lib.aln_open.argtypes + [
+            ctypes.POINTER(ScoringParams),
+        ]
+        lib.aln_open2.restype = ctypes.c_void_p
         lib.aln_close.argtypes = [ctypes.c_void_p]
         lib.aln_num_contigs.argtypes = [ctypes.c_void_p]
         lib.aln_num_contigs.restype = ctypes.c_longlong
@@ -151,17 +155,20 @@ class GraphExporter:
     struct-of-arrays.  Use as a context manager."""
 
     def __init__(self, paf_path, alt_path=None, alt_baseline=0.5,
-                 non_skip_linkable=False, threads=0, max_records=512):
+                 non_skip_linkable=False, threads=0, max_records=512,
+                 config=None):
         import numpy as np
 
         self._np = np
         lib = get_lib()
         err = ctypes.create_string_buffer(4096)
-        self._h = lib.aln_open(
+        scoring = ScoringParams.from_config(config) if config is not None else None
+        self._h = lib.aln_open2(
             os.fsencode(paf_path),
             os.fsencode(alt_path) if alt_path else b"",
             alt_baseline, 1 if non_skip_linkable else 0, threads,
             max_records, err, len(err),
+            ctypes.byref(scoring) if scoring is not None else None,
         )
         if not self._h:
             raise NativeError(err.value.decode(errors="replace"))

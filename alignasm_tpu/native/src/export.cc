@@ -15,6 +15,7 @@
 #include <thread>
 
 #include "io.h"
+#include "scoring_abi.h"
 #include "solver.h"
 
 namespace {
@@ -73,13 +74,14 @@ void set_err(char *err, int errlen, const std::string &msg) {
 
 extern "C" {
 
-void *aln_open(const char *paf_path, const char *alt_path, double alt_baseline,
-               int non_skip_linkable, int threads, long long max_records,
-               char *err, int errlen) {
+void *aln_open2(const char *paf_path, const char *alt_path, double alt_baseline,
+                int non_skip_linkable, int threads, long long max_records,
+                char *err, int errlen, const AlnScoring *scoring) {
     try {
         auto ctx = std::make_unique<ExportCtx>();
         ctx->cfg.alt_baseline = alt_baseline;
         ctx->cfg.non_skip_linkable = non_skip_linkable != 0;
+        aln::apply_scoring(ctx->cfg, scoring);
         int nt = threads > 0 ? threads : (int) std::thread::hardware_concurrency();
         ctx->ds = aln::read_paf(paf_path, nt);
         if (alt_path && alt_path[0])
@@ -118,6 +120,13 @@ void *aln_open(const char *paf_path, const char *alt_path, double alt_baseline,
         set_err(err, errlen, e.what());
         return nullptr;
     }
+}
+
+void *aln_open(const char *paf_path, const char *alt_path, double alt_baseline,
+               int non_skip_linkable, int threads, long long max_records,
+               char *err, int errlen) {
+    return aln_open2(paf_path, alt_path, alt_baseline, non_skip_linkable,
+                     threads, max_records, err, errlen, nullptr);
 }
 
 void aln_close(void *h) { delete (ExportCtx *) h; }

@@ -118,6 +118,7 @@ def solve_dataset_tpu(dataset, cfg: AlignasmConfig, batch_size: int = 256,
                 alt_baseline=cfg.alt_baseline,
                 non_skip_linkable=cfg.non_skip_linkable,
                 max_records=cfg.max_device_records,
+                config=cfg,
             )
             assert len(exporter) == n, "native/python contig count mismatch"
             stats["host_plane"] = "native"
