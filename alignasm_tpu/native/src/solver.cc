@@ -299,10 +299,12 @@ public:
     // shortest-path pass only (d[] / best[]); returns false if dest
     // unreachable (cannot happen for valid contigs)
     bool prepare() {
-        std::vector<std::vector<Edge>> rev(V_);
+        rev_.assign(V_, {});
         for (i64 u = 0; u < V_; u++)
-            for (const auto &e : g_.adj[u]) rev[e.to].push_back({(i32) u, e.w});
-        auto order = topo_order(rev);
+            for (const auto &e : g_.adj[u]) rev_[e.to].push_back({(i32) u, e.w});
+        rev_order_ = topo_order(rev_);
+        const auto &rev = rev_;
+        const auto &order = rev_order_;
         d_.assign(V_, Dist{});
         reach_.assign(V_, false);
         best_.assign(V_, -1);
@@ -327,10 +329,8 @@ public:
     // number of walks achieving the minimum (sum, anom), saturated at
     // `cap` — decides whether sidetrack heaps are needed at all
     i64 count_min_walks(i64 cap) const {
-        std::vector<std::vector<Edge>> rev(V_);
-        for (i64 u = 0; u < V_; u++)
-            for (const auto &e : g_.adj[u]) rev[e.to].push_back({(i32) u, e.w});
-        auto order = topo_order(rev);
+        const auto &rev = rev_;
+        const auto &order = rev_order_;
         std::vector<i64> cnt(V_, 0);
         cnt[g_.dest] = 1;
         for (i32 v : order) {
@@ -464,6 +464,8 @@ private:
 
     const Graph &g_;
     i64 V_;
+    std::vector<std::vector<Edge>> rev_;   // reversed adjacency (prepare)
+    std::vector<i32> rev_order_;           // its Kahn topo order
     std::vector<Dist> d_;
     std::vector<char> reach_;
     std::vector<i32> best_;
