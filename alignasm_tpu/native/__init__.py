@@ -36,12 +36,16 @@ def _needs_build() -> bool:
 def build(force: bool = False) -> pathlib.Path:
     with _lock:
         if force or _needs_build():
-            cmd = [
-                "g++", "-std=c++20", "-O3", "-march=native", "-fPIC", "-shared",
-                "-o", str(_LIB),
-            ] + [str(_SRC / s) for s in _SOURCES] + ["-pthread"]
-            proc = subprocess.run(cmd, capture_output=True, text=True)
-            if proc.returncode != 0:
+            base = ["g++", "-std=c++20", "-O3", "-fPIC", "-shared",
+                    "-o", str(_LIB)] + [str(_SRC / s) for s in _SOURCES] + ["-pthread"]
+            # prefer host-tuned codegen; fall back for toolchains/platforms
+            # where -march=native is unsupported
+            for extra in (["-march=native"], []):
+                cmd = base[:2] + extra + base[2:]
+                proc = subprocess.run(cmd, capture_output=True, text=True)
+                if proc.returncode == 0:
+                    break
+            else:
                 raise NativeError(f"native build failed:\n{proc.stderr[-4000:]}")
     return _LIB
 
