@@ -24,6 +24,11 @@ than 2^-20, so flooring at 2^-20 resolution preserves strict order).
 Parity targets: shortest_path_dag tie-breaks (k_shortest_walks.hpp:
 160-175) as replicated by ops/relax.py — equivalence is tested against
 that kernel and the host engine.
+
+The dense min-plus-on-accelerator shape follows the tensorized
+Floyd-Warshall / BFS-on-matrix-unit literature (see PAPERS.md):
+semiring matrix ops trade redundant work for hardware-friendly
+regularity, which is exactly the profitable trade on a VPU.
 """
 
 from __future__ import annotations
