@@ -205,13 +205,43 @@ def solve_dataset_tpu(dataset, cfg: AlignasmConfig, batch_size: int = 256,
             args=(eu, ev, es, ea, enz, etot, erank, evalid, srcs, dests),
         ))
 
+    # with more than one device, shard the bucket batch dim over a data
+    # mesh — contigs are independent, so XLA runs shards with zero
+    # communication (the pod-scale analogue of the reference's TBB loop)
+    import jax
+
+    n_dev = jax.device_count()
+    shard_batch = None
+    if n_dev > 1:
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        mesh = Mesh(np.array(jax.devices()), ("data",))
+        spec = NamedSharding(mesh, P("data"))
+
+        def shard_batch(args):
+            eu = args[0]
+            B = eu.shape[0]
+            padB = ((B + n_dev - 1) // n_dev) * n_dev
+            if padB != B:
+                args = tuple(
+                    np.concatenate([a] + [a[-1:]] * (padB - B), axis=0)
+                    for a in args
+                )
+            return tuple(jax.device_put(a, spec) for a in args), B
+
+        stats["data_mesh_devices"] = n_dev
+
     # launch every phase-1 kernel before syncing any — buckets overlap
     # on device and transfer latency amortizes across the dataset
     for binp in bucket_inputs:
         if binp["use32"]:
             stats["int32_buckets"] += 1
+            args = binp["args"]
+            binp["realB"] = args[0].shape[0]
+            if shard_batch is not None:
+                args, binp["realB"] = shard_batch(args)
             binp["pending"] = sp_batch32(
-                *binp["args"], V=binp["V"], n_sweeps=binp["n_sweeps"]
+                *args, V=binp["V"], n_sweeps=binp["n_sweeps"]
             )
 
     for binp in bucket_inputs:
@@ -223,6 +253,7 @@ def solve_dataset_tpu(dataset, cfg: AlignasmConfig, batch_size: int = 256,
         eu, ev, es, ea, enz, etot, erank, evalid, srcs, dests = binp["args"]
         if use32:
             stacked = np.asarray(binp["pending"])  # (B, 6, V): one transfer
+            stacked = stacked[: binp["realB"]]     # drop mesh padding
             pers = [unpack_sp(stacked[b]) for b in range(B)]
             # phase 2: the level DP only for contigs needing the alt scan
             need = [

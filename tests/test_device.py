@@ -119,3 +119,27 @@ def test_int64_kernel_path_for_large_coordinates(tmp_path):
         "large coordinates must use the int64 kernel"
     )
     assert t == solve_dataset(ds2, DEFAULT_CONFIG)
+
+
+def test_device_engine_shards_over_data_mesh(tmp_path):
+    """With multiple devices visible, the production device path shards
+    bucket batches over the data mesh and still equals exact."""
+    import copy
+
+    import jax
+
+    from alignasm_tpu.engine.exact import solve_dataset
+    from alignasm_tpu.io.paf import read_paf
+    from alignasm_tpu.runtime.scheduler import solve_dataset_tpu
+
+    if jax.device_count() < 2:
+        import pytest
+
+        pytest.skip("needs the virtual multi-device mesh")
+    p = tmp_path / "m.paf"
+    p.write_text(generate_paf(n_contigs=12, seed=33))
+    ds = read_paf(p)
+    ds2 = copy.deepcopy(ds)
+    t = solve_dataset_tpu(ds, DEFAULT_CONFIG, src_paths=(str(p), None))
+    assert solve_dataset_tpu.last_stats.get("data_mesh_devices") == jax.device_count()
+    assert t == solve_dataset(ds2, DEFAULT_CONFIG)
