@@ -98,7 +98,10 @@ def _parse_record_fields(
         # ref coords follow increasing query coords (alignasm.cpp:156-159)
         rec.ref_str, rec.ref_end = rec.ref_end, rec.ref_str
 
-    rec.map_qul = int(fields[PAF_MAT_QUL])
+    # the reference stores mapq through uint8_t (paf_data.hpp:65,
+    # alignasm.cpp:161), as does native/src/io.cc:77 — wrap identically
+    # so out-of-range mapq scores qul_nonzero the same way in every engine
+    rec.map_qul = int(fields[PAF_MAT_QUL]) & 0xFF
     rec.mat_num = int(fields[PAF_MAT_NUM])
     rec.aln_len = int(fields[PAF_ALN_LEN])
 
@@ -192,7 +195,15 @@ def merge_alt_paf(dataset: PafDataset, path: str | os.PathLike, alt_baseline: fl
         if not tar_initialized or tar_flag:
             return
         target = dataset.contigs[dataset.paf_map[tar_real_qry]]
-        assert ratio_max_rec is not None
+        if ratio_max_rec is None:
+            # every record in the group had aln_ratio == 0.0 (0.0 > 0.0
+            # never captures); the reference would append a default-
+            # constructed PafReadData here (alignasm.cpp:244-252) —
+            # garbage coordinates.  Deliberate deviation (COMPONENTS.md
+            # "Known deviations"): reject the degenerate input instead.
+            raise PafParseError(
+                "alt group has no record with positive aln_len/qry_total"
+            )
         ratio_max_rec.ctg_index = len(target)
         target.append(ratio_max_rec)
 

@@ -200,6 +200,12 @@ void merge_alt(Dataset &ds, const std::string &alt_path, double alt_baseline) {
 
     auto flush = [&]() {
         if (!tar_init || tar_flag) return;
+        // all-zero-ratio group: the reference appends a garbage
+        // default-constructed record (alignasm.cpp:242-252); deliberate
+        // deviation — reject, matching io/paf.py (COMPONENTS.md).
+        if (!have_ratio_max)
+            throw std::runtime_error(
+                "alt group has no record with positive aln_len/qry_total");
         auto &target = ds.contigs[ds.paf_map.at(tar_name)];
         ratio_max.ctg_index = (i32) target.size();
         target.push_back(ratio_max);
@@ -247,7 +253,6 @@ void merge_alt(Dataset &ds, const std::string &alt_path, double alt_baseline) {
         }
     });
     flush();
-    (void) have_ratio_max;
 }
 
 namespace {

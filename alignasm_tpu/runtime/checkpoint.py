@@ -14,12 +14,23 @@ import os
 import pickle
 
 
-def contig_digest(records) -> str:
+def contig_digest(records, cfg=None) -> str:
+    """Key a contig's journal entry by EVERY input that determines its
+    solve and its output bytes: all record fields (qry/ref totals feed
+    src/dest edge scores; mat_num/aln_len are recomputed into output
+    columns; map_qul feeds the tie-break fraction) plus a canonical
+    serialization of the config (scoring knobs, --non_skip_linkable,
+    alt_baseline all change the graph)."""
+    import dataclasses
+
     h = hashlib.sha256()
+    if cfg is not None:
+        h.update(repr(dataclasses.astuple(cfg)).encode())
     for r in records:
         h.update(
             f"{r.qry_str},{r.qry_end},{r.ref_str},{r.ref_end},{r.ref_chr},"
-            f"{r.map_qul},{int(r.aln_fwd)},{r.original_cord}".encode()
+            f"{r.qry_total_length},{r.ref_total_length},{r.mat_num},"
+            f"{r.aln_len},{r.map_qul},{int(r.aln_fwd)},{r.original_cord}".encode()
         )
         h.update(r.cs.raw.encode())
     return h.hexdigest()
@@ -74,7 +85,7 @@ def solve_dataset_resumable(dataset, cfg, journal_path: str, solve_contig=None):
     stats = {"resumed": 0, "solved": 0}
     try:
         for contig in dataset.contigs:
-            key = contig_digest(contig)
+            key = contig_digest(contig, cfg)
             hit = journal.get(key)
             if hit is not None:
                 o, a, m = hit

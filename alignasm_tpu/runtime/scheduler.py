@@ -154,15 +154,23 @@ def solve_dataset_tpu(dataset, cfg: AlignasmConfig, batch_size: int = 256,
 
     # int32 eligibility: every path sum is bounded by the sum over
     # vertices of their max outgoing edge score; guard well under the
-    # int32 kernel's 2^30 sentinel (TPU v5e has no native int64)
+    # int32 kernel's 2^30 sentinel (TPU v5e has no native int64).
+    # The f32 mapq-fraction tie-break is equality- and order-exact only
+    # for path denominators <= 2^10 (distinct fractions then differ by
+    # > 2^-20, far above f32 division rounding) — enforce that bound the
+    # same way instead of relying on max_device_records' default.
     def fits32(pg) -> bool:
         if len(pg.eu) == 0:
             return True
         seg_max = {}
-        for u, s in zip(pg.eu.tolist(), pg.es.tolist()):
+        seg_max_tot = {}
+        for u, s, t in zip(pg.eu.tolist(), pg.es.tolist(), pg.etot.tolist()):
             if s > seg_max.get(u, -1):
                 seg_max[u] = s
-        return sum(seg_max.values()) < 2**29
+            if t > seg_max_tot.get(u, -1):
+                seg_max_tot[u] = t
+        return (sum(seg_max.values()) < 2**29
+                and sum(seg_max_tot.values()) <= 2**10)
 
     stats["int32_buckets"] = 0
     # bucket by padded shapes

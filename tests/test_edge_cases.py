@@ -98,6 +98,49 @@ def test_alt_merge_flush_fallback(oracle_bin, tmp_path):
         assert o.read_bytes() == got.read_bytes(), f"aln{suffix}"
 
 
+def test_mapq_overflow_wraps_uint8(oracle_bin, tmp_path):
+    # mapq 256/300 pass through uint8_t in the reference (paf_data.hpp:65)
+    # — 256 scores qul_nonzero=0 and prints as "0"; all engines must wrap
+    rows = [
+        "c1\t300\t0\t50\t+\tchrA\t500\t0\t50\t50\t50\t256\tcs:Z::50",
+        "c1\t300\t60\t120\t+\tchrA\t500\t60\t120\t60\t60\t300\tcs:Z::60",
+    ]
+    text = "\n".join(rows) + "\n"
+    _both(oracle_bin, tmp_path, text)
+    # Python engines parse through the same wrap
+    from alignasm_tpu.io.paf import read_paf
+
+    p = tmp_path / "q.paf"
+    p.write_text(text)
+    ds = read_paf(p)
+    assert [r.map_qul for r in ds.contigs[0]] == [0, 300 & 0xFF]
+
+
+def test_alt_group_all_zero_ratio_raises(tmp_path):
+    # degenerate alt group (every aln_len == 0): the reference would
+    # append a garbage default-constructed record; we raise instead
+    # (documented deviation, COMPONENTS.md)
+    main_rows = [
+        "cA\t1000\t0\t200\t+\tchrA\t900\t0\t200\t200\t200\t60\tcs:Z::200",
+        "cA\t1000\t300\t500\t+\tchrA\t900\t300\t500\t200\t200\t60\tcs:Z::200",
+    ]
+    alt_rows = [
+        "cA:201-600\t400\t0\t1\t+\tchrB\t700\t0\t1\t1\t0\t60\tcs:Z::1",
+    ]
+    paf = tmp_path / "m.paf"
+    paf.write_text("\n".join(main_rows) + "\n")
+    alt = tmp_path / "a.paf"
+    alt.write_text("\n".join(alt_rows) + "\n")
+
+    from alignasm_tpu.io.paf import PafParseError, merge_alt_paf, read_paf
+
+    ds = read_paf(paf)
+    with pytest.raises(PafParseError):
+        merge_alt_paf(ds, alt, 0.5)
+    with pytest.raises(native.NativeError):
+        native.run(str(paf), alt_path=str(alt))
+
+
 def test_long_cs_string(oracle_bin, tmp_path):
     import random
 

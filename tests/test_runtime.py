@@ -50,6 +50,35 @@ def test_resume_journal_survives_truncation(tmp_path):
     assert solve_dataset(read_paf(p), DEFAULT_CONFIG) == (o, a, m)
 
 
+def test_resume_journal_keyed_by_config(tmp_path):
+    # a journal written under one config must NOT satisfy a run under a
+    # different config (scoring/flags change the graph and the outputs)
+    p = _dataset(tmp_path)
+    journal = tmp_path / "journal.bin"
+    ds = read_paf(p)
+    solve_dataset_resumable(ds, DEFAULT_CONFIG, str(journal))
+
+    cfg2 = dataclasses.replace(DEFAULT_CONFIG, non_skip_linkable=True)
+    ds2 = read_paf(p)
+    o, a, m, stats = solve_dataset_resumable(ds2, cfg2, str(journal))
+    assert stats == {"resumed": 0, "solved": len(ds2.contigs)}
+    assert solve_dataset(read_paf(p), cfg2) == (o, a, m)
+
+
+def test_resume_journal_keyed_by_all_record_fields(tmp_path):
+    # mutating a field outside the old digest (aln_len is written through
+    # output columns) must invalidate the entry
+    p = _dataset(tmp_path, n=2)
+    journal = tmp_path / "journal.bin"
+    ds = read_paf(p)
+    solve_dataset_resumable(ds, DEFAULT_CONFIG, str(journal))
+
+    ds2 = read_paf(p)
+    ds2.contigs[0][0].aln_len += 1
+    _o, _a, _m, stats = solve_dataset_resumable(ds2, DEFAULT_CONFIG, str(journal))
+    assert stats["solved"] >= 1
+
+
 def test_shard_indices_cover_and_partition():
     n, world = 23, 4
     seen = []
