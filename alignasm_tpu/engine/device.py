@@ -20,7 +20,6 @@ from __future__ import annotations
 
 import dataclasses
 from collections import deque
-from fractions import Fraction
 
 import numpy as np
 
@@ -31,8 +30,6 @@ from alignasm_tpu.engine import exact as exact_engine
 
 _RANK_SHIFT = 26
 _INF = np.int64(2**62)
-_MAX_LEVELS = 8
-_K_BUDGET = 10_000
 
 
 @dataclasses.dataclass
@@ -150,10 +147,6 @@ def pack_graph_from_native(contig: list, exp: dict) -> PackedGraph:
     )
 
 
-def _frac(nz, tot):
-    return Fraction(int(nz), int(tot) if tot else 1)
-
-
 def _backtrack_best(pg: PackedGraph, d_eid, src):
     path = []
     u = src
@@ -168,97 +161,45 @@ def _backtrack_best(pg: PackedGraph, d_eid, src):
         u = v
 
 
-def _enumerate_group(pg: PackedGraph, d_s, d_a, src, limit, inf=int(_INF)):
-    """All paths src->dest achieving the min (sum, anom) key — the
-    leading tie group (paf_data.cpp:1595-1611).  DFS over achieving
-    edges in adjacency order."""
-    g = pg.g
-    adj_eids: list = [[] for _ in range(g.n_vertices)]
-    for i, u in enumerate(pg.eu):
-        adj_eids[u].append(i)
-    k1 = lambda u: (int(d_s[u]) << 16) | int(d_a[u])
-    out = []
-    stack = [(src, [])]
-    # iterative DFS preserving adjacency order
-    while stack:
-        u, pref = stack.pop()
-        if u == g.dest:
-            out.append(pref)
-            if len(out) > limit:
-                raise Fallback("tie group larger than enumeration limit")
-            continue
-        # push in reverse so adjacency order pops first
-        for e in reversed(adj_eids[u]):
-            v = int(pg.ev[e])
-            if d_s[v] >= inf:
-                continue
-            if (int(d_s[v] + pg.es[e]) << 16) | int(d_a[v] + pg.ea[e]) == k1(u):
-                stack.append((v, pref + [(u, v, pg.edge_w[e])]))
-    return out
-
-
-def _path_frac(path):
-    nz = sum(w[3] for _u, _v, w in path)
-    tot = sum(w[4] for _u, _v, w in path)
-    return _frac(nz, tot)
-
-
-def _order_group(paths):
-    """Walk-enumeration order within an equal-(sum,anom) group: mapq
-    fraction descending; exact fraction ties are allocation-order in the
-    reference — not reproducible here, so fall back."""
-    keyed = [(_path_frac(p), i) for i, p in enumerate(paths)]
-    fracs = [k for k, _ in keyed]
-    if len(set(fracs)) != len(fracs):
-        raise Fallback("full-distance tie inside walk group")
-    keyed.sort(key=lambda t: (-t[0], t[1]))
-    return [paths[i] for _f, i in keyed]
-
-
-def _enumerate_level_group(pg: PackedGraph, lv_s, src, level, limit, inf=int(_INF)):
-    """All paths achieving the level-`level` minimum sum."""
-    g = pg.g
-    adj_eids: list = [[] for _ in range(g.n_vertices)]
-    for i, u in enumerate(pg.eu):
-        adj_eids[u].append(i)
-    out = []
-    stack = [(src, level, [])]
-    while stack:
-        u, a, pref = stack.pop()
-        if u == g.dest:
-            if a == 0:
-                out.append(pref)
-                if len(out) > limit:
-                    raise Fallback("alt group larger than enumeration limit")
-            continue
-        for e in reversed(adj_eids[u]):
-            v = int(pg.ev[e])
-            a2 = a - int(pg.ea[e])
-            if a2 < 0 or lv_s[v, a2] >= inf:
-                continue
-            if int(lv_s[v, a2] + pg.es[e]) == int(lv_s[u, a]):
-                stack.append((v, a2, pref + [(u, v, pg.edge_w[e])]))
-    return out
-
-
 def finish_contig(pg: PackedGraph, dev, cfg: AlignasmConfig, inf=int(_INF)):
     """Reconstruct the reference's outputs from device DP results.
 
     ``inf`` is the kernel's unreachable sentinel (2^62 for the int64
-    kernel, 2^30 for the int32 kernel).  Raises Fallback whenever the
-    result could depend on the reference's walk-enumeration order beyond
-    what the DPs determine.
+    kernel, 2^30 for the int32 kernel).
+
+    The device finish handles a contig alone only when its outputs are
+    provably independent of the reference's walk-enumeration order:
+
+      * a UNIQUE best (sum, anom) walk (cnt_min == 1) — the coverage
+        tie sweep (paf_data.cpp:1595-1611) then sees exactly one path,
+        which the d_eid backtrack reproduces (the lex-min tree path is
+        Eppstein's first emission); and
+      * NO alt scan (cnt_tot < 2 or the best path meets the anomaly
+        floor), so the slope scan (paf_data.cpp:1613-1649) never runs.
+
+    Everything else raises Fallback and is finished by an engine that
+    replicates the real lazy-queue emission order.  In particular the
+    fraction-descending ordering previously used for tie groups is NOT
+    sound for multi-sidetrack walks: Eppstein's queue only emits in
+    globally sorted order for the additive (sum, anom) components; a
+    later-discovered walk whose cumulative mapq fraction beats an
+    earlier-emitted one is emitted late, so within an equal-(sum, anom)
+    block the emission order is heap-shape-dependent.
     """
     g = pg.g
     src, dest = g.src, g.dest
-    d_s = np.asarray(dev["d_s"]); d_a = np.asarray(dev["d_a"])
+    d_s = np.asarray(dev["d_s"])
     d_eid = np.asarray(dev["d_eid"])
-    lv_s = np.asarray(dev["lv_s"]) if dev.get("lv_s") is not None else None
     cnt_tot = int(dev["cnt_tot"][src]); cnt_min = int(dev["cnt_min"][src])
     floor_a = int(dev["floor_a"][src])
 
     assert d_s[src] < inf, "dest unreachable"
-    min_sum = int(d_s[src]); min_anom = int(d_a[src])
+    min_anom = int(np.asarray(dev["d_a"])[src])
+
+    if cnt_min != 1:
+        raise Fallback("tie group (walk-enumeration order sensitive)")
+    if cnt_tot >= 2 and min_anom != floor_a:
+        raise Fallback("alt scan needs walk enumeration")
 
     # topo cache for the upgrade pass (identical to exact engine)
     sorted_vertices = topology_sort(g.adj)
@@ -268,73 +209,15 @@ def finish_contig(pg: PackedGraph, dev, cfg: AlignasmConfig, inf=int(_INF)):
     g._topo_cache = (order, sorted_vertices)
 
     not_alt_map: dict = {}
-    conv = lambda path: exact_engine._edge_path_to_outputs(g, path, not_alt_map)
-
-    # ---- main path + coverage tie sweep -------------------------------
-    if cnt_min >= _K_BUDGET:
-        raise Fallback("tie group may exceed the k budget")
     path1 = _backtrack_best(pg, d_eid, src)
-    out = conv(path1)
-    max_cov = exact_engine._total_coverage(out)
-    max_out: list = []
-    if cnt_min > 1:
-        group = _enumerate_group(pg, d_s, d_a, src, cnt_min + 1, inf)
-        assert len(group) == cnt_min, (len(group), cnt_min)
-        ordered = _order_group(group)
-        # ordered[0] must be path1 (the best tree path is the first walk)
-        rest = [p for p in ordered if [e[:2] for e in p] != [e[:2] for e in path1]]
-        if len(rest) != cnt_min - 1:
-            raise Fallback("best path not uniquely identified in group")
-        for p in rest:
-            outs_p = conv(p)
-            cov = exact_engine._total_coverage(outs_p)
-            if cov > max_cov:
-                max_cov = cov
-                out = outs_p
-                max_out.clear()
-            elif cov == max_cov:
-                max_out.append(outs_p)
+    out = exact_engine._edge_path_to_outputs(g, path1, not_alt_map)
+    return out, [], []
 
-    # ---- alt path -----------------------------------------------------
-    alt_out: list = []
-    if cnt_tot >= 2 and min_anom != floor_a:
-        if lv_s is None:
-            raise Fallback("level DP results missing for alt scan")
-        if cnt_tot > _K_BUDGET:
-            raise Fallback("k budget binds for alt scan")
-        if min_anom > _MAX_LEVELS:
-            raise Fallback("anomaly level beyond device DP range")
-        # level minima in walk-enumeration order = ascending (sum, anom)
-        levels = []
-        for a in range(0, min_anom):
-            if a >= lv_s.shape[1]:
-                raise Fallback("anomaly level beyond device DP range")
-            if lv_s[src, a] < inf:
-                levels.append((int(lv_s[src, a]), a))
-        levels.sort()
-        ans_up = ans_down = 0
-        have = False
-        cov_best = -1
-        for s_a, a in levels:
-            up = s_a - min_sum
-            down = min_anom - a
-            if not have or up * ans_down < down * ans_up:
-                have = True
-                ans_up, ans_down = up, down
-                group = _enumerate_level_group(pg, lv_s, src, a, 4096, inf)
-                ordered = _order_group(group)
-                first = True
-                for p in ordered:
-                    outs_p = conv(p)
-                    cov = exact_engine._total_coverage(outs_p)
-                    if first:
-                        alt_out = outs_p
-                        cov_best = cov
-                        first = False
-                    elif cov > cov_best:
-                        cov_best = cov
-                        alt_out = outs_p
-            # non-improving levels never convert (strict slope compare,
-            # eq_sum_anom false across levels)
 
-    return out, alt_out, max_out
+def finish_contig_exact(pg: PackedGraph, dev, cfg: AlignasmConfig):
+    """Order-sensitive finish: run the exact engine's walk enumeration
+    (the real lazy-queue order, incl. deterministic-arena tie-breaks) on
+    the ALREADY-BUILT graph, reusing the device's anomaly floor.  Used
+    as the Fallback target when no native exporter is available."""
+    floor_a = int(np.asarray(dev["floor_a"])[pg.g.src])
+    return exact_engine.solve_from_graph(pg.g, cfg, anom_floor=floor_a)

@@ -213,11 +213,21 @@ def solve_contig(records: list, cfg: AlignasmConfig = DEFAULT_CONFIG):
         return [PafOutput.from_record(records[0])], [], []
 
     g = build_graph(records, cfg)
+    return solve_from_graph(g, cfg)
 
-    # anomaly floor (paf_data.cpp:704-713)
-    anom_adj = [[(v, w[D.A]) for v, w in row] for row in g.adj]
-    anom_dis, _anom_pre = k_weighted_bfs(anom_adj, g.src, cfg.max_anom + 1)
-    assert anom_dis[g.dest] != -1
+
+def solve_from_graph(g: ContigGraph, cfg: AlignasmConfig, anom_floor=None):
+    """Steps 6-10 of solve_ctg_read on an already-built contig DAG.
+
+    ``anom_floor`` (min possible anomaly count src->dest) may be supplied
+    by a caller that already computed it — e.g. the device engine's
+    batched floor DP — otherwise Dial BFS computes it here
+    (paf_data.cpp:704-713)."""
+    if anom_floor is None:
+        anom_adj = [[(v, w[D.A]) for v, w in row] for row in g.adj]
+        anom_dis, _anom_pre = k_weighted_bfs(anom_adj, g.src, cfg.max_anom + 1)
+        anom_floor = anom_dis[g.dest]
+    assert anom_floor != -1
 
     # k shortest walks (paf_data.cpp:728-730)
     solver = KShortestWalks(g.adj, D.CALC_SUM)
@@ -258,7 +268,7 @@ def solve_contig(records: list, cfg: AlignasmConfig = DEFAULT_CONFIG):
     # anomaly-tradeoff alt path (paf_data.cpp:1613-1649)
     alt_out: list = []
     max_tot_coverage = -1
-    if len(k_dists) >= 2 and min_distance[D.A] != anom_dis[g.dest]:
+    if len(k_dists) >= 2 and min_distance[D.A] != anom_floor:
         ans_up = ans_down = 0
         ans_idx = -1
         for i in range(1, len(k_dists)):

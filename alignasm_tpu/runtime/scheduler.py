@@ -93,7 +93,8 @@ def solve_dataset_tpu(dataset, cfg: AlignasmConfig, batch_size: int = 256,
     import numpy as np
 
     from alignasm_tpu.engine.device import (
-        Fallback, finish_contig, pack_graph, pack_graph_from_native,
+        Fallback, finish_contig, finish_contig_exact, pack_graph,
+        pack_graph_from_native,
     )
     from alignasm_tpu.engine.exact import solve_contig
     from alignasm_tpu.engine.graph import build_graph
@@ -106,13 +107,17 @@ def solve_dataset_tpu(dataset, cfg: AlignasmConfig, batch_size: int = 256,
     alt_outs = [None] * n
     max_outs = [None] * n
     stats = {"device": 0, "fallback": 0, "singleton": 0, "oversize": 0,
-             "host_plane": "python"}
+             "host_plane": "python", "fallback_reasons": {}}
 
     exporter = None
     if src_paths is not None:
-        try:
-            from alignasm_tpu import native
+        # a native-plane failure must be VISIBLE: only a missing/broken
+        # native build degrades to the Python host plane, and the reason
+        # is recorded in stats (a silent degrade here would hide a 30x
+        # packing slowdown behind identical outputs)
+        from alignasm_tpu import native
 
+        try:
             exporter = native.GraphExporter(
                 src_paths[0], alt_path=src_paths[1],
                 alt_baseline=cfg.alt_baseline,
@@ -120,10 +125,16 @@ def solve_dataset_tpu(dataset, cfg: AlignasmConfig, batch_size: int = 256,
                 max_records=cfg.max_device_records,
                 config=cfg,
             )
-            assert len(exporter) == n, "native/python contig count mismatch"
             stats["host_plane"] = "native"
-        except Exception:
+        except native.NativeError as exc:
+            import warnings
+
+            stats["host_plane_error"] = str(exc)
+            warnings.warn(f"native host plane unavailable: {exc}",
+                          RuntimeWarning, stacklevel=2)
             exporter = None
+        if exporter is not None:
+            assert len(exporter) == n, "native/python contig count mismatch"
 
     packed = []  # (contig index, PackedGraph)
     for i, contig in enumerate(dataset.contigs):
@@ -148,9 +159,7 @@ def solve_dataset_tpu(dataset, cfg: AlignasmConfig, batch_size: int = 256,
                 continue
         packed.append((i, pack_graph(build_graph(contig, cfg))))
 
-    from alignasm_tpu.ops.relax32 import (
-        level_dp_batch32, rerank_dense, sp_batch32, unpack_sp,
-    )
+    from alignasm_tpu.ops.relax32 import rerank_dense, sp_batch32, unpack_sp
 
     # int32 eligibility: every path sum is bounded by the sum over
     # vertices of their max outgoing edge score; guard well under the
@@ -263,24 +272,6 @@ def solve_dataset_tpu(dataset, cfg: AlignasmConfig, batch_size: int = 256,
             stacked = np.asarray(binp["pending"])  # (B, 6, V): one transfer
             stacked = stacked[: binp["realB"]]     # drop mesh padding
             pers = [unpack_sp(stacked[b]) for b in range(B)]
-            # phase 2: the level DP only for contigs needing the alt scan
-            need = [
-                b for b in range(B)
-                if int(pers[b]["cnt_tot"][srcs[b]]) >= 2
-                and int(pers[b]["d_a"][srcs[b]]) != int(pers[b]["floor_a"][srcs[b]])
-            ]
-            if need:
-                # pad the selection to a pow2 batch so shapes stay bounded
-                padded = need + [need[0]] * (_next_pow2(len(need)) - len(need))
-                sel = np.asarray(padded)
-                lv_dev = np.asarray(level_dp_batch32(
-                    eu[sel], ev[sel], es[sel], ea[sel], enz[sel], etot[sel],
-                    erank[sel], evalid[sel], srcs[sel], dests[sel],
-                    V=V, n_sweeps=n_sweeps,
-                ))  # (B', 2, V, A)
-                for j, b in enumerate(need):
-                    pers[b]["lv_s"] = lv_dev[j][0]
-                    pers[b]["lv_eid"] = lv_dev[j][1]
             inf = 2**30
         else:
             dev = solve_graph_batch(
@@ -298,14 +289,20 @@ def solve_dataset_tpu(dataset, cfg: AlignasmConfig, batch_size: int = 256,
                     pg, per, cfg, inf=inf
                 )
                 stats["device"] += 1
-            except Fallback:
+            except Fallback as fb:
+                # order-sensitive contig: finish with an engine that
+                # replicates the real walk-enumeration order — natively
+                # when available, else host Eppstein on the built graph
                 if exporter is not None:
                     outs[i], alt_outs[i], max_outs[i] = exporter.solve_contig(i)
                 else:
-                    outs[i], alt_outs[i], max_outs[i] = solve_contig(
-                        dataset.contigs[i], cfg
+                    outs[i], alt_outs[i], max_outs[i] = finish_contig_exact(
+                        pg, per, cfg
                     )
                 stats["fallback"] += 1
+                reason = str(fb)
+                reasons = stats["fallback_reasons"]
+                reasons[reason] = reasons.get(reason, 0) + 1
 
     if exporter is not None:
         if write_prefix is not None:

@@ -29,6 +29,45 @@ def test_device_engine_matches_exact(tmp_path, kind, seed):
     assert solve_dataset_tpu(ds, DEFAULT_CONFIG) == solve_dataset(ds2, DEFAULT_CONFIG)
 
 
+@pytest.mark.parametrize("seed", [11, 23, 37])
+def test_device_engine_order_sensitive_contigs(tmp_path, seed):
+    """Tie-heavy corpora: every contig whose outputs depend on the
+    walk-enumeration order must route through the exact finish — results
+    equal the exact engine byte-for-byte even in the no-exporter path
+    (advisor finding: fraction-descending order is NOT the lazy-queue
+    emission order for multi-sidetrack walks)."""
+    import copy
+
+    from alignasm_tpu.engine.exact import solve_dataset
+    from alignasm_tpu.runtime.scheduler import solve_dataset_tpu
+
+    ds = _read(tmp_path, generate_hard_paf(n_contigs=12, seed=seed))
+    ds2 = copy.deepcopy(ds)
+    got = solve_dataset_tpu(ds, DEFAULT_CONFIG)
+    stats = solve_dataset_tpu.last_stats
+    assert got == solve_dataset(ds2, DEFAULT_CONFIG)
+    # the hard generator produces tie/alt contigs: fallbacks must be
+    # attributed to a reason, never silent
+    assert stats["fallback"] == sum(stats["fallback_reasons"].values())
+
+
+def test_device_engine_zero_fallbacks_on_tie_free_corpus(tmp_path):
+    """The bench-like corpus is tie-free: the device fast path must
+    handle every multi-record contig with no fallback at all."""
+    import copy
+
+    from alignasm_tpu.engine.exact import solve_dataset
+    from alignasm_tpu.runtime.scheduler import solve_dataset_tpu
+
+    ds = _read(tmp_path, generate_paf(n_contigs=30, seed=77))
+    ds2 = copy.deepcopy(ds)
+    got = solve_dataset_tpu(ds, DEFAULT_CONFIG)
+    stats = solve_dataset_tpu.last_stats
+    assert stats["fallback"] == 0, stats
+    assert stats["device"] > 0
+    assert got == solve_dataset(ds2, DEFAULT_CONFIG)
+
+
 def test_kernel_matches_host_dp(tmp_path):
     """Device d[]/best[]/floor vs the host exact engine's own DPs."""
     from alignasm_tpu.engine import dial

@@ -78,6 +78,20 @@ def test_byte_identical_non_skip_linkable(oracle_bin, tmp_path):
     )
 
 
+@pytest.mark.parametrize("kind,seed", [("basic", 31), ("hard", 8)])
+def test_byte_identical_tpu_engine_cli(oracle_bin, tmp_path, kind, seed):
+    """The tpu engine CLI path (device kernels + native host plane +
+    native writers) vs oracle bytes ON DISK — incl. tie/alt-heavy data
+    where every order-sensitive contig must route to the exact finish."""
+    gen = generate_paf if kind == "basic" else generate_hard_paf
+    paf = tmp_path / f"tpu{kind}{seed}.paf"
+    paf.write_text(gen(n_contigs=12, seed=seed))
+    _assert_identical(
+        run_oracle(oracle_bin, paf, tmp_path),
+        _run_engine(paf, tmp_path, extra=["--engine", "tpu"]),
+    )
+
+
 def test_parallel_engine_matches_serial(oracle_bin, tmp_path):
     paf = tmp_path / "par.paf"
     paf.write_text(generate_hard_paf(n_contigs=20, seed=9))
