@@ -40,6 +40,10 @@ class AlignasmConfig:
     # Contigs at or below this record count are solved by the batched
     # device path; larger ones fall back to the exact host engine.
     max_device_records: int = 512
+    # Buckets whose padded vertex count fits this bound use the dense
+    # (V, V) VMEM relaxation kernel (ops/dense.py); larger buckets use
+    # the sparse gather/scatter kernels.
+    dense_max_v: int = 256
 
 
 DEFAULT_CONFIG = AlignasmConfig()

@@ -147,18 +147,26 @@ def pack_graph_from_native(contig: list, exp: dict) -> PackedGraph:
     )
 
 
-def _backtrack_best(pg: PackedGraph, d_eid, src):
+def _backtrack_achieving(pg: PackedGraph, d_s, d_a, inf):
+    """Follow achieving edges src->dest: e=(u,v) with
+    d[v] + w(e) == d[u] in the (sum, anom) key.  The fast path only runs
+    with cnt_min == 1, which makes the achieving path UNIQUE — so no
+    fraction/rank tie-breaks (and no device edge ids) are needed."""
+    g = pg.g
     path = []
-    u = src
-    while True:
-        e = int(d_eid[u])
-        if e < 0:
-            raise Fallback("no best edge during backtrack")
-        v = int(pg.ev[e])
-        path.append((u, v, pg.edge_w[e]))
-        if v == pg.g.dest:
-            return path
-        u = v
+    u = g.src
+    while u != g.dest:
+        du_s = int(d_s[u]); du_a = int(d_a[u])
+        for v, w in g.adj[u]:
+            if (int(d_s[v]) < inf
+                    and int(d_s[v]) + w[0] + w[1] == du_s
+                    and int(d_a[v]) + w[2] == du_a):
+                path.append((u, v, w))
+                u = v
+                break
+        else:
+            raise Fallback("no achieving edge during backtrack")
+    return path
 
 
 def finish_contig(pg: PackedGraph, dev, cfg: AlignasmConfig, inf=int(_INF)):
@@ -187,14 +195,13 @@ def finish_contig(pg: PackedGraph, dev, cfg: AlignasmConfig, inf=int(_INF)):
     block the emission order is heap-shape-dependent.
     """
     g = pg.g
-    src, dest = g.src, g.dest
-    d_s = np.asarray(dev["d_s"])
-    d_eid = np.asarray(dev["d_eid"])
+    src = g.src
+    d_s = np.asarray(dev["d_s"]); d_a = np.asarray(dev["d_a"])
     cnt_tot = int(dev["cnt_tot"][src]); cnt_min = int(dev["cnt_min"][src])
     floor_a = int(dev["floor_a"][src])
 
     assert d_s[src] < inf, "dest unreachable"
-    min_anom = int(np.asarray(dev["d_a"])[src])
+    min_anom = int(d_a[src])
 
     if cnt_min != 1:
         raise Fallback("tie group (walk-enumeration order sensitive)")
@@ -209,7 +216,7 @@ def finish_contig(pg: PackedGraph, dev, cfg: AlignasmConfig, inf=int(_INF)):
     g._topo_cache = (order, sorted_vertices)
 
     not_alt_map: dict = {}
-    path1 = _backtrack_best(pg, d_eid, src)
+    path1 = _backtrack_achieving(pg, d_s, d_a, inf)
     out = exact_engine._edge_path_to_outputs(g, path1, not_alt_map)
     return out, [], []
 

@@ -1,0 +1,159 @@
+"""Production dense relaxation program for device buckets.
+
+The device fast path (engine/device.py:finish_contig) only consumes:
+
+  d_s, d_a   — per-vertex min (score-sum, anomaly) key to dest
+  floor_a    — min possible anomaly count (Dial BFS analogue)
+  cnt_tot    — saturating walk count
+  cnt_min    — walks achieving (d_s, d_a) at src (tie-group size)
+
+and reconstructs the unique best path on host by following achieving
+edges (unique whenever cnt_min == 1, the only case the fast path
+handles).  The mapq-fraction and arrival-rank tie-break components of
+the full ``PafDistance`` order (paf_data.hpp:146-158) influence WHICH
+tree edge the reference stores, but never these five quantities — so
+the production kernel drops them entirely: a contig is two dense
+(V, V) int32 matrices (score sum, anomaly; INF32 = no edge), and one
+relaxation sweep is a broadcast add + row-min — no gathers, no scatter,
+no segment ops, the shape the VPU is fastest at.  3/5 of the HBM/VMEM
+traffic of the full 5-matrix formulation (ops/pallas_relax.py) is gone.
+
+Dense min-plus trades redundant work (V^2 vs E lanes) for regularity;
+at bucket sizes (V <= ~256) the matrices live in VMEM across the sweep
+loop and the trade is strongly profitable on TPU (see PAPERS.md, the
+tensorized-APSP literature).
+
+Walk counts are adjacency-matrix powers: cnt' = base + A @ cnt with
+saturation at the reference's k budget + 1 (values stay far below
+int32: V * 10001 < 2^31).
+
+Parity: d[]'s (sum, anom) components of shortest_path_dag
+(k_shortest_walks.hpp:160-175), k_weighted_bfs (k_weighted_bfs.hpp:16),
+and the walk-count semantics of the tie sweep (paf_data.cpp:1595-1611);
+validated against the host engine and ops/relax.py in tests/test_dense.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+INF32 = np.int32(2**30)
+COUNT_SAT = jnp.int32(10_001)
+
+DENSE_ROWS = ("d_s", "d_a", "floor_a", "cnt_tot", "cnt_min")
+
+
+@functools.partial(jax.jit, static_argnames=("n_sweeps",))
+def dense_solve_batch(ws, wa, dest, n_sweeps):
+    """Batched (B, V, V) dense solve; returns (B, 5, V) int32 stacked
+    [d_s, d_a, floor_a, cnt_tot, cnt_min] — one device->host transfer.
+
+    ``ws``/``wa``: dense score-sum / anomaly edge matrices, INF32 where
+    no edge exists; ``dest``: (B,) sink vertex per contig.
+    ``n_sweeps`` must be >= the longest path length (host guarantees
+    max records + 2, pow2-rounded).
+    """
+    B, V, _ = ws.shape
+
+    def one(ws, wa, dest):
+        edge = ws < INF32
+
+        # --- (sum, anom) lexicographic min to dest -------------------
+        s0 = jnp.full((V,), INF32, jnp.int32).at[dest].set(0)
+        a0 = jnp.zeros((V,), jnp.int32)
+
+        def sweep(_, st):
+            s, a = st
+            cs = jnp.where(edge, ws + s[None, :], INF32)
+            m1 = jnp.min(cs, axis=1)
+            on = edge & (cs == m1[:, None])
+            ca = jnp.where(on, wa + a[None, :], INF32)
+            m2 = jnp.min(ca, axis=1)
+            better = (m1 < s) | ((m1 == s) & (m2 < a))
+            better = better & (m1 < INF32)
+            return jnp.where(better, m1, s), jnp.where(better, m2, a)
+
+        s, a = jax.lax.fori_loop(0, n_sweeps, sweep, (s0, a0))
+
+        # --- anomaly floor (min-plus on the anomaly weights) ---------
+        wa_open = jnp.where(edge, wa, INF32)
+
+        def fsweep(_, fa):
+            c = jnp.where(edge, wa_open + fa[None, :], INF32)
+            return jnp.minimum(fa, jnp.min(c, axis=1))
+
+        fa = jax.lax.fori_loop(0, n_sweeps, fsweep, s0)
+
+        # --- walk counts (saturating adjacency powers) ---------------
+        base = jnp.zeros((V,), jnp.int32).at[dest].set(1)
+        adj = edge.astype(jnp.int32)
+
+        def csweep(_, c):
+            return jnp.minimum(
+                base + jnp.sum(adj * c[None, :], axis=1, dtype=jnp.int32),
+                COUNT_SAT)
+
+        cnt_tot = jax.lax.fori_loop(0, n_sweeps, csweep, base)
+
+        # achieving edges: suffix optimality is forced by lex-additivity,
+        # so the tie group at src is exactly the achieving-path count
+        ach = (edge & (s[None, :] < INF32)
+               & (ws + s[None, :] == s[:, None])
+               & (wa + a[None, :] == a[:, None]))
+        achm = ach.astype(jnp.int32)
+
+        def msweep(_, c):
+            return jnp.minimum(
+                base + jnp.sum(achm * c[None, :], axis=1, dtype=jnp.int32),
+                COUNT_SAT)
+
+        cnt_min = jax.lax.fori_loop(0, n_sweeps, msweep, base)
+
+        return jnp.stack([s, a, fa, cnt_tot, cnt_min])
+
+    return jax.vmap(one)(ws, wa, dest)
+
+
+def unpack_dense(stacked_row):
+    """Per-contig dict view of one (5, V) stacked dense result, matching
+    the finish_contig contract (no d_eid: the finish backtracks by
+    achieving edges, unique when cnt_min == 1)."""
+    return {k: stacked_row[j] for j, k in enumerate(DENSE_ROWS)}
+
+
+def pack_dense_bucket(chunk, V: int):
+    """Vectorized host packing of a bucket into (B, V, V) matrices.
+
+    ``chunk`` is the scheduler's list of (contig index, PackedGraph).
+    Returns (ws, wa, dests) or None if any contig has parallel edges
+    between the same vertex pair (dense cells can hold one edge; the
+    sparse kernel handles the rest) — builders never emit those, so
+    this is a safety check, not a hot path.
+    """
+    B = len(chunk)
+    bs, us, vs, ss, as_ = [], [], [], [], []
+    dests = np.empty((B,), np.int32)
+    for b, (_i, pg) in enumerate(chunk):
+        n_e = len(pg.eu)
+        if n_e:
+            keys = pg.eu.astype(np.int64) * V + pg.ev
+            if len(np.unique(keys)) != n_e:
+                return None
+        bs.append(np.full(n_e, b, np.int32))
+        us.append(pg.eu)
+        vs.append(pg.ev)
+        ss.append(pg.es.astype(np.int32))
+        as_.append(pg.ea)
+        dests[b] = pg.g.dest
+    ws = np.full((B, V, V), INF32, np.int32)
+    wa = np.zeros((B, V, V), np.int32)
+    b = np.concatenate(bs) if bs else np.empty(0, np.int32)
+    u = np.concatenate(us) if us else np.empty(0, np.int32)
+    v = np.concatenate(vs) if vs else np.empty(0, np.int32)
+    ws[b, u, v] = np.concatenate(ss) if ss else []
+    wa[b, u, v] = np.concatenate(as_) if as_ else []
+    return ws, wa, dests

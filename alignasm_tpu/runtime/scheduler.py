@@ -159,6 +159,9 @@ def solve_dataset_tpu(dataset, cfg: AlignasmConfig, batch_size: int = 256,
                 continue
         packed.append((i, pack_graph(build_graph(contig, cfg))))
 
+    from alignasm_tpu.ops.dense import (
+        dense_solve_batch, pack_dense_bucket, unpack_dense,
+    )
     from alignasm_tpu.ops.relax32 import rerank_dense, sp_batch32, unpack_sp
 
     # int32 eligibility: every path sum is bounded by the sum over
@@ -182,6 +185,7 @@ def solve_dataset_tpu(dataset, cfg: AlignasmConfig, batch_size: int = 256,
                 and sum(seg_max_tot.values()) <= 2**10)
 
     stats["int32_buckets"] = 0
+    stats["dense_buckets"] = 0
     # bucket by padded shapes
     packed.sort(key=lambda t: (t[1].g.n_vertices, len(t[1].eu)))
     bucket_inputs = []
@@ -193,6 +197,19 @@ def solve_dataset_tpu(dataset, cfg: AlignasmConfig, batch_size: int = 256,
         # pow2-rounded so bucket shapes (and XLA compiles) stay bounded
         n_sweeps = _next_pow2(max(pg.g.n for _i, pg in chunk) + 2)
         use32 = all(fits32(pg) for _i, pg in chunk)
+
+        # dense VMEM formulation (ops/dense.py): the production kernel
+        # for bucket-sized contigs — broadcast+row-min sweeps, no
+        # gather/scatter.  Needs int32 scores and one edge per (u, v).
+        if use32 and V <= cfg.dense_max_v:
+            dense = pack_dense_bucket(chunk, V)
+            if dense is not None:
+                ws, wa, dests = dense
+                bucket_inputs.append(dict(
+                    chunk=chunk, B=B, V=V, n_sweeps=n_sweeps,
+                    kind="dense", args=(ws, wa, dests),
+                ))
+                continue
 
         def pad(arrs, dtype, fill):
             out = np.full((B, E), fill, dtype)
@@ -218,7 +235,8 @@ def solve_dataset_tpu(dataset, cfg: AlignasmConfig, batch_size: int = 256,
         dests = np.asarray([pg.g.dest for _i, pg in chunk], np.int32)
 
         bucket_inputs.append(dict(
-            chunk=chunk, B=B, V=V, n_sweeps=n_sweeps, use32=use32,
+            chunk=chunk, B=B, V=V, n_sweeps=n_sweeps,
+            kind="sparse32" if use32 else "sparse64",
             args=(eu, ev, es, ea, enz, etot, erank, evalid, srcs, dests),
         ))
 
@@ -251,10 +269,17 @@ def solve_dataset_tpu(dataset, cfg: AlignasmConfig, batch_size: int = 256,
     # launch every phase-1 kernel before syncing any — buckets overlap
     # on device and transfer latency amortizes across the dataset
     for binp in bucket_inputs:
-        if binp["use32"]:
+        args = binp["args"]
+        binp["realB"] = binp["B"]
+        if binp["kind"] == "dense":
+            stats["dense_buckets"] += 1
+            if shard_batch is not None:
+                args, binp["realB"] = shard_batch(args)
+            binp["pending"] = dense_solve_batch(
+                *args, n_sweeps=binp["n_sweeps"]
+            )
+        elif binp["kind"] == "sparse32":
             stats["int32_buckets"] += 1
-            args = binp["args"]
-            binp["realB"] = args[0].shape[0]
             if shard_batch is not None:
                 args, binp["realB"] = shard_batch(args)
             binp["pending"] = sp_batch32(
@@ -266,14 +291,18 @@ def solve_dataset_tpu(dataset, cfg: AlignasmConfig, batch_size: int = 256,
         B = binp["B"]
         V = binp["V"]
         n_sweeps = binp["n_sweeps"]
-        use32 = binp["use32"]
-        eu, ev, es, ea, enz, etot, erank, evalid, srcs, dests = binp["args"]
-        if use32:
+        if binp["kind"] == "dense":
+            stacked = np.asarray(binp["pending"])  # (B, 5, V): one transfer
+            stacked = stacked[: binp["realB"]]     # drop mesh padding
+            pers = [unpack_dense(stacked[b]) for b in range(B)]
+            inf = 2**30
+        elif binp["kind"] == "sparse32":
             stacked = np.asarray(binp["pending"])  # (B, 6, V): one transfer
             stacked = stacked[: binp["realB"]]     # drop mesh padding
             pers = [unpack_sp(stacked[b]) for b in range(B)]
             inf = 2**30
         else:
+            eu, ev, es, ea, enz, etot, erank, evalid, srcs, dests = binp["args"]
             dev = solve_graph_batch(
                 eu, ev, es, ea, enz, etot, erank, evalid, srcs, dests,
                 V=V, n_sweeps=n_sweeps,

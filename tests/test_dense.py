@@ -1,0 +1,103 @@
+"""Production dense kernel (ops/dense.py) vs the host engine's DPs."""
+
+import numpy as np
+import pytest
+
+from alignasm_tpu.config import DEFAULT_CONFIG
+from alignasm_tpu.testing.synth import generate_hard_paf, generate_paf
+
+
+def _packed_graphs(tmp_path, text):
+    from alignasm_tpu.engine.device import pack_graph
+    from alignasm_tpu.engine.graph import build_graph
+    from alignasm_tpu.io.paf import read_paf
+
+    p = tmp_path / "d.paf"
+    p.write_text(text)
+    ds = read_paf(p)
+    return [
+        (contig, pack_graph(build_graph(contig, DEFAULT_CONFIG)))
+        for contig in ds.contigs
+        if len(contig) >= 2
+    ]
+
+
+@pytest.mark.parametrize("kind,seed", [("basic", 2), ("hard", 4)])
+def test_dense_kernel_matches_host_dps(tmp_path, kind, seed):
+    """d_s/d_a/floor/cnt_tot/cnt_min from the dense kernel vs the exact
+    engine's own machinery, per vertex."""
+    from alignasm_tpu.engine import dial
+    from alignasm_tpu.engine.kshortest import KShortestWalks
+    from alignasm_tpu.model import distance as D
+    from alignasm_tpu.ops.dense import INF32, dense_solve_batch, pack_dense_bucket
+
+    gen = generate_paf if kind == "basic" else generate_hard_paf
+    pgs = _packed_graphs(tmp_path, gen(n_contigs=8, seed=seed))
+    chunk = [(i, pg) for i, (_c, pg) in enumerate(pgs)]
+    V = 1 << max(pg.g.n_vertices for _i, pg in chunk).bit_length()
+    n_sweeps = max(pg.g.n for _i, pg in chunk) + 2
+    ws, wa, dests = pack_dense_bucket(chunk, V)
+    out = np.asarray(dense_solve_batch(ws, wa, dests, n_sweeps=n_sweeps))
+
+    for b, (_i, pg) in enumerate(chunk):
+        g = pg.g
+        d_s, d_a, floor_a, cnt_tot, cnt_min = out[b]
+        solver = KShortestWalks(g.adj, D.CALC_SUM)
+        kd = solver.solve(g.src, g.dest, DEFAULT_CONFIG.max_path_count)
+        for u in range(g.n_vertices):
+            hd = solver.d[u]
+            if hd is D.MAX_DIST:
+                assert d_s[u] >= INF32, u
+            else:
+                assert int(d_s[u]) == hd[0] + hd[1], u
+                assert int(d_a[u]) == hd[2], u
+        anom_adj = [[(v, w[D.A]) for v, w in row] for row in g.adj]
+        anom_dis, _ = dial.k_weighted_bfs(anom_adj, g.src, 2)
+        assert int(floor_a[g.src]) == anom_dis[g.dest]
+        # tie-group size == walks sharing the min (sum, anom)
+        tie = sum(1 for d in kd if D.eq_sum_anom(kd[0], d))
+        sat = min(len(kd), 10_001)
+        assert int(cnt_min[g.src]) == min(tie, 10_001) or tie >= 10_001
+        assert int(cnt_tot[g.src]) >= sat or int(cnt_tot[g.src]) == 10_001
+
+
+def test_dense_rejects_parallel_edges():
+    """pack_dense_bucket must refuse duplicate (u, v) cells."""
+    import dataclasses
+
+    from alignasm_tpu.engine.device import PackedGraph
+    from alignasm_tpu.ops.dense import pack_dense_bucket
+
+    @dataclasses.dataclass
+    class GStub:
+        n_vertices: int = 4
+        dest: int = 3
+        n: int = 2
+
+    pg = PackedGraph(
+        g=GStub(),
+        eu=np.array([0, 0], np.int32), ev=np.array([1, 1], np.int32),
+        es=np.array([5, 7], np.int64), ea=np.zeros(2, np.int32),
+        enz=np.zeros(2, np.int32), etot=np.zeros(2, np.int32),
+        erank=np.zeros(2, np.int64), edge_w=[],
+    )
+    assert pack_dense_bucket([(0, pg)], 4) is None
+
+
+def test_device_engine_uses_dense_kernel(tmp_path):
+    """Bench-like contigs must route through the dense kernel and still
+    equal the exact engine."""
+    import copy
+
+    from alignasm_tpu.engine.exact import solve_dataset
+    from alignasm_tpu.io.paf import read_paf
+    from alignasm_tpu.runtime.scheduler import solve_dataset_tpu
+
+    p = tmp_path / "dd.paf"
+    p.write_text(generate_paf(n_contigs=16, seed=55))
+    ds = read_paf(p)
+    ds2 = copy.deepcopy(ds)
+    got = solve_dataset_tpu(ds, DEFAULT_CONFIG)
+    stats = solve_dataset_tpu.last_stats
+    assert stats["dense_buckets"] > 0, stats
+    assert got == solve_dataset(ds2, DEFAULT_CONFIG)
