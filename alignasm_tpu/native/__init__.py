@@ -150,6 +150,37 @@ def get_lib():
             ctypes.c_int, ctypes.c_char_p, ctypes.c_int,
         ]
         lib.aln_write_outputs.restype = ctypes.c_int
+        i8p = npc.ndpointer(dtype="int8", flags="C_CONTIGUOUS")
+        llp = ctypes.POINTER(ctypes.c_longlong)
+        lib.aln_meta_bulk.argtypes = [ctypes.c_void_p, i64p]
+        lib.aln_meta_bulk.restype = ctypes.c_int
+        lib.aln_export_dense.argtypes = [
+            ctypes.c_void_p, i64p, ctypes.c_longlong, ctypes.c_longlong,
+            i32p, i32p, i32p, i8p, ctypes.c_int,
+        ]
+        lib.aln_export_dense.restype = ctypes.c_int
+        lib.aln_finish_bulk.argtypes = [
+            ctypes.c_void_p, i64p, ctypes.c_longlong, i32p,
+            ctypes.c_longlong, ctypes.c_int, ctypes.c_int,
+            llp, llp, ctypes.c_char_p, ctypes.c_int,
+        ]
+        lib.aln_finish_bulk.restype = ctypes.c_int
+        lib.aln_solve_remaining.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+            llp, ctypes.c_char_p, ctypes.c_int,
+        ]
+        lib.aln_solve_remaining.restype = ctypes.c_int
+        lib.aln_write_results.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int,
+            ctypes.c_char_p, ctypes.c_int,
+        ]
+        lib.aln_write_results.restype = ctypes.c_int
+        lib.aln_results_counts.argtypes = [ctypes.c_void_p, i64p]
+        lib.aln_results_counts.restype = ctypes.c_longlong
+        lib.aln_results_group_sizes.argtypes = [ctypes.c_void_p, i64p]
+        lib.aln_results_group_sizes.restype = ctypes.c_int
+        lib.aln_results_fill.argtypes = [ctypes.c_void_p, i64p, i64p, i64p]
+        lib.aln_results_fill.restype = ctypes.c_int
         _lib = lib
     return _lib
 
@@ -253,6 +284,119 @@ class GraphExporter:
             for gi in range(int(sizes[2]))
         ]
         return out, alt, max_out
+
+    # ---- bulk device-engine path (no per-contig Python) --------------
+
+    def meta_bulk(self):
+        """(n, 8) int64 rows: [built, n_records, n_vertices, n_edges,
+        src, dest, score_bound, 0]."""
+        np = self._np
+        meta = np.empty((len(self), 8), np.int64)
+        self._lib.aln_meta_bulk(self._h, meta.reshape(-1))
+        return meta
+
+    def export_dense(self, idx, V: int, threads: int = 0):
+        """Dense (len(idx), V, V) int32 score/anomaly matrices for the
+        given contig indices, packed in C++.  Returns (ws, wa, dests,
+        ok_mask) — contigs with ok_mask False (parallel edges) must be
+        excluded from finish_bulk."""
+        np = self._np
+        idx = np.ascontiguousarray(idx, np.int64)
+        B = len(idx)
+        ws = np.empty((B, V, V), np.int32)
+        wa = np.empty((B, V, V), np.int32)
+        dests = np.empty((B,), np.int32)
+        status = np.empty((B,), np.int8)
+        rc = self._lib.aln_export_dense(
+            self._h, idx, B, V, ws.reshape(-1), wa.reshape(-1), dests,
+            status, threads,
+        )
+        if rc != 0:
+            raise NativeError("dense export failed")
+        return ws, wa, dests, status == 0
+
+    def finish_bulk(self, idx, dp, threads: int = 0, lazy_walks: bool = True):
+        """Finish contigs `idx` from their (B, 5, V) device DP rows —
+        device-assisted fast finish or full native solve, decided and
+        executed in C++.  Returns (n_fast, n_fallback)."""
+        np = self._np
+        idx = np.ascontiguousarray(idx, np.int64)
+        dp = np.ascontiguousarray(dp, np.int32)
+        B, five, V = dp.shape
+        assert five == 5 and B == len(idx)
+        n_fast = ctypes.c_longlong()
+        n_fb = ctypes.c_longlong()
+        err = ctypes.create_string_buffer(4096)
+        rc = self._lib.aln_finish_bulk(
+            self._h, idx, B, dp.reshape(-1), V,
+            1 if lazy_walks else 0, threads,
+            ctypes.byref(n_fast), ctypes.byref(n_fb), err, len(err),
+        )
+        if rc != 0:
+            raise NativeError(err.value.decode(errors="replace"))
+        return int(n_fast.value), int(n_fb.value)
+
+    def solve_remaining(self, threads: int = 0, lazy_walks: bool = True) -> int:
+        """Full native solve for every contig without a stored result."""
+        n = ctypes.c_longlong()
+        err = ctypes.create_string_buffer(4096)
+        rc = self._lib.aln_solve_remaining(
+            self._h, 1 if lazy_walks else 0, threads,
+            ctypes.byref(n), err, len(err),
+        )
+        if rc != 0:
+            raise NativeError(err.value.decode(errors="replace"))
+        return int(n.value)
+
+    def write_results(self, out_prefix: str, threads: int = 0) -> None:
+        """Write the three output PAFs from the stored bulk results."""
+        err = ctypes.create_string_buffer(4096)
+        rc = self._lib.aln_write_results(
+            self._h, os.fsencode(out_prefix), threads, err, len(err),
+        )
+        if rc != 0:
+            raise NativeError(err.value.decode(errors="replace"))
+
+    def fetch_results(self):
+        """All stored results as (outs, alt_outs, max_outs) PafOutput
+        lists — two-pass bulk transfer, then one tight construction loop."""
+        np = self._np
+        from alignasm_tpu.model.records import PafOutput
+
+        n = len(self)
+        counts = np.empty((n, 3), np.int64)
+        total_groups = int(self._lib.aln_results_counts(self._h, counts.reshape(-1)))
+        gsizes = np.empty((max(total_groups, 1),), np.int64)
+        if total_groups:
+            self._lib.aln_results_group_sizes(self._h, gsizes)
+        n_main = int(counts[:, 0].sum())
+        n_alt = int(counts[:, 1].sum())
+        n_max = int(gsizes[:total_groups].sum()) if total_groups else 0
+        main_rows = np.empty((max(n_main, 1) * 6,), np.int64)
+        alt_rows = np.empty((max(n_alt, 1) * 6,), np.int64)
+        max_rows = np.empty((max(n_max, 1) * 6,), np.int64)
+        self._lib.aln_results_fill(self._h, main_rows, alt_rows, max_rows)
+
+        def rows_to_outputs(flat, total):
+            rows = flat[: total * 6].reshape(total, 6).tolist()
+            return [PafOutput(r[0], r[1], r[2], r[3], r[4], bool(r[5]))
+                    for r in rows]
+
+        mains = rows_to_outputs(main_rows, n_main)
+        alts = rows_to_outputs(alt_rows, n_alt)
+        maxes = rows_to_outputs(max_rows, n_max)
+        outs, alt_outs, max_outs = [], [], []
+        m = a = x = g = 0
+        for i in range(n):
+            cm, ca, cg = (int(v) for v in counts[i])
+            outs.append(mains[m:m + cm]); m += cm
+            alt_outs.append(alts[a:a + ca]); a += ca
+            groups = []
+            for _k in range(cg):
+                sz = int(gsizes[g]); g += 1
+                groups.append(maxes[x:x + sz]); x += sz
+            max_outs.append(groups)
+        return outs, alt_outs, max_outs
 
     def write_outputs(self, out_prefix: str, outs, alt_outs, max_outs,
                       threads: int = 0) -> None:

@@ -11,7 +11,9 @@
 #include <atomic>
 #include <cstring>
 #include <deque>
+#include <functional>
 #include <memory>
+#include <mutex>
 #include <thread>
 
 #include "io.h"
@@ -33,7 +35,43 @@ struct ExportCtx {
     std::vector<PackedContig> packed;
     aln::ContigResult last_result;
     std::string last_error;
+    // bulk device-finish result store (aln_finish_bulk / aln_solve_remaining)
+    std::vector<aln::ContigResult> results;
+    std::vector<char> done;
 };
+
+void ensure_results(ExportCtx &ctx) {
+    if (ctx.results.size() != ctx.ds.contigs.size()) {
+        ctx.results.resize(ctx.ds.contigs.size());
+        ctx.done.assign(ctx.ds.contigs.size(), 0);
+    }
+}
+
+void run_pool(int threads, long long n, const std::function<void(long long)> &body,
+              std::string &err) {
+    std::atomic<long long> next{0};
+    std::mutex errm;
+    auto worker = [&] {
+        while (true) {
+            long long i = next.fetch_add(1);
+            if (i >= n) break;
+            try {
+                body(i);
+            } catch (const std::exception &e) {
+                std::lock_guard<std::mutex> lk(errm);
+                if (err.empty()) err = e.what();
+            }
+        }
+    };
+    int nt = threads > 0 ? threads : (int) std::thread::hardware_concurrency();
+    if (nt <= 1 || n <= 1) {
+        worker();
+    } else {
+        std::vector<std::thread> pool;
+        for (int t = 0; t < nt; t++) pool.emplace_back(worker);
+        for (auto &t : pool) t.join();
+    }
+}
 
 void compute_ranks(PackedContig &pc) {
     const aln::Graph &g = pc.graph;
@@ -267,6 +305,215 @@ int aln_result_rows(void *h, int which, long long gi, int64_t *buf) {
     else {
         if (gi < 0 || gi >= (long long) ctx.last_result.max_out.size()) return 1;
         fill_rows(ctx.last_result.max_out[gi], buf);
+    }
+    return 0;
+}
+
+// ---- bulk device-engine ABI ----------------------------------------
+// One call each for metadata, dense packing, device finish, stragglers,
+// and result IO — the Python layer holds NO per-contig loops on the
+// production path (the round-1 bottleneck: ~1 ms of Python per contig).
+
+int aln_meta_bulk(void *h, int64_t *meta) {
+    // rows: (n, 8) i64 [built, n_records, n_vertices, n_edges, src,
+    // dest, score_bound, 0]; score_bound = sum over u of its max
+    // outgoing edge score-sum — an upper bound on any path sum, the
+    // int32-kernel eligibility test.
+    auto &ctx = *(ExportCtx *) h;
+    size_t n = ctx.ds.contigs.size();
+    for (size_t i = 0; i < n; i++) {
+        int64_t *m = meta + i * 8;
+        const auto &pc = ctx.packed[i];
+        m[0] = pc.built ? 1 : 0;
+        m[1] = (int64_t) ctx.ds.contigs[i].size();
+        m[2] = m[3] = m[4] = m[5] = m[6] = m[7] = 0;
+        if (!pc.built) continue;
+        const auto &g = pc.graph;
+        int64_t ne = 0, bound = 0;
+        for (const auto &a : g.adj) {
+            ne += (int64_t) a.size();
+            int64_t mx = 0;
+            for (const auto &e : a) mx = std::max(mx, e.w.sum());
+            bound += mx;
+        }
+        m[2] = (int64_t) g.adj.size();
+        m[3] = ne;
+        m[4] = g.src;
+        m[5] = g.dest;
+        m[6] = bound;
+    }
+    return 0;
+}
+
+int aln_export_dense(void *h, const int64_t *idx, long long n_idx, long long V,
+                     int32_t *ws, int32_t *wa, int32_t *dests, int8_t *status,
+                     int threads) {
+    // fills (n_idx, V, V) int32 score/anomaly matrices (INF32 = no
+    // edge); status[b] = 1 when a (u, v) cell is hit twice (parallel
+    // edge — caller must route that contig elsewhere; builders never
+    // emit them, this is a safety check)
+    auto &ctx = *(ExportCtx *) h;
+    const int32_t INF32 = 1 << 30;
+    std::string err;
+    run_pool(threads, n_idx, [&](long long b) {
+        const auto &pc = ctx.packed[idx[b]];
+        int32_t *wsb = ws + b * V * V;
+        int32_t *wab = wa + b * V * V;
+        std::fill(wsb, wsb + V * V, INF32);
+        std::fill(wab, wab + V * V, 0);
+        status[b] = pc.built ? 0 : 2;
+        if (!pc.built) return;
+        const auto &g = pc.graph;
+        if ((long long) g.adj.size() > V) {  // never write past the slab
+            status[b] = 3;
+            return;
+        }
+        dests[b] = g.dest;
+        for (size_t u = 0; u < g.adj.size() && !status[b]; u++) {
+            for (const auto &e : g.adj[u]) {
+                int32_t *cell = wsb + (long long) u * V + e.to;
+                if (*cell != INF32) {
+                    status[b] = 1;
+                    break;
+                }
+                *cell = (int32_t) e.w.sum();
+                wab[(long long) u * V + e.to] = (int32_t) e.w.a;
+            }
+        }
+    }, err);
+    return err.empty() ? 0 : 1;
+}
+
+int aln_finish_bulk(void *h, const int64_t *idx, long long n_idx,
+                    const int32_t *dp, long long V, int lazy_walks,
+                    int threads, long long *n_fast, long long *n_fallback,
+                    char *err, int errlen) {
+    // dp rows: (n_idx, 5, V) int32 [d_s, d_a, floor_a, cnt_tot,
+    // cnt_min] from ops/dense.py.  Fast-finishes provably
+    // order-insensitive contigs from the device DP; everything else
+    // gets the full native solve on the already-built graph.
+    auto &ctx = *(ExportCtx *) h;
+    ensure_results(ctx);
+    const int32_t INF32 = 1 << 30;
+    std::atomic<long long> fast{0}, fb{0};
+    aln::Config cfg = ctx.cfg;
+    cfg.lazy_walks = lazy_walks != 0;
+    std::string werr;
+    run_pool(threads, n_idx, [&](long long b) {
+        long long i = idx[b];
+        const auto &pc = ctx.packed[i];
+        const int32_t *row = dp + b * 5 * V;
+        const int32_t *d_s = row, *d_a = row + V, *fl = row + 2 * V;
+        const int32_t *ct = row + 3 * V, *cm = row + 4 * V;
+        aln::i32 src = pc.graph.src;
+        if (cm[src] == 1 && !(ct[src] >= 2 && d_a[src] != fl[src])) {
+            ctx.results[i] = aln::finish_from_device(pc.graph, d_s, d_a, INF32);
+            fast.fetch_add(1);
+        } else {
+            ctx.results[i] = aln::solve_from_graph(pc.graph, cfg);
+            fb.fetch_add(1);
+        }
+        ctx.done[i] = 1;
+    }, werr);
+    *n_fast = fast.load();
+    *n_fallback = fb.load();
+    if (!werr.empty()) {
+        set_err(err, errlen, werr);
+        return 1;
+    }
+    return 0;
+}
+
+int aln_solve_remaining(void *h, int lazy_walks, int threads,
+                        long long *n_solved, char *err, int errlen) {
+    // full native solve for every contig without a stored result:
+    // singletons, oversize, dense-ineligible, export rejects
+    auto &ctx = *(ExportCtx *) h;
+    ensure_results(ctx);
+    std::vector<long long> todo;
+    for (size_t i = 0; i < ctx.done.size(); i++)
+        if (!ctx.done[i]) todo.push_back((long long) i);
+    aln::Config cfg = ctx.cfg;
+    cfg.lazy_walks = lazy_walks != 0;
+    std::string werr;
+    run_pool(threads, (long long) todo.size(), [&](long long k) {
+        long long i = todo[k];
+        if (ctx.packed[i].built)
+            ctx.results[i] = aln::solve_from_graph(ctx.packed[i].graph, cfg);
+        else
+            ctx.results[i] = aln::solve_contig(ctx.ds.contigs[i], cfg);
+        ctx.done[i] = 1;
+    }, werr);
+    *n_solved = (long long) todo.size();
+    if (!werr.empty()) {
+        set_err(err, errlen, werr);
+        return 1;
+    }
+    return 0;
+}
+
+int aln_write_results(void *h, const char *out_prefix, int threads,
+                      char *err, int errlen) {
+    // clip + format + write the three PAFs from the stored results
+    auto &ctx = *(ExportCtx *) h;
+    try {
+        ensure_results(ctx);
+        size_t n = ctx.ds.contigs.size();
+        std::vector<std::vector<aln::OutRow>> mains(n), alts(n);
+        std::vector<std::vector<std::vector<aln::OutRow>>> maxes(n);
+        for (size_t i = 0; i < n; i++) {
+            mains[i] = ctx.results[i].out;
+            alts[i] = ctx.results[i].alt;
+            maxes[i] = ctx.results[i].max_out;
+        }
+        std::string prefix(out_prefix);
+        aln::write_rows(ctx.ds, mains, prefix + ".aln.paf", threads);
+        aln::write_rows(ctx.ds, alts, prefix + ".aln.alt.paf", threads);
+        aln::write_max_rows(ctx.ds, maxes, prefix + ".aln.all.paf");
+        return 0;
+    } catch (const std::exception &e) {
+        set_err(err, errlen, e.what());
+        return 1;
+    }
+}
+
+long long aln_results_counts(void *h, int64_t *counts) {
+    // counts rows: (n, 3) i64 [out_rows, alt_rows, max_groups];
+    // returns the total number of max groups
+    auto &ctx = *(ExportCtx *) h;
+    ensure_results(ctx);
+    long long total_groups = 0;
+    for (size_t i = 0; i < ctx.results.size(); i++) {
+        const auto &r = ctx.results[i];
+        counts[i * 3 + 0] = (int64_t) r.out.size();
+        counts[i * 3 + 1] = (int64_t) r.alt.size();
+        counts[i * 3 + 2] = (int64_t) r.max_out.size();
+        total_groups += (long long) r.max_out.size();
+    }
+    return total_groups;
+}
+
+int aln_results_group_sizes(void *h, int64_t *gsizes) {
+    auto &ctx = *(ExportCtx *) h;
+    long long g = 0;
+    for (const auto &r : ctx.results)
+        for (const auto &grp : r.max_out) gsizes[g++] = (int64_t) grp.size();
+    return 0;
+}
+
+int aln_results_fill(void *h, int64_t *main_rows, int64_t *alt_rows,
+                     int64_t *max_rows) {
+    auto &ctx = *(ExportCtx *) h;
+    long long m = 0, a = 0, x = 0;
+    for (const auto &r : ctx.results) {
+        fill_rows(r.out, main_rows + m * 6);
+        m += (long long) r.out.size();
+        fill_rows(r.alt, alt_rows + a * 6);
+        a += (long long) r.alt.size();
+        for (const auto &grp : r.max_out) {
+            fill_rows(grp, max_rows + x * 6);
+            x += (long long) grp.size();
+        }
     }
     return 0;
 }

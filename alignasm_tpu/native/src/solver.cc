@@ -695,6 +695,14 @@ ContigResult solve_contig(std::vector<Record> &records, const Config &cfg) {
         return res;
     }
     Graph g = build_graph(records, cfg);
+    return solve_from_graph(g, cfg);
+}
+
+// Steps 6-10 of solve_ctg_read on an already-built DAG — the device
+// engine's fallback target reuses graphs built at export time instead
+// of rebuilding them.
+ContigResult solve_from_graph(const Graph &g, const Config &cfg) {
+    ContigResult res;
     i64 floor_a = anom_floor(g);
 
     Walks walks(g);
@@ -819,6 +827,37 @@ ContigResult solve_contig(std::vector<Record> &records, const Config &cfg) {
             }
         }
     }
+    return res;
+}
+
+// Device-assisted finish: d_s/d_a are the device DP's per-vertex
+// (score-sum, anomaly) minima to dest (int32; `inf` = unreachable
+// sentinel).  The caller guarantees the provably order-insensitive
+// case (cnt_min == 1, no alt scan — see engine/device.py docstring),
+// which makes the achieving path UNIQUE, so no fraction/rank
+// tie-breaks are needed to reproduce the reference's best walk.
+ContigResult finish_from_device(const Graph &g, const int32_t *d_s,
+                                const int32_t *d_a, int32_t inf) {
+    EdgePath path;
+    i32 u = g.src;
+    while (u != g.dest) {
+        const Edge *hit = nullptr;
+        for (const auto &e : g.adj[u]) {
+            if (d_s[e.to] < inf &&
+                (i64) d_s[e.to] + e.w.sum() == (i64) d_s[u] &&
+                (i64) d_a[e.to] + e.w.a == (i64) d_a[u]) {
+                hit = &e;
+                break;
+            }
+        }
+        if (!hit) throw std::runtime_error("no achieving edge in device finish");
+        path.emplace_back(u, hit->to, hit->w);
+        u = hit->to;
+    }
+    Upgrader up(g);
+    std::unordered_map<i32, bool> not_alt;
+    ContigResult res;
+    res.out = to_rows(g, up, std::move(path), not_alt);
     return res;
 }
 

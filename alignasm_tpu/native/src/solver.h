@@ -22,6 +22,16 @@ struct ContigResult {
 // sorted_index is written back into each record.
 ContigResult solve_contig(std::vector<Record> &records, const Config &cfg);
 
+// steps 6-10 of solve_ctg_read on an already-built DAG (records'
+// sorted_index set by build_graph)
+struct Graph;
+ContigResult solve_from_graph(const Graph &g, const Config &cfg);
+
+// device-assisted finish for the provably order-insensitive case
+// (unique best walk, no alt scan); d_s/d_a indexed by vertex id
+ContigResult finish_from_device(const Graph &g, const int32_t *d_s,
+                                const int32_t *d_a, int32_t inf);
+
 // ---- graph internals, exposed for the device-engine export ABI ------
 
 struct Edge {

@@ -1,0 +1,158 @@
+"""Device-engine benchmark: end-to-end throughput + kernel roofline.
+
+bench.py runs this module in a SUBPROCESS so that a hung device tunnel,
+a fatal runtime error, or a teardown abort can never take down the main
+bench (round-1 failure mode: a SIGALRM unwinding through C++ frames
+aborted the whole process at exit, rc 134).  Standalone use:
+
+    python -m alignasm_tpu.runtime.devbench [n_contigs]
+
+Prints ONE JSON line:
+  {"tpu_engine_contigs_per_s": ..., "tpu_engine_stats": {...},
+   "kernels": {"dense": {...}, "sparse": {...}}}
+
+Kernel roofline methodology (BASELINE.json's "relaxation sweeps/s/chip"
+metric): time the jitted bucket program on a representative synthetic
+bucket (B contigs x V vertices, n_sweeps relaxation sweeps), best of
+``reps`` after a warm-up compile.  ``bytes_per_sweep`` is the HBM-model
+traffic of ONE d-relaxation sweep over the whole bucket:
+
+  dense:  read ws + wa ((B, V, V) int32 each)       = B * 2 * V^2 * 4
+  sparse: read 7 edge arrays + gather 4 state arrays
+          + segment-min traffic ~ 10 V-vectors      = B*(11*E + 10*V)*4
+
+If the achieved bytes/s exceeds the chip's HBM peak, the matrices are
+VMEM-resident across the sweep loop — the design goal; the number is
+then an EFFECTIVE bandwidth, reported as such via ``vmem_resident``.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import tempfile
+import time
+
+# HBM peak bytes/s by device kind (first match wins); used for the
+# % of speed-of-light statement.  v5 lite = 819 GB/s (public spec).
+HBM_PEAK = (
+    ("v5 lite", 819e9),
+    ("v5e", 819e9),
+    ("v4", 1228e9),
+    ("v5p", 2765e9),
+    ("v6", 1640e9),
+)
+DEFAULT_PEAK = 819e9
+
+
+def _device_peak():
+    import jax
+
+    kind = jax.devices()[0].device_kind.lower()
+    for pat, peak in HBM_PEAK:
+        if pat in kind:
+            return kind, peak
+    return kind, DEFAULT_PEAK
+
+
+def bench_end_to_end(n_contigs: int, seed: int = 2024):
+    """Timed solve_dataset_tpu over the bench corpus (native host plane),
+    warm (first run pays compiles + the first-transfer stall)."""
+    import pathlib
+
+    from alignasm_tpu.config import DEFAULT_CONFIG
+    from alignasm_tpu.io.paf import read_paf
+    from alignasm_tpu.runtime.scheduler import solve_dataset_tpu
+    from alignasm_tpu.testing.synth import generate_paf
+
+    work = pathlib.Path(tempfile.mkdtemp(prefix="alignasm_devbench_"))
+    paf = work / "bench_tpu.paf"
+    paf.write_text(generate_paf(n_contigs=n_contigs, seed=seed,
+                                max_records_per_contig=24))
+    paths = (str(paf), None)
+    ds = read_paf(paf)
+    solve_dataset_tpu(ds, DEFAULT_CONFIG, src_paths=paths)  # warm-up
+    ds = read_paf(paf)
+    t0 = time.perf_counter()
+    solve_dataset_tpu(ds, DEFAULT_CONFIG, src_paths=paths)
+    elapsed = time.perf_counter() - t0
+    return round(n_contigs / elapsed, 2), solve_dataset_tpu.last_stats
+
+
+def _bench_one(launch, n_launch_sweeps, bytes_per_sweep, reps=5):
+    import jax
+
+    jax.block_until_ready(launch())  # compile + warm
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        jax.block_until_ready(launch())
+        best = min(best, time.perf_counter() - t0)
+    kind, peak = _device_peak()
+    eff = bytes_per_sweep * n_launch_sweeps / best
+    return {
+        "s_per_launch": round(best, 6),
+        "sweeps_per_s": round(n_launch_sweeps / best, 1),
+        "model_bytes_per_sweep": bytes_per_sweep,
+        "effective_GB_per_s": round(eff / 1e9, 1),
+        "pct_of_hbm_peak": round(100 * eff / peak, 1),
+        "vmem_resident": eff > peak,
+        "device_kind": kind,
+        "hbm_peak_GB_per_s": round(peak / 1e9, 1),
+    }
+
+
+def bench_kernels(B=256, V=64, E=256, n_sweeps=32, seed=0):
+    """Roofline for the dense and sparse bucket kernels on a synthetic
+    random-DAG bucket shaped like the bench workload."""
+    import numpy as np
+
+    from alignasm_tpu.ops.dense import INF32, dense_solve_batch
+    from alignasm_tpu.ops.relax32 import sp_batch32
+
+    rng = np.random.default_rng(seed)
+
+    # dense: strict upper-triangular random edges (a DAG by construction)
+    mask = np.triu(rng.random((B, V, V)) < 0.08, k=1)
+    ws = np.where(mask, rng.integers(1, 1000, (B, V, V)), INF32).astype(np.int32)
+    wa = np.where(mask, rng.integers(0, 2, (B, V, V)), 0).astype(np.int32)
+    dests = np.full((B,), V - 1, np.int32)
+    dense = _bench_one(
+        lambda: dense_solve_batch(ws, wa, dests, n_sweeps=n_sweeps),
+        n_launch_sweeps=n_sweeps,
+        bytes_per_sweep=B * 2 * V * V * 4,
+    )
+    dense.update(B=B, V=V, n_sweeps=n_sweeps)
+
+    # sparse: E random forward edges per contig
+    eu = np.sort(rng.integers(0, V - 1, (B, E)), axis=1).astype(np.int32)
+    ev = (eu + 1 + rng.integers(0, 4, (B, E)) % (V - 1 - eu)).astype(np.int32)
+    es = rng.integers(1, 1000, (B, E)).astype(np.int32)
+    ea = rng.integers(0, 2, (B, E)).astype(np.int32)
+    enz = rng.integers(0, 2, (B, E)).astype(np.int32)
+    etot = np.ones((B, E), np.int32)
+    erank = np.arange(E, dtype=np.int32)[None].repeat(B, 0)
+    evalid = np.ones((B, E), bool)
+    srcs = np.zeros((B,), np.int32)
+    sparse = _bench_one(
+        lambda: sp_batch32(eu, ev, es, ea, enz, etot, erank, evalid,
+                           srcs, dests, V=V, n_sweeps=n_sweeps),
+        n_launch_sweeps=n_sweeps,
+        bytes_per_sweep=B * (11 * E + 10 * V) * 4,
+    )
+    sparse.update(B=B, V=V, E=E, n_sweeps=n_sweeps)
+    return {"dense": dense, "sparse": sparse}
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 2000
+    out = {}
+    cps, stats = bench_end_to_end(n)
+    out["tpu_engine_contigs_per_s"] = cps
+    out["tpu_engine_stats"] = stats
+    out["kernels"] = bench_kernels()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

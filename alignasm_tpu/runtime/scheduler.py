@@ -94,7 +94,6 @@ def solve_dataset_tpu(dataset, cfg: AlignasmConfig, batch_size: int = 256,
 
     from alignasm_tpu.engine.device import (
         Fallback, finish_contig, finish_contig_exact, pack_graph,
-        pack_graph_from_native,
     )
     from alignasm_tpu.engine.exact import solve_contig
     from alignasm_tpu.engine.graph import build_graph
@@ -102,39 +101,31 @@ def solve_dataset_tpu(dataset, cfg: AlignasmConfig, batch_size: int = 256,
     from alignasm_tpu.ops.relax import solve_graph_batch
 
     _warm_transfer_async()
+
+    if src_paths is not None:
+        # production path: C++ host plane end to end (parse -> build ->
+        # dense pack -> device DP -> finish -> write), no per-contig
+        # Python.  A native-plane failure must be VISIBLE: it degrades
+        # to the Python plane below with a warning + recorded reason (a
+        # silent degrade would hide a 30x slowdown behind identical
+        # outputs).
+        from alignasm_tpu import native
+
+        try:
+            return _solve_tpu_native(dataset, cfg, src_paths, write_prefix)
+        except native.NativeError as exc:
+            import warnings
+
+            warnings.warn(f"native host plane unavailable: {exc}",
+                          RuntimeWarning, stacklevel=2)
+            _solve_tpu_native.last_error = str(exc)
+
     n = len(dataset.contigs)
     outs = [None] * n
     alt_outs = [None] * n
     max_outs = [None] * n
     stats = {"device": 0, "fallback": 0, "singleton": 0, "oversize": 0,
              "host_plane": "python", "fallback_reasons": {}}
-
-    exporter = None
-    if src_paths is not None:
-        # a native-plane failure must be VISIBLE: only a missing/broken
-        # native build degrades to the Python host plane, and the reason
-        # is recorded in stats (a silent degrade here would hide a 30x
-        # packing slowdown behind identical outputs)
-        from alignasm_tpu import native
-
-        try:
-            exporter = native.GraphExporter(
-                src_paths[0], alt_path=src_paths[1],
-                alt_baseline=cfg.alt_baseline,
-                non_skip_linkable=cfg.non_skip_linkable,
-                max_records=cfg.max_device_records,
-                config=cfg,
-            )
-            stats["host_plane"] = "native"
-        except native.NativeError as exc:
-            import warnings
-
-            stats["host_plane_error"] = str(exc)
-            warnings.warn(f"native host plane unavailable: {exc}",
-                          RuntimeWarning, stacklevel=2)
-            exporter = None
-        if exporter is not None:
-            assert len(exporter) == n, "native/python contig count mismatch"
 
     packed = []  # (contig index, PackedGraph)
     for i, contig in enumerate(dataset.contigs):
@@ -146,17 +137,9 @@ def solve_dataset_tpu(dataset, cfg: AlignasmConfig, batch_size: int = 256,
             stats["singleton"] += 1
             continue
         if len(contig) > cfg.max_device_records:
-            if exporter is not None:
-                outs[i], alt_outs[i], max_outs[i] = exporter.solve_contig(i)
-            else:
-                outs[i], alt_outs[i], max_outs[i] = solve_contig(contig, cfg)
+            outs[i], alt_outs[i], max_outs[i] = solve_contig(contig, cfg)
             stats["oversize"] += 1
             continue
-        if exporter is not None:
-            exp = exporter.contig_graph(i)
-            if exp is not None:
-                packed.append((i, pack_graph_from_native(contig, exp)))
-                continue
         packed.append((i, pack_graph(build_graph(contig, cfg))))
 
     from alignasm_tpu.ops.dense import (
@@ -319,25 +302,148 @@ def solve_dataset_tpu(dataset, cfg: AlignasmConfig, batch_size: int = 256,
                 )
                 stats["device"] += 1
             except Fallback as fb:
-                # order-sensitive contig: finish with an engine that
-                # replicates the real walk-enumeration order — natively
-                # when available, else host Eppstein on the built graph
-                if exporter is not None:
-                    outs[i], alt_outs[i], max_outs[i] = exporter.solve_contig(i)
-                else:
-                    outs[i], alt_outs[i], max_outs[i] = finish_contig_exact(
-                        pg, per, cfg
-                    )
+                # order-sensitive contig: finish with the exact engine's
+                # real walk enumeration on the already-built graph
+                outs[i], alt_outs[i], max_outs[i] = finish_contig_exact(
+                    pg, per, cfg
+                )
                 stats["fallback"] += 1
                 reason = str(fb)
                 reasons = stats["fallback_reasons"]
                 reasons[reason] = reasons.get(reason, 0) + 1
 
-    if exporter is not None:
-        if write_prefix is not None:
-            # clip + format + write the three PAFs in C++
-            exporter.write_outputs(write_prefix, outs, alt_outs, max_outs)
-            stats["written_natively"] = True
-        exporter.close()
     solve_dataset_tpu.last_stats = stats
     return outs, alt_outs, max_outs
+
+
+def _dense_buckets(order, n_v, dense_cells: int = 2**26):
+    """Partition `order` (contig indices sorted by vertex count) into
+    (V, idxs) buckets: pow2-padded V per group, each bucket capped at
+    ``dense_cells`` total matrix cells (<= 512 MB of ws+wa at the
+    default).  Every contig lands in exactly one bucket and every bucket
+    satisfies n_v[idx] <= V."""
+    buckets = []
+    lo = 0
+    while lo < len(order):
+        V = _next_pow2(max(int(n_v[order[lo]]), 8))
+        hi = lo
+        while hi < len(order) and n_v[order[hi]] <= V:
+            hi += 1
+        cap = max(1, dense_cells // (V * V))
+        for s in range(lo, hi, cap):
+            idxs = order[s:min(s + cap, hi)]
+            assert (n_v[idxs] <= V).all()
+            buckets.append((V, idxs))
+        lo = hi
+    return buckets
+
+
+def _solve_tpu_native(dataset, cfg: AlignasmConfig, src_paths, write_prefix):
+    """Production device path: the C++ host plane does parse -> graph
+    build -> dense pack -> device-assisted finish -> output writing; the
+    Python layer only orchestrates bucket-shaped device launches.  There
+    are NO per-contig Python loops (round 1 spent ~1 ms of Python per
+    contig in dict packing and the host finish — 30x the C++ plane).
+
+    Per bucket: one C++ dense-pack call, one jitted device program, one
+    device->host transfer of the stacked (B, 5, V) DP rows, one C++
+    finish call (threaded; device-assisted fast path or full native
+    solve per contig).  Contigs outside the dense envelope (singletons,
+    oversize, int32-unsafe, parallel-edge) solve natively in one
+    threaded pass.
+    """
+    import time
+
+    import numpy as np
+
+    from alignasm_tpu import native
+    from alignasm_tpu.ops.dense import dense_solve_batch
+
+    t_start = time.perf_counter()
+    stats = {"device": 0, "fallback": 0, "singleton": 0, "oversize": 0,
+             "host_plane": "native", "dense_buckets": 0, "native_direct": 0}
+    exporter = native.GraphExporter(
+        src_paths[0], alt_path=src_paths[1],
+        alt_baseline=cfg.alt_baseline,
+        non_skip_linkable=cfg.non_skip_linkable,
+        max_records=cfg.max_device_records,
+        config=cfg,
+    )
+    try:
+        n = len(exporter)
+        if dataset is not None:
+            assert n == len(dataset.contigs), "native/python contig count mismatch"
+        meta = exporter.meta_bulk()
+        built = meta[:, 0] == 1
+        n_rec, n_v, bound = meta[:, 1], meta[:, 2], meta[:, 6]
+        stats["singleton"] = int((n_rec == 1).sum())
+        stats["oversize"] = int((n_rec > cfg.max_device_records).sum())
+        eligible = built & (n_v <= cfg.dense_max_v) & (bound < 2**29)
+        idx_all = np.where(eligible)[0]
+        stats["pack_s"] = round(time.perf_counter() - t_start, 4)
+
+        # bucket by padded V; cap the per-bucket dense footprint and pad
+        # B to pow2 so compiled shapes stay bounded
+        order = idx_all[np.argsort(n_v[idx_all], kind="stable")]
+        buckets = _dense_buckets(order, n_v)
+
+        # multi-device: shard bucket batches over a data mesh — contigs
+        # are independent, so XLA runs shards with zero communication
+        import jax
+
+        n_dev = jax.device_count()
+        spec = None
+        if n_dev > 1:
+            from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+            mesh = Mesh(np.array(jax.devices()), ("data",))
+            spec = NamedSharding(mesh, P("data"))
+            stats["data_mesh_devices"] = n_dev
+
+        t0 = time.perf_counter()
+        launches = []
+        for V, idxs in buckets:
+            ws, wa, dests, ok = exporter.export_dense(idxs, V)
+            if not ok.all():
+                ws, wa, dests = ws[ok], wa[ok], dests[ok]
+                idxs = idxs[ok]
+                if not len(idxs):
+                    continue
+            n_sweeps = _next_pow2(int(n_rec[idxs].max()) + 2)
+            realB = len(idxs)
+            padB = max(_next_pow2(realB), n_dev if spec is not None else 1)
+            if padB != realB:
+                reps = padB - realB
+                ws = np.concatenate([ws, np.repeat(ws[-1:], reps, 0)])
+                wa = np.concatenate([wa, np.repeat(wa[-1:], reps, 0)])
+                dests = np.concatenate([dests, np.repeat(dests[-1:], reps)])
+            if spec is not None:
+                ws, wa, dests = (jax.device_put(a, spec) for a in (ws, wa, dests))
+            pending = dense_solve_batch(ws, wa, dests, n_sweeps=n_sweeps)
+            launches.append((idxs, realB, pending))
+            stats["dense_buckets"] += 1
+        stats["launch_s"] = round(time.perf_counter() - t0, 4)
+
+        t0 = time.perf_counter()
+        for idxs, realB, pending in launches:
+            dp = np.asarray(pending)[:realB]
+            n_fast, n_fb = exporter.finish_bulk(idxs, dp)
+            stats["device"] += n_fast
+            stats["fallback"] += n_fb
+        stats["native_direct"] = exporter.solve_remaining() \
+            - stats["singleton"]
+        stats["finish_s"] = round(time.perf_counter() - t0, 4)
+
+        if write_prefix is not None:
+            t0 = time.perf_counter()
+            exporter.write_results(write_prefix)
+            stats["written_natively"] = True
+            stats["write_s"] = round(time.perf_counter() - t0, 4)
+            result = (None, None, None)
+        else:
+            result = exporter.fetch_results()
+    finally:
+        exporter.close()
+    stats["total_s"] = round(time.perf_counter() - t_start, 4)
+    solve_dataset_tpu.last_stats = stats
+    return result

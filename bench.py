@@ -70,46 +70,42 @@ def main() -> None:
     native_cps = N_CONTIGS / native_elapsed
     identical = ref_main == (work / "bench.aln.paf").read_bytes()
 
-    # --- batched TPU engine (informational, bounded subset) -------------
-    # guarded by an alarm: first-time bucket compiles through the remote
-    # helper can take minutes; never let them sink the whole bench run
-    import signal
-
+    # --- batched TPU engine + kernel roofline (subprocess) --------------
+    # the device section runs in its OWN process (runtime/devbench.py):
+    # a hung tunnel, a fatal plugin error, or a teardown abort is then a
+    # recorded tpu_error, never a crashed bench (round-1 rc 134 was a
+    # SIGALRM unwinding through the tunnel's C++ frames at exit)
     tpu_cps = None
     tpu_stats = None
-    n_tpu = int(os.environ.get("BENCH_TPU_CONTIGS", "100"))
+    tpu_kernels = None
+    tpu_error = None
+    n_tpu = int(os.environ.get("BENCH_TPU_CONTIGS", "2000"))
     # the first device->host transfer in a process stalls ~285 s on
     # this tunnel (see BENCH_RESULTS notes); the budget must cover it
     tpu_budget = int(os.environ.get("BENCH_TPU_BUDGET_S", "450"))
+    if n_tpu:
+        import sys
 
-    class _Timeout(Exception):
-        pass
-
-    def _alarm(_sig, _frm):
-        raise _Timeout()
-
-    signal.signal(signal.SIGALRM, _alarm)
-    signal.alarm(tpu_budget if n_tpu else 0)
-    try:
-        from alignasm_tpu.config import DEFAULT_CONFIG
-        from alignasm_tpu.io.paf import read_paf
-        from alignasm_tpu.runtime.scheduler import solve_dataset_tpu
-
-        small = work / "bench_tpu.paf"
-        small.write_text(generate_paf(n_contigs=n_tpu, seed=SEED,
-                                      max_records_per_contig=24))
-        paths = (str(small), None)
-        ds = read_paf(small)
-        solve_dataset_tpu(ds, DEFAULT_CONFIG, src_paths=paths)  # warm-up
-        ds = read_paf(small)
-        t0 = time.perf_counter()
-        solve_dataset_tpu(ds, DEFAULT_CONFIG, src_paths=paths)
-        tpu_cps = round(n_tpu / (time.perf_counter() - t0), 2)
-        tpu_stats = solve_dataset_tpu.last_stats
-    except Exception:
-        pass
-    finally:
-        signal.alarm(0)
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-m", "alignasm_tpu.runtime.devbench",
+                 str(n_tpu)],
+                capture_output=True, timeout=tpu_budget, text=True,
+                cwd=str(REPO),
+            )
+            line = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else ""
+            if proc.returncode == 0 and line.startswith("{"):
+                dev = json.loads(line)
+                tpu_cps = dev.get("tpu_engine_contigs_per_s")
+                tpu_stats = dev.get("tpu_engine_stats")
+                tpu_kernels = dev.get("kernels")
+            else:
+                tail = (proc.stderr or proc.stdout or "")[-500:]
+                tpu_error = f"rc {proc.returncode}: {tail}"
+        except subprocess.TimeoutExpired:
+            tpu_error = f"devbench exceeded {tpu_budget}s budget"
+        except Exception as exc:  # never let the TPU section sink the bench
+            tpu_error = repr(exc)
 
     n_records = sum(1 for _ in open(paf))
     print(json.dumps({
@@ -122,6 +118,8 @@ def main() -> None:
         "output_identical": identical,
         "tpu_engine_contigs_per_s": tpu_cps,
         "tpu_engine_stats": tpu_stats,
+        "tpu_kernels": tpu_kernels,
+        "tpu_error": tpu_error,
         "n_contigs": N_CONTIGS,
         "n_records": n_records,
         "threads": ncpu,

@@ -84,6 +84,26 @@ def test_dense_rejects_parallel_edges():
     assert pack_dense_bucket([(0, pg)], 4) is None
 
 
+def test_dense_bucket_partition():
+    """Buckets must PARTITION the contig set (each index exactly once),
+    respect the V bound, and split groups at the cell cap — regression
+    for a bucket slice that overran its V group into all remaining
+    contigs (heap overrun in the C++ dense pack)."""
+    from alignasm_tpu.runtime.scheduler import _dense_buckets
+
+    rng = np.random.default_rng(0)
+    n_v = rng.integers(3, 120, 200)
+    order = np.argsort(n_v, kind="stable")
+    buckets = _dense_buckets(order, n_v, dense_cells=64 * 64 * 4)
+    seen = np.concatenate([idxs for _v, idxs in buckets])
+    assert sorted(seen.tolist()) == list(range(200))
+    for V, idxs in buckets:
+        assert (n_v[idxs] <= V).all()
+        assert len(idxs) * V * V <= max(64 * 64 * 4, V * V)
+    # the small cap must have split large groups into multiple buckets
+    assert len(buckets) > 5
+
+
 def test_device_engine_uses_dense_kernel(tmp_path):
     """Bench-like contigs must route through the dense kernel and still
     equal the exact engine."""
