@@ -156,7 +156,7 @@ def get_lib():
         lib.aln_meta_bulk.restype = ctypes.c_int
         lib.aln_export_dense.argtypes = [
             ctypes.c_void_p, i64p, ctypes.c_longlong, ctypes.c_longlong,
-            i32p, i32p, i32p, i8p, ctypes.c_int,
+            i32p, i8p, ctypes.c_int,
         ]
         lib.aln_export_dense.restype = ctypes.c_int
         lib.aln_finish_bulk.argtypes = [
@@ -296,24 +296,23 @@ class GraphExporter:
         return meta
 
     def export_dense(self, idx, V: int, threads: int = 0):
-        """Dense (len(idx), V, V) int32 score/anomaly matrices for the
-        given contig indices, packed in C++.  Returns (ws, wa, dests,
-        ok_mask) — contigs with ok_mask False (parallel edges) must be
-        excluded from finish_bulk."""
+        """Single-tensor dense wire format for the given contig
+        indices, packed in C++: (len(idx), V + 1, V) int32 —
+        score|anom<<28 edge cells plus a dest row (see
+        ops/dense.py:dense_solve_packed).  Returns (packed, ok_mask);
+        contigs with ok_mask False (parallel edges / packing envelope
+        exceeded) must be excluded and solved natively."""
         np = self._np
         idx = np.ascontiguousarray(idx, np.int64)
         B = len(idx)
-        ws = np.empty((B, V, V), np.int32)
-        wa = np.empty((B, V, V), np.int32)
-        dests = np.empty((B,), np.int32)
+        packed = np.empty((B, V + 1, V), np.int32)
         status = np.empty((B,), np.int8)
         rc = self._lib.aln_export_dense(
-            self._h, idx, B, V, ws.reshape(-1), wa.reshape(-1), dests,
-            status, threads,
+            self._h, idx, B, V, packed.reshape(-1), status, threads,
         )
         if rc != 0:
             raise NativeError("dense export failed")
-        return ws, wa, dests, status == 0
+        return packed, status == 0
 
     def finish_bulk(self, idx, dp, threads: int = 0, lazy_walks: bool = True):
         """Finish contigs `idx` from their (B, 5, V) device DP rows —

@@ -346,21 +346,24 @@ int aln_meta_bulk(void *h, int64_t *meta) {
 }
 
 int aln_export_dense(void *h, const int64_t *idx, long long n_idx, long long V,
-                     int32_t *ws, int32_t *wa, int32_t *dests, int8_t *status,
-                     int threads) {
-    // fills (n_idx, V, V) int32 score/anomaly matrices (INF32 = no
-    // edge); status[b] = 1 when a (u, v) cell is hit twice (parallel
-    // edge — caller must route that contig elsewhere; builders never
-    // emit them, this is a safety check)
+                     int32_t *packed, int8_t *status, int threads) {
+    // Single-tensor wire format (ops/dense.py:dense_solve_packed):
+    // per contig a (V + 1, V) int32 slab — rows 0..V-1 hold
+    // score | anomaly << 28 per edge cell (INF32 = no edge), row V
+    // col 0 holds the dest vertex.  One tensor per bucket = one
+    // host->device transfer (each transfer pays a full round trip on
+    // tunneled backends).  status[b]: 1 = duplicate (u, v) cell,
+    // 2 = not built, 3 = V overflow, 4 = score/anomaly outside the
+    // packed envelope — caller routes those contigs to the native
+    // solver instead.
     auto &ctx = *(ExportCtx *) h;
     const int32_t INF32 = 1 << 30;
+    const long long slab = (V + 1) * V;
     std::string err;
     run_pool(threads, n_idx, [&](long long b) {
         const auto &pc = ctx.packed[idx[b]];
-        int32_t *wsb = ws + b * V * V;
-        int32_t *wab = wa + b * V * V;
-        std::fill(wsb, wsb + V * V, INF32);
-        std::fill(wab, wab + V * V, 0);
+        int32_t *pb = packed + b * slab;
+        std::fill(pb, pb + slab, INF32);
         status[b] = pc.built ? 0 : 2;
         if (!pc.built) return;
         const auto &g = pc.graph;
@@ -368,16 +371,21 @@ int aln_export_dense(void *h, const int64_t *idx, long long n_idx, long long V,
             status[b] = 3;
             return;
         }
-        dests[b] = g.dest;
+        pb[V * V] = g.dest;
         for (size_t u = 0; u < g.adj.size() && !status[b]; u++) {
             for (const auto &e : g.adj[u]) {
-                int32_t *cell = wsb + (long long) u * V + e.to;
+                int64_t s = e.w.sum();
+                int64_t a = e.w.a;
+                if (s < 0 || s >= (1 << 28) || a < 0 || a > 3) {
+                    status[b] = 4;
+                    break;
+                }
+                int32_t *cell = pb + (long long) u * V + e.to;
                 if (*cell != INF32) {
                     status[b] = 1;
                     break;
                 }
-                *cell = (int32_t) e.w.sum();
-                wab[(long long) u * V + e.to] = (int32_t) e.w.a;
+                *cell = (int32_t) (s | (a << 28));
             }
         }
     }, err);

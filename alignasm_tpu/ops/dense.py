@@ -43,8 +43,33 @@ import numpy as np
 
 INF32 = np.int32(2**30)
 COUNT_SAT = jnp.int32(10_001)
+ANOM_SHIFT = 28  # edge anomaly (<= 3) packed above the 28-bit score
 
 DENSE_ROWS = ("d_s", "d_a", "floor_a", "cnt_tot", "cnt_min")
+
+
+@functools.partial(jax.jit, static_argnames=("n_sweeps",))
+def dense_solve_packed(packed, n_sweeps):
+    """Batched dense solve from the single-tensor wire format.
+
+    ``packed``: (B, V + 1, V) int32 — rows 0..V-1 hold score|anom<<28
+    per edge cell (INF32 = no edge; scores < 2^28 and anomalies <= 3
+    are guaranteed by the eligibility check at pack time); row V col 0
+    holds the dest vertex.  One tensor per bucket = ONE host->device
+    transfer — on tunneled backends every transfer pays the full
+    round-trip latency, which dominates these kernels' runtime.
+    """
+    B, V1, V = packed.shape
+
+    def one(arr):
+        wsa = arr[:V]
+        dest = arr[V, 0]
+        edge = wsa != INF32
+        ws = wsa & jnp.int32((1 << ANOM_SHIFT) - 1)
+        wa = jax.lax.shift_right_logical(wsa, jnp.int32(ANOM_SHIFT))
+        return _solve_one(ws, wa, edge, dest, V, n_sweeps)
+
+    return jax.vmap(one)(packed)
 
 
 @functools.partial(jax.jit, static_argnames=("n_sweeps",))
@@ -60,62 +85,65 @@ def dense_solve_batch(ws, wa, dest, n_sweeps):
     B, V, _ = ws.shape
 
     def one(ws, wa, dest):
-        edge = ws < INF32
-
-        # --- (sum, anom) lexicographic min to dest -------------------
-        s0 = jnp.full((V,), INF32, jnp.int32).at[dest].set(0)
-        a0 = jnp.zeros((V,), jnp.int32)
-
-        def sweep(_, st):
-            s, a = st
-            cs = jnp.where(edge, ws + s[None, :], INF32)
-            m1 = jnp.min(cs, axis=1)
-            on = edge & (cs == m1[:, None])
-            ca = jnp.where(on, wa + a[None, :], INF32)
-            m2 = jnp.min(ca, axis=1)
-            better = (m1 < s) | ((m1 == s) & (m2 < a))
-            better = better & (m1 < INF32)
-            return jnp.where(better, m1, s), jnp.where(better, m2, a)
-
-        s, a = jax.lax.fori_loop(0, n_sweeps, sweep, (s0, a0))
-
-        # --- anomaly floor (min-plus on the anomaly weights) ---------
-        wa_open = jnp.where(edge, wa, INF32)
-
-        def fsweep(_, fa):
-            c = jnp.where(edge, wa_open + fa[None, :], INF32)
-            return jnp.minimum(fa, jnp.min(c, axis=1))
-
-        fa = jax.lax.fori_loop(0, n_sweeps, fsweep, s0)
-
-        # --- walk counts (saturating adjacency powers) ---------------
-        base = jnp.zeros((V,), jnp.int32).at[dest].set(1)
-        adj = edge.astype(jnp.int32)
-
-        def csweep(_, c):
-            return jnp.minimum(
-                base + jnp.sum(adj * c[None, :], axis=1, dtype=jnp.int32),
-                COUNT_SAT)
-
-        cnt_tot = jax.lax.fori_loop(0, n_sweeps, csweep, base)
-
-        # achieving edges: suffix optimality is forced by lex-additivity,
-        # so the tie group at src is exactly the achieving-path count
-        ach = (edge & (s[None, :] < INF32)
-               & (ws + s[None, :] == s[:, None])
-               & (wa + a[None, :] == a[:, None]))
-        achm = ach.astype(jnp.int32)
-
-        def msweep(_, c):
-            return jnp.minimum(
-                base + jnp.sum(achm * c[None, :], axis=1, dtype=jnp.int32),
-                COUNT_SAT)
-
-        cnt_min = jax.lax.fori_loop(0, n_sweeps, msweep, base)
-
-        return jnp.stack([s, a, fa, cnt_tot, cnt_min])
+        return _solve_one(ws, wa, ws < INF32, dest, V, n_sweeps)
 
     return jax.vmap(one)(ws, wa, dest)
+
+
+def _solve_one(ws, wa, edge, dest, V, n_sweeps):
+    # --- (sum, anom) lexicographic min to dest -------------------
+    s0 = jnp.full((V,), INF32, jnp.int32).at[dest].set(0)
+    a0 = jnp.zeros((V,), jnp.int32)
+
+    def sweep(_, st):
+        s, a = st
+        cs = jnp.where(edge, ws + s[None, :], INF32)
+        m1 = jnp.min(cs, axis=1)
+        on = edge & (cs == m1[:, None])
+        ca = jnp.where(on, wa + a[None, :], INF32)
+        m2 = jnp.min(ca, axis=1)
+        better = (m1 < s) | ((m1 == s) & (m2 < a))
+        better = better & (m1 < INF32)
+        return jnp.where(better, m1, s), jnp.where(better, m2, a)
+
+    s, a = jax.lax.fori_loop(0, n_sweeps, sweep, (s0, a0))
+
+    # --- anomaly floor (min-plus on the anomaly weights) ---------
+    wa_open = jnp.where(edge, wa, INF32)
+
+    def fsweep(_, fa):
+        c = jnp.where(edge, wa_open + fa[None, :], INF32)
+        return jnp.minimum(fa, jnp.min(c, axis=1))
+
+    fa = jax.lax.fori_loop(0, n_sweeps, fsweep, s0)
+
+    # --- walk counts (saturating adjacency powers) ---------------
+    base = jnp.zeros((V,), jnp.int32).at[dest].set(1)
+    adj = edge.astype(jnp.int32)
+
+    def csweep(_, c):
+        return jnp.minimum(
+            base + jnp.sum(adj * c[None, :], axis=1, dtype=jnp.int32),
+            COUNT_SAT)
+
+    cnt_tot = jax.lax.fori_loop(0, n_sweeps, csweep, base)
+
+    # achieving edges: suffix optimality is forced by lex-additivity,
+    # so the tie group at src is exactly the achieving-path count
+    ach = (edge & (s[None, :] < INF32)
+           & (ws + s[None, :] == s[:, None])
+           & (wa + a[None, :] == a[:, None]))
+    achm = ach.astype(jnp.int32)
+
+    def msweep(_, c):
+        return jnp.minimum(
+            base + jnp.sum(achm * c[None, :], axis=1, dtype=jnp.int32),
+            COUNT_SAT)
+
+    cnt_min = jax.lax.fori_loop(0, n_sweeps, msweep, base)
+
+    return jnp.stack([s, a, fa, cnt_tot, cnt_min])
+
 
 
 def unpack_dense(stacked_row):

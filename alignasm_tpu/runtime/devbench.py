@@ -107,20 +107,23 @@ def bench_kernels(B=256, V=64, E=256, n_sweeps=32, seed=0):
     random-DAG bucket shaped like the bench workload."""
     import numpy as np
 
-    from alignasm_tpu.ops.dense import INF32, dense_solve_batch
+    from alignasm_tpu.ops.dense import ANOM_SHIFT, INF32, dense_solve_packed
     from alignasm_tpu.ops.relax32 import sp_batch32
 
     rng = np.random.default_rng(seed)
 
-    # dense: strict upper-triangular random edges (a DAG by construction)
+    # dense (the production packed wire format): strict upper-triangular
+    # random edges (a DAG by construction), score|anom<<28 cells + dest row
     mask = np.triu(rng.random((B, V, V)) < 0.08, k=1)
-    ws = np.where(mask, rng.integers(1, 1000, (B, V, V)), INF32).astype(np.int32)
-    wa = np.where(mask, rng.integers(0, 2, (B, V, V)), 0).astype(np.int32)
-    dests = np.full((B,), V - 1, np.int32)
+    ws = rng.integers(1, 1000, (B, V, V)).astype(np.int32)
+    wa = rng.integers(0, 2, (B, V, V)).astype(np.int32)
+    packed = np.full((B, V + 1, V), INF32, np.int32)
+    packed[:, :V][mask] = ws[mask] | (wa[mask] << ANOM_SHIFT)
+    packed[:, V, 0] = V - 1
     dense = _bench_one(
-        lambda: dense_solve_batch(ws, wa, dests, n_sweeps=n_sweeps),
+        lambda: dense_solve_packed(packed, n_sweeps=n_sweeps),
         n_launch_sweeps=n_sweeps,
-        bytes_per_sweep=B * 2 * V * V * 4,
+        bytes_per_sweep=B * V * V * 4,
     )
     dense.update(B=B, V=V, n_sweeps=n_sweeps)
 

@@ -316,25 +316,47 @@ def solve_dataset_tpu(dataset, cfg: AlignasmConfig, batch_size: int = 256,
     return outs, alt_outs, max_outs
 
 
-def _dense_buckets(order, n_v, dense_cells: int = 2**26):
+def _dense_buckets(order, n_v, dense_cells: int = 2**26,
+                   merge_bonus: int = 2**23):
     """Partition `order` (contig indices sorted by vertex count) into
     (V, idxs) buckets: pow2-padded V per group, each bucket capped at
-    ``dense_cells`` total matrix cells (<= 512 MB of ws+wa at the
-    default).  Every contig lands in exactly one bucket and every bucket
-    satisfies n_v[idx] <= V."""
-    buckets = []
+    ``dense_cells`` total matrix cells (<= 256 MB at the default).
+    Every contig lands in exactly one bucket and every bucket satisfies
+    n_v[idx] <= V.
+
+    Adjacent V groups MERGE (the smaller group pads up) when the extra
+    padding cells stay under ``merge_bonus``: on tunneled backends every
+    launch pays a fixed round trip worth far more than the padded
+    compute, so a bench-shaped dataset should collapse into ONE launch.
+    """
+    groups = []  # (V, lo, hi)
     lo = 0
     while lo < len(order):
         V = _next_pow2(max(int(n_v[order[lo]]), 8))
         hi = lo
         while hi < len(order) and n_v[order[hi]] <= V:
             hi += 1
+        groups.append((V, lo, hi))
+        lo = hi
+
+    merged = []
+    for V, lo, hi in groups:
+        if merged:
+            pV, plo, phi = merged[-1]
+            extra = (phi - plo) * (V * V - pV * pV)
+            if extra <= merge_bonus and \
+                    (hi - plo) * V * V <= max(dense_cells, V * V):
+                merged[-1] = (V, plo, hi)
+                continue
+        merged.append((V, lo, hi))
+
+    buckets = []
+    for V, lo, hi in merged:
         cap = max(1, dense_cells // (V * V))
         for s in range(lo, hi, cap):
             idxs = order[s:min(s + cap, hi)]
             assert (n_v[idxs] <= V).all()
             buckets.append((V, idxs))
-        lo = hi
     return buckets
 
 
@@ -357,7 +379,7 @@ def _solve_tpu_native(dataset, cfg: AlignasmConfig, src_paths, write_prefix):
     import numpy as np
 
     from alignasm_tpu import native
-    from alignasm_tpu.ops.dense import dense_solve_batch
+    from alignasm_tpu.ops.dense import dense_solve_packed
 
     t_start = time.perf_counter()
     stats = {"device": 0, "fallback": 0, "singleton": 0, "oversize": 0,
@@ -378,7 +400,10 @@ def _solve_tpu_native(dataset, cfg: AlignasmConfig, src_paths, write_prefix):
         n_rec, n_v, bound = meta[:, 1], meta[:, 2], meta[:, 6]
         stats["singleton"] = int((n_rec == 1).sum())
         stats["oversize"] = int((n_rec > cfg.max_device_records).sum())
-        eligible = built & (n_v <= cfg.dense_max_v) & (bound < 2**29)
+        # score envelope 2^28 (packed wire format reserves bits 28-29
+        # for the edge anomaly); bound is a path-sum upper bound, so
+        # every edge score and every DP value stays packable
+        eligible = built & (n_v <= cfg.dense_max_v) & (bound < 2**27)
         idx_all = np.where(eligible)[0]
         stats["pack_s"] = round(time.perf_counter() - t_start, 4)
 
@@ -403,9 +428,9 @@ def _solve_tpu_native(dataset, cfg: AlignasmConfig, src_paths, write_prefix):
         t0 = time.perf_counter()
         launches = []
         for V, idxs in buckets:
-            ws, wa, dests, ok = exporter.export_dense(idxs, V)
+            packed, ok = exporter.export_dense(idxs, V)
             if not ok.all():
-                ws, wa, dests = ws[ok], wa[ok], dests[ok]
+                packed = packed[ok]
                 idxs = idxs[ok]
                 if not len(idxs):
                     continue
@@ -413,13 +438,11 @@ def _solve_tpu_native(dataset, cfg: AlignasmConfig, src_paths, write_prefix):
             realB = len(idxs)
             padB = max(_next_pow2(realB), n_dev if spec is not None else 1)
             if padB != realB:
-                reps = padB - realB
-                ws = np.concatenate([ws, np.repeat(ws[-1:], reps, 0)])
-                wa = np.concatenate([wa, np.repeat(wa[-1:], reps, 0)])
-                dests = np.concatenate([dests, np.repeat(dests[-1:], reps)])
+                packed = np.concatenate(
+                    [packed, np.repeat(packed[-1:], padB - realB, 0)])
             if spec is not None:
-                ws, wa, dests = (jax.device_put(a, spec) for a in (ws, wa, dests))
-            pending = dense_solve_batch(ws, wa, dests, n_sweeps=n_sweeps)
+                packed = jax.device_put(packed, spec)
+            pending = dense_solve_packed(packed, n_sweeps=n_sweeps)
             launches.append((idxs, realB, pending))
             stats["dense_buckets"] += 1
         stats["launch_s"] = round(time.perf_counter() - t0, 4)

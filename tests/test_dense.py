@@ -61,6 +61,27 @@ def test_dense_kernel_matches_host_dps(tmp_path, kind, seed):
         assert int(cnt_tot[g.src]) >= sat or int(cnt_tot[g.src]) == 10_001
 
 
+def test_dense_packed_wire_format_matches_unpacked():
+    """dense_solve_packed (single-tensor wire format, score|anom<<28)
+    must equal dense_solve_batch on random DAG buckets."""
+    from alignasm_tpu.ops.dense import (
+        ANOM_SHIFT, INF32, dense_solve_batch, dense_solve_packed,
+    )
+
+    rng = np.random.default_rng(3)
+    B, V, S = 8, 32, 16
+    mask = np.triu(rng.random((B, V, V)) < 0.2, k=1)
+    ws = np.where(mask, rng.integers(1, 2**27, (B, V, V)), INF32).astype(np.int32)
+    wa = np.where(mask, rng.integers(0, 4, (B, V, V)), 0).astype(np.int32)
+    dests = rng.integers(V // 2, V, B).astype(np.int32)
+    packed = np.full((B, V + 1, V), INF32, np.int32)
+    packed[:, :V][mask] = ws[mask] | (wa[mask] << ANOM_SHIFT)
+    packed[:, V, 0] = dests
+    a = np.asarray(dense_solve_batch(ws, wa, dests, n_sweeps=S))
+    b = np.asarray(dense_solve_packed(packed, n_sweeps=S))
+    np.testing.assert_array_equal(a, b)
+
+
 def test_dense_rejects_parallel_edges():
     """pack_dense_bucket must refuse duplicate (u, v) cells."""
     import dataclasses
@@ -94,7 +115,8 @@ def test_dense_bucket_partition():
     rng = np.random.default_rng(0)
     n_v = rng.integers(3, 120, 200)
     order = np.argsort(n_v, kind="stable")
-    buckets = _dense_buckets(order, n_v, dense_cells=64 * 64 * 4)
+    buckets = _dense_buckets(order, n_v, dense_cells=64 * 64 * 4,
+                             merge_bonus=0)
     seen = np.concatenate([idxs for _v, idxs in buckets])
     assert sorted(seen.tolist()) == list(range(200))
     for V, idxs in buckets:
@@ -102,6 +124,30 @@ def test_dense_bucket_partition():
         assert len(idxs) * V * V <= max(64 * 64 * 4, V * V)
     # the small cap must have split large groups into multiple buckets
     assert len(buckets) > 5
+
+
+def test_dense_bucket_merge_collapses_small_groups():
+    """With the default merge bonus, a bench-shaped V distribution must
+    collapse into ONE launch (every launch pays a fixed round trip on
+    tunneled backends); a huge group of tiny contigs must NOT be lifted
+    to a lone giant contig's V."""
+    from alignasm_tpu.runtime.scheduler import _dense_buckets
+
+    rng = np.random.default_rng(1)
+    n_v = rng.integers(4, 60, 2000)
+    order = np.argsort(n_v, kind="stable")
+    buckets = _dense_buckets(order, n_v)
+    assert len(buckets) == 1
+    assert buckets[0][0] == 64
+
+    n_v2 = np.concatenate([rng.integers(4, 9, 100_000), [250]])
+    order2 = np.argsort(n_v2, kind="stable")
+    buckets2 = _dense_buckets(order2, n_v2)
+    assert all((n_v2[idxs] <= V).all() for V, idxs in buckets2)
+    big = [V for V, idxs in buckets2 if 100_000 in idxs]
+    assert big == [256]
+    small = [(V, len(i)) for V, i in buckets2 if 100_000 not in i]
+    assert all(v == 8 for v, _c in small)
 
 
 def test_device_engine_uses_dense_kernel(tmp_path):
