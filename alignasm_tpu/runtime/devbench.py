@@ -137,6 +137,7 @@ def bench_kernels(B=256, V=64, E=256, n_sweeps=32, seed=0):
     erank = np.arange(E, dtype=np.int32)[None].repeat(B, 0)
     evalid = np.ones((B, E), bool)
     srcs = np.zeros((B,), np.int32)
+    dests = np.full((B,), V - 1, np.int32)
     sparse = _bench_one(
         lambda: sp_batch32(eu, ev, es, ea, enz, etot, erank, evalid,
                            srcs, dests, V=V, n_sweeps=n_sweeps),
