@@ -44,6 +44,10 @@ class AlignasmConfig:
     # (V, V) VMEM relaxation kernel (ops/dense.py); larger buckets use
     # the sparse gather/scatter kernels.
     dense_max_v: int = 256
+    # Contigs with at least this many records route to the edge-sharded
+    # graph-axis solve (parallel/mesh.py:solve_contig_sharded) when a
+    # multi-device mesh is available — the 512 GB-class path.
+    graph_shard_min_records: int = 4096
 
 
 DEFAULT_CONFIG = AlignasmConfig()

@@ -55,15 +55,25 @@ def _device_peak():
     return kind, DEFAULT_PEAK
 
 
-def bench_end_to_end(n_contigs: int, seed: int = 2024):
-    """Timed solve_dataset_tpu over the bench corpus (native host plane),
-    warm (first run pays compiles + the first-transfer stall)."""
+def bench_end_to_end(n_contigs: int, seed: int = 2024, reps: int = 3):
+    """Timed solve_dataset_tpu over the bench corpus (native host
+    plane), warm: the first run pays jit compiles and the tunnel's
+    first-transfer stall (~285 s seen on this backend), which is
+    absorbed SYNCHRONOUSLY before timing — the background warm thread
+    must not still be mid-stall when the timed transfers queue behind
+    it (measured 30-70x degradation)."""
     import pathlib
+
+    import jax
+    import numpy as np
 
     from alignasm_tpu.config import DEFAULT_CONFIG
     from alignasm_tpu.io.paf import read_paf
-    from alignasm_tpu.runtime.scheduler import solve_dataset_tpu
+    from alignasm_tpu.runtime import scheduler
     from alignasm_tpu.testing.synth import generate_paf
+
+    scheduler._warmed = True  # no background warm thread in the bench
+    np.asarray(jax.jit(lambda x: x + 1)(np.zeros(8, np.int32)))
 
     work = pathlib.Path(tempfile.mkdtemp(prefix="alignasm_devbench_"))
     paf = work / "bench_tpu.paf"
@@ -71,15 +81,20 @@ def bench_end_to_end(n_contigs: int, seed: int = 2024):
                                 max_records_per_contig=24))
     paths = (str(paf), None)
     ds = read_paf(paf)
-    solve_dataset_tpu(ds, DEFAULT_CONFIG, src_paths=paths)  # warm-up
-    ds = read_paf(paf)
-    t0 = time.perf_counter()
-    solve_dataset_tpu(ds, DEFAULT_CONFIG, src_paths=paths)
-    elapsed = time.perf_counter() - t0
-    return round(n_contigs / elapsed, 2), solve_dataset_tpu.last_stats
+    scheduler.solve_dataset_tpu(ds, DEFAULT_CONFIG, src_paths=paths)  # warm
+    best = float("inf")
+    for _ in range(reps):
+        ds = read_paf(paf)
+        t0 = time.perf_counter()
+        scheduler.solve_dataset_tpu(ds, DEFAULT_CONFIG, src_paths=paths)
+        best = min(best, time.perf_counter() - t0)
+    return round(n_contigs / best, 2), scheduler.solve_dataset_tpu.last_stats
 
 
 def _bench_one(launch, n_launch_sweeps, bytes_per_sweep, reps=5):
+    """Kernel COMPUTE roofline: inputs are device-resident (the
+    end-to-end stats carry the transfer costs, which on tunneled
+    backends are fixed-latency, not bandwidth)."""
     import jax
 
     jax.block_until_ready(launch())  # compile + warm
@@ -120,12 +135,32 @@ def bench_kernels(B=256, V=64, E=256, n_sweeps=32, seed=0):
     packed = np.full((B, V + 1, V), INF32, np.int32)
     packed[:, :V][mask] = ws[mask] | (wa[mask] << ANOM_SHIFT)
     packed[:, V, 0] = V - 1
+    import jax
+
+    packed_d = jax.device_put(packed)
     dense = _bench_one(
-        lambda: dense_solve_packed(packed, n_sweeps=n_sweeps),
+        lambda: dense_solve_packed(packed_d, n_sweeps=n_sweeps),
         n_launch_sweeps=n_sweeps,
         bytes_per_sweep=B * V * V * 4,
     )
     dense.update(B=B, V=V, n_sweeps=n_sweeps)
+
+    # marginal per-sweep cost: difference two sweep counts so the fixed
+    # dispatch/round-trip latency (which dominates s_per_launch on
+    # tunneled backends) cancels — this is the COMPUTE roofline
+    hi_sweeps = 16 * n_sweeps
+    t_hi = _bench_one(
+        lambda: dense_solve_packed(packed_d, n_sweeps=hi_sweeps),
+        n_launch_sweeps=hi_sweeps, bytes_per_sweep=B * V * V * 4,
+    )["s_per_launch"]
+    marg = max(t_hi - dense["s_per_launch"], 1e-9) / (hi_sweeps - n_sweeps)
+    _kind, peak = _device_peak()
+    eff = B * V * V * 4 / marg
+    dense["marginal_s_per_sweep"] = round(marg, 9)
+    dense["marginal_sweeps_per_s"] = round(1.0 / marg, 1)
+    dense["marginal_GB_per_s"] = round(eff / 1e9, 1)
+    dense["marginal_pct_of_hbm_peak"] = round(100 * eff / peak, 1)
+    dense["marginal_vmem_resident"] = eff > peak
 
     # sparse: E random forward edges per contig
     eu = np.sort(rng.integers(0, V - 1, (B, E)), axis=1).astype(np.int32)
@@ -138,6 +173,9 @@ def bench_kernels(B=256, V=64, E=256, n_sweeps=32, seed=0):
     evalid = np.ones((B, E), bool)
     srcs = np.zeros((B,), np.int32)
     dests = np.full((B,), V - 1, np.int32)
+    eu, ev, es, ea, enz, etot, erank, evalid, srcs, dests = (
+        jax.device_put(a)
+        for a in (eu, ev, es, ea, enz, etot, erank, evalid, srcs, dests))
     sparse = _bench_one(
         lambda: sp_batch32(eu, ev, es, ea, enz, etot, erank, evalid,
                            srcs, dests, V=V, n_sweeps=n_sweeps),

@@ -137,7 +137,20 @@ def solve_dataset_tpu(dataset, cfg: AlignasmConfig, batch_size: int = 256,
             stats["singleton"] += 1
             continue
         if len(contig) > cfg.max_device_records:
-            outs[i], alt_outs[i], max_outs[i] = solve_contig(contig, cfg)
+            import jax
+
+            if (len(contig) >= cfg.graph_shard_min_records
+                    and jax.device_count() > 1):
+                # 512 GB-class contig: edge-shard the relaxation over
+                # the device mesh (parallel/mesh.py)
+                from alignasm_tpu.parallel.mesh import solve_contig_sharded
+
+                outs[i], alt_outs[i], max_outs[i] = solve_contig_sharded(
+                    contig, cfg
+                )
+                stats["graph_sharded"] = stats.get("graph_sharded", 0) + 1
+            else:
+                outs[i], alt_outs[i], max_outs[i] = solve_contig(contig, cfg)
             stats["oversize"] += 1
             continue
         packed.append((i, pack_graph(build_graph(contig, cfg))))

@@ -111,6 +111,44 @@ def test_kernel_matches_host_dp(tmp_path):
         assert int(dev["floor_a"][0][g.src]) == anom_dis[g.dest]
 
 
+def test_graph_sharded_contig_byte_identical(tmp_path, oracle_bin):
+    """An oversized contig routed over the edge-sharded graph axis
+    (8-device virtual mesh) must produce PAF BYTES identical to the
+    oracle — the full path-recovery + write pipeline, not just d[]."""
+    import dataclasses
+    import pathlib
+
+    import jax
+
+    from alignasm_tpu.io.paf import read_paf, write_outputs
+    from alignasm_tpu.runtime.scheduler import solve_dataset_tpu
+    from tests.conftest import run_oracle
+
+    if jax.device_count() < 2:
+        pytest.skip("needs the virtual multi-device mesh")
+    paf = tmp_path / "shard.paf"
+    paf.write_text(generate_paf(n_contigs=1, seed=6,
+                                max_records_per_contig=60, mean_segment=250))
+    oracle_outs = run_oracle(oracle_bin, paf, tmp_path)
+
+    ds = read_paf(paf)
+    n_big = len(ds.contigs[0])
+    assert n_big >= 40
+    cfg = dataclasses.replace(DEFAULT_CONFIG, max_device_records=16,
+                              graph_shard_min_records=32)
+    outs, alt_outs, max_outs = solve_dataset_tpu(ds, cfg)
+    assert solve_dataset_tpu.last_stats.get("graph_sharded", 0) == 1
+
+    stem = tmp_path / "eng"
+    for name, data, kw in [(".aln.paf", outs, {}), (".aln.alt.paf", alt_outs, {}),
+                           (".aln.all.paf", max_outs, {"name_suffix_counts": True})]:
+        with open(str(stem) + name, "w") as fh:
+            write_outputs(ds, data, fh, **kw)
+    for o, suffix in zip(oracle_outs, ("", ".alt", ".all")):
+        got = pathlib.Path(str(stem) + f".aln{suffix}.paf")
+        assert o.read_bytes() == got.read_bytes(), f"aln{suffix}"
+
+
 def test_dryrun_multichip_virtual():
     import __graft_entry__ as ge
     import jax
