@@ -170,6 +170,11 @@ def get_lib():
             llp, ctypes.c_char_p, ctypes.c_int,
         ]
         lib.aln_solve_remaining.restype = ctypes.c_int
+        lib.aln_solve_subset.argtypes = [
+            ctypes.c_void_p, i64p, ctypes.c_longlong, ctypes.c_int,
+            ctypes.c_int, ctypes.c_char_p, ctypes.c_int,
+        ]
+        lib.aln_solve_subset.restype = ctypes.c_int
         lib.aln_write_results.argtypes = [
             ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int,
             ctypes.c_char_p, ctypes.c_int,
@@ -356,6 +361,44 @@ class GraphExporter:
         if rc != 0:
             raise NativeError(err.value.decode(errors="replace"))
 
+    def solve_subset(self, idx, threads: int = 0, lazy_walks: bool = True):
+        """Full native solve for an explicit contig index subset (the
+        multihost per-rank work)."""
+        np = self._np
+        idx = np.ascontiguousarray(idx, np.int64)
+        err = ctypes.create_string_buffer(4096)
+        rc = self._lib.aln_solve_subset(
+            self._h, idx, len(idx), 1 if lazy_walks else 0, threads,
+            err, len(err),
+        )
+        if rc != 0:
+            raise NativeError(err.value.decode(errors="replace"))
+
+    def fetch_results_raw(self):
+        """Stored results as flat numpy arrays: (counts (n, 3), gsizes,
+        main_rows, alt_rows, max_rows) with 6-column int64 rows — the
+        zero-copy wire format for multihost partials and bulk fetches."""
+        np = self._np
+
+        n = len(self)
+        counts = np.empty((n, 3), np.int64)
+        total_groups = int(self._lib.aln_results_counts(self._h, counts.reshape(-1)))
+        gsizes = np.empty((max(total_groups, 1),), np.int64)
+        if total_groups:
+            self._lib.aln_results_group_sizes(self._h, gsizes)
+        gsizes = gsizes[:total_groups]
+        n_main = int(counts[:, 0].sum())
+        n_alt = int(counts[:, 1].sum())
+        n_max = int(gsizes.sum()) if total_groups else 0
+        main_rows = np.empty((max(n_main, 1) * 6,), np.int64)
+        alt_rows = np.empty((max(n_alt, 1) * 6,), np.int64)
+        max_rows = np.empty((max(n_max, 1) * 6,), np.int64)
+        self._lib.aln_results_fill(self._h, main_rows, alt_rows, max_rows)
+        return (counts, gsizes,
+                main_rows[: n_main * 6].reshape(n_main, 6),
+                alt_rows[: n_alt * 6].reshape(n_alt, 6),
+                max_rows[: n_max * 6].reshape(n_max, 6))
+
     def fetch_results(self):
         """All stored results as (outs, alt_outs, max_outs) PafOutput
         lists — two-pass bulk transfer, then one tight construction loop."""
@@ -396,6 +439,27 @@ class GraphExporter:
                 groups.append(maxes[x:x + sz]); x += sz
             max_outs.append(groups)
         return outs, alt_outs, max_outs
+
+    def write_outputs_flat(self, out_prefix: str, m_rows, m_off, a_rows,
+                           a_off, x_rows, x_goff, gcnt_off,
+                           threads: int = 0) -> None:
+        """Clip + format + write the three PAFs from flat 6-column int64
+        row arrays with per-contig (and per-max-group) offsets — the
+        multihost rank-0 merge path."""
+        np = self._np
+        err = ctypes.create_string_buffer(4096)
+        rc = self._lib.aln_write_outputs(
+            self._h, os.fsencode(out_prefix),
+            np.ascontiguousarray(m_rows, np.int64).reshape(-1),
+            np.ascontiguousarray(m_off, np.int64),
+            np.ascontiguousarray(a_rows, np.int64).reshape(-1),
+            np.ascontiguousarray(a_off, np.int64),
+            np.ascontiguousarray(x_rows, np.int64).reshape(-1),
+            np.ascontiguousarray(x_goff, np.int64),
+            np.ascontiguousarray(gcnt_off, np.int64), threads, err, len(err),
+        )
+        if rc != 0:
+            raise NativeError(err.value.decode(errors="replace"))
 
     def write_outputs(self, out_prefix: str, outs, alt_outs, max_outs,
                       threads: int = 0) -> None:

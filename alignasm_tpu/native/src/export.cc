@@ -460,6 +460,30 @@ int aln_solve_remaining(void *h, int lazy_walks, int threads,
     return 0;
 }
 
+int aln_solve_subset(void *h, const int64_t *idx, long long n_idx,
+                     int lazy_walks, int threads, char *err, int errlen) {
+    // full native solve for an explicit contig subset (multihost: each
+    // rank solves the contigs congruent to its rank)
+    auto &ctx = *(ExportCtx *) h;
+    ensure_results(ctx);
+    aln::Config cfg = ctx.cfg;
+    cfg.lazy_walks = lazy_walks != 0;
+    std::string werr;
+    run_pool(threads, n_idx, [&](long long k) {
+        long long i = idx[k];
+        if (ctx.packed[i].built)
+            ctx.results[i] = aln::solve_from_graph(ctx.packed[i].graph, cfg);
+        else
+            ctx.results[i] = aln::solve_contig(ctx.ds.contigs[i], cfg);
+        ctx.done[i] = 1;
+    }, werr);
+    if (!werr.empty()) {
+        set_err(err, errlen, werr);
+        return 1;
+    }
+    return 0;
+}
+
 int aln_write_results(void *h, const char *out_prefix, int threads,
                       char *err, int errlen) {
     // clip + format + write the three PAFs from the stored results

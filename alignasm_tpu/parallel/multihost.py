@@ -2,12 +2,15 @@
 
 The reference is single-process (SURVEY.md §2.9/§5.8); here contig
 batches are data-parallel across hosts: each process solves the contigs
-whose index is congruent to its rank, writes a partial output set, and
-rank 0 merges partials in global contig order (a shared filesystem is
-assumed, as is standard for pod workloads).  Device-side collectives are
-not needed for the merge — contigs share nothing — so scaling is
-embarrassingly parallel and efficiency is bounded only by contig-size
-skew, which the modulo interleave smooths.
+whose index is congruent to its rank with the NATIVE C++ engine
+(honoring ``-t`` threads per rank), writes its partial results as flat
+int64 row arrays (npz, shared filesystem — standard for pod workloads),
+and rank 0 assembles the global row set and writes the three PAFs
+through the threaded native writer.  No Python objects ever cross
+process boundaries.  Device-side collectives are not needed for the
+merge — contigs share nothing — so scaling is embarrassingly parallel
+and efficiency is bounded only by contig-size skew, which the modulo
+interleave smooths.
 
 Run on each host:
 
@@ -26,6 +29,53 @@ import sys
 
 def shard_indices(n: int, rank: int, world: int):
     return list(range(rank, n, world))
+
+
+def _assemble_global(parts, world):
+    """Merge per-rank (counts, gsizes, main, alt, max) partials into the
+    flat global row arrays + offsets for the native writer.  Rank r owns
+    exactly the contigs with i % world == r, so per-contig slices come
+    from the owner's contig-major arrays."""
+    import numpy as np
+
+    n = parts[0][0].shape[0]
+    counts = np.zeros((n, 3), np.int64)
+    for r in range(world):
+        counts += parts[r][0]
+
+    # per-rank cursors into its own arrays
+    m_cur = [0] * world
+    a_cur = [0] * world
+    x_cur = [0] * world
+    g_cur = [0] * world
+    m_chunks, a_chunks, x_chunks = [], [], []
+    gsizes_g = []
+    for i in range(n):
+        r = i % world
+        cnt_r, gs_r, m_r, a_r, x_r = parts[r]
+        cm, ca, cg = (int(v) for v in cnt_r[i])
+        m_chunks.append(m_r[m_cur[r]:m_cur[r] + cm]); m_cur[r] += cm
+        a_chunks.append(a_r[a_cur[r]:a_cur[r] + ca]); a_cur[r] += ca
+        rows_in_groups = int(gs_r[g_cur[r]:g_cur[r] + cg].sum()) if cg else 0
+        gsizes_g.extend(gs_r[g_cur[r]:g_cur[r] + cg].tolist())
+        g_cur[r] += cg
+        x_chunks.append(x_r[x_cur[r]:x_cur[r] + rows_in_groups])
+        x_cur[r] += rows_in_groups
+
+    cat = lambda chunks: (np.concatenate(chunks) if chunks
+                          else np.empty((0, 6), np.int64))
+    m_rows, a_rows, x_rows = cat(m_chunks), cat(a_chunks), cat(x_chunks)
+    m_off = np.zeros(n + 1, np.int64)
+    a_off = np.zeros(n + 1, np.int64)
+    np.cumsum(counts[:, 0], out=m_off[1:])
+    np.cumsum(counts[:, 1], out=a_off[1:])
+    gcnt_off = np.zeros(n + 1, np.int64)
+    np.cumsum(counts[:, 2], out=gcnt_off[1:])
+    gsizes_g = np.asarray(gsizes_g, np.int64)
+    x_goff = np.zeros(len(gsizes_g) + 1, np.int64)
+    if len(gsizes_g):
+        np.cumsum(gsizes_g, out=x_goff[1:])
+    return m_rows, m_off, a_rows, a_off, x_rows, x_goff, gcnt_off
 
 
 def run_multihost(
@@ -51,55 +101,46 @@ def run_multihost(
     else:
         rank, world = 0, 1
 
-    from alignasm_tpu.config import DEFAULT_CONFIG
-    import dataclasses
+    import numpy as np
 
-    cfg = dataclasses.replace(
-        DEFAULT_CONFIG, alt_baseline=alt_baseline,
-        non_skip_linkable=non_skip_linkable,
+    from alignasm_tpu import native
+
+    # per-rank native plane: parse + merge in C++ (graph building is
+    # skipped here — max_records=0 — since the subset solve rebuilds
+    # per contig anyway and non-mine graphs would be wasted work)
+    exporter = native.GraphExporter(
+        paf_path, alt_path=alt_path if alt_path and os.path.getsize(alt_path)
+        else None,
+        alt_baseline=alt_baseline, non_skip_linkable=non_skip_linkable,
+        threads=threads, max_records=0,
     )
-    from alignasm_tpu.io.paf import merge_alt_paf, read_paf, write_outputs
+    try:
+        n = len(exporter)
+        mine = shard_indices(n, rank, world)
+        exporter.solve_subset(mine, threads=threads)
+        part = exporter.fetch_results_raw()
 
-    dataset = read_paf(paf_path)
-    if alt_path and os.path.getsize(alt_path):
-        merge_alt_paf(dataset, alt_path, cfg.alt_baseline)
+        stem = os.path.abspath(paf_path)[: -len(".paf")]
+        np.savez(f"{stem}.part{rank}.npz", counts=part[0], gsizes=part[1],
+                 main=part[2], alt=part[3], max=part[4])
 
-    mine = shard_indices(len(dataset.contigs), rank, world)
-    from alignasm_tpu.engine.exact import solve_contig
+        if world > 1:
+            from jax.experimental import multihost_utils
 
-    results = {}
-    for i in mine:
-        results[i] = solve_contig(dataset.contigs[i], cfg)
+            multihost_utils.sync_global_devices("alignasm_parts_written")
 
-    stem = os.path.abspath(paf_path)[: -len(".paf")]
-    import pickle
-
-    part = f"{stem}.part{rank}.pkl"
-    with open(part, "wb") as fh:
-        pickle.dump(results, fh)
-
-    if world > 1:
-        from jax.experimental import multihost_utils
-
-        multihost_utils.sync_global_devices("alignasm_parts_written")
-
-    if rank == 0:
-        merged = {}
-        for r in range(world):
-            with open(f"{stem}.part{r}.pkl", "rb") as fh:
-                merged.update(pickle.load(fh))
-        n = len(dataset.contigs)
-        outs = [merged[i][0] for i in range(n)]
-        alts = [merged[i][1] for i in range(n)]
-        maxes = [merged[i][2] for i in range(n)]
-        with open(stem + ".aln.paf", "w") as fh:
-            write_outputs(dataset, outs, fh)
-        with open(stem + ".aln.alt.paf", "w") as fh:
-            write_outputs(dataset, alts, fh)
-        with open(stem + ".aln.all.paf", "w") as fh:
-            write_outputs(dataset, maxes, fh, name_suffix_counts=True)
-        for r in range(world):
-            os.unlink(f"{stem}.part{r}.pkl")
+        if rank == 0:
+            parts = []
+            for r in range(world):
+                z = np.load(f"{stem}.part{r}.npz")
+                parts.append((z["counts"], z["gsizes"], z["main"],
+                              z["alt"], z["max"]))
+            flat = _assemble_global(parts, world)
+            exporter.write_outputs_flat(stem, *flat, threads=threads)
+            for r in range(world):
+                os.unlink(f"{stem}.part{r}.npz")
+    finally:
+        exporter.close()
 
 
 def main() -> None:
