@@ -45,7 +45,7 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         "timings to DIR")
     p.add_argument("--resume", metavar="JOURNAL",
                    help="journal file for per-contig checkpoint/resume "
-                        "(exact engine)")
+                        "(works with every --engine)")
     return p
 
 
@@ -72,7 +72,7 @@ def run(argv=None) -> int:
         return 1
 
     t0 = time.perf_counter()
-    if args.engine == "native":
+    if args.engine == "native" and not args.resume:
         from alignasm_tpu import native
 
         alt = args.alt
@@ -112,7 +112,16 @@ def run(argv=None) -> int:
         profile_ctx = jax.profiler.trace(args.profile)
         profile_ctx.__enter__()
 
-    if args.engine == "tpu":
+    if args.resume:
+        from alignasm_tpu.runtime.checkpoint import solve_dataset_resumable
+
+        outs, alt_outs, max_outs, stats = solve_dataset_resumable(
+            dataset, cfg, args.resume, engine=args.engine,
+            src_paths=(args.paf_loc, args.alt or None),
+            threads=args.thread,
+        )
+        print(f"resume: {stats}")
+    elif args.engine == "tpu":
         from alignasm_tpu.runtime.scheduler import solve_dataset_tpu
 
         out_p, alt_p, all_p = output_paths(args.paf_loc)
@@ -129,13 +138,6 @@ def run(argv=None) -> int:
             print(f"{len(dataset.contigs)} contigs, {n_rec} records in "
                   f"{elapsed:.2f}s ({len(dataset.contigs) / elapsed:.1f} contigs/s)")
             return 0
-    elif args.resume:
-        from alignasm_tpu.runtime.checkpoint import solve_dataset_resumable
-
-        outs, alt_outs, max_outs, stats = solve_dataset_resumable(
-            dataset, cfg, args.resume
-        )
-        print(f"resume: {stats}")
     elif args.thread > 1:
         from alignasm_tpu.runtime.scheduler import solve_dataset_parallel
 

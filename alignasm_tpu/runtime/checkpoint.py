@@ -69,34 +69,90 @@ class Journal:
         return len(self._done)
 
 
-def solve_dataset_resumable(dataset, cfg, journal_path: str, solve_contig=None):
+def solve_dataset_resumable(dataset, cfg, journal_path: str, solve_contig=None,
+                            engine: str = "exact", src_paths=None,
+                            chunk: int = 512, threads: int = 0):
     """Solve all contigs, skipping any already present in the journal.
+
+    ``engine`` selects who solves the missing contigs:
+      * ``exact``  — per-contig Python solve, journaled one by one;
+      * ``native`` — the C++ engine solves missing contigs in chunks of
+        ``chunk`` (requires ``src_paths=(paf, alt_or_None)``), the
+        journal flushing after every chunk so a crash loses at most one
+        chunk of work;
+      * ``tpu``    — the batched device engine solves the missing subset
+        in chunks.
 
     Returns (outs, alt_outs, max_outs, stats) where stats counts
     resumed vs solved contigs.
     """
-    if solve_contig is None:
-        from alignasm_tpu.engine.exact import solve_contig as solve_contig_fn
-    else:
-        solve_contig_fn = solve_contig
-
     journal = Journal(journal_path)
-    outs, alt_outs, max_outs = [], [], []
+    n = len(dataset.contigs)
+    outs = [None] * n
+    alt_outs = [None] * n
+    max_outs = [None] * n
     stats = {"resumed": 0, "solved": 0}
     try:
-        for contig in dataset.contigs:
-            key = contig_digest(contig, cfg)
+        keys = [contig_digest(c, cfg) for c in dataset.contigs]
+        missing = []
+        for i, key in enumerate(keys):
             hit = journal.get(key)
             if hit is not None:
-                o, a, m = hit
+                outs[i], alt_outs[i], max_outs[i] = hit
                 stats["resumed"] += 1
             else:
-                o, a, m = solve_contig_fn(contig, cfg)
-                journal.put(key, (o, a, m))
-                stats["solved"] += 1
-            outs.append(o)
-            alt_outs.append(a)
-            max_outs.append(m)
+                missing.append(i)
+        stats["solved"] = len(missing)
+
+        def put(i, o, a, m):
+            journal.put(keys[i], (o, a, m))
+            outs[i], alt_outs[i], max_outs[i] = o, a, m
+
+        if engine == "native":
+            from alignasm_tpu import native
+
+            assert src_paths is not None, "native resume needs src_paths"
+            exporter = native.GraphExporter(
+                src_paths[0], alt_path=src_paths[1],
+                alt_baseline=cfg.alt_baseline,
+                non_skip_linkable=cfg.non_skip_linkable,
+                threads=threads, max_records=0, config=cfg,
+            )
+            try:
+                assert len(exporter) == n
+                for lo in range(0, len(missing), chunk):
+                    part = missing[lo:lo + chunk]
+                    exporter.solve_subset(part, threads=threads)
+                    all_o, all_a, all_m = exporter.fetch_results()
+                    for i in part:
+                        put(i, all_o[i], all_a[i], all_m[i])
+            finally:
+                exporter.close()
+        elif engine == "tpu":
+            import copy
+            import dataclasses as _dc
+
+            from alignasm_tpu.io.paf import PafDataset
+            from alignasm_tpu.runtime.scheduler import solve_dataset_tpu
+
+            for lo in range(0, len(missing), chunk):
+                part = missing[lo:lo + chunk]
+                sub = PafDataset(
+                    contigs=[copy.deepcopy(dataset.contigs[i]) for i in part],
+                    ctg_names=[dataset.ctg_names[i] for i in part],
+                    chr_table=dataset.chr_table, paf_map={},
+                )
+                so, sa, sm = solve_dataset_tpu(sub, cfg)
+                for k, i in enumerate(part):
+                    put(i, so[k], sa[k], sm[k])
+        else:
+            if solve_contig is None:
+                from alignasm_tpu.engine.exact import solve_contig as solve_fn
+            else:
+                solve_fn = solve_contig
+            for i in missing:
+                o, a, m = solve_fn(dataset.contigs[i], cfg)
+                put(i, o, a, m)
     finally:
         journal.close()
     return outs, alt_outs, max_outs, stats

@@ -3,6 +3,8 @@
 import dataclasses
 import pathlib
 
+import pytest
+
 from alignasm_tpu.config import DEFAULT_CONFIG
 from alignasm_tpu.engine.exact import solve_dataset
 from alignasm_tpu.io.paf import read_paf
@@ -77,6 +79,92 @@ def test_resume_journal_keyed_by_all_record_fields(tmp_path):
     ds2.contigs[0][0].aln_len += 1
     _o, _a, _m, stats = solve_dataset_resumable(ds2, DEFAULT_CONFIG, str(journal))
     assert stats["solved"] >= 1
+
+
+@pytest.mark.parametrize("engine", ["native", "tpu"])
+def test_resume_native_and_tpu_engines(tmp_path, oracle_bin, engine):
+    """Resume must work for the production engines: a journal holding a
+    PREFIX of the contigs (simulating a crash mid-run) must yield
+    resumed > 0 plus byte-identical final outputs."""
+    import subprocess
+    import sys
+
+    from tests.conftest import run_oracle
+
+    p = _dataset(tmp_path, seed=21, n=10)
+    oracle_outs = run_oracle(oracle_bin, p, tmp_path)
+
+    # phase 1: journal only the first half (the "crashed" run)
+    from alignasm_tpu.runtime.checkpoint import Journal, contig_digest
+
+    ds = read_paf(p)
+    half = tmp_path / "half.paf"
+    journal = tmp_path / "j.bin"
+    from alignasm_tpu.engine.exact import solve_contig
+
+    j = Journal(str(journal))
+    for contig in ds.contigs[:5]:
+        j.put(contig_digest(contig, DEFAULT_CONFIG),
+              solve_contig(contig, DEFAULT_CONFIG))
+    j.close()
+
+    # phase 2: full run resumes through the CLI with the real engine
+    eng = tmp_path / "eng.paf"
+    eng.write_bytes(p.read_bytes())
+    proc = subprocess.run(
+        [sys.executable, "-m", "alignasm_tpu.cli", str(eng),
+         "--engine", engine, "--resume", str(journal)],
+        capture_output=True, text=True,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "'resumed': 5" in proc.stdout, proc.stdout
+    for o, suffix in zip(oracle_outs, ("", ".alt", ".all")):
+        got = pathlib.Path(str(eng)[:-4] + f".aln{suffix}.paf")
+        assert o.read_bytes() == got.read_bytes(), f"aln{suffix}"
+
+
+def test_resume_survives_kill9(tmp_path):
+    """kill -9 mid-run, rerun with the same journal: outputs equal a
+    clean run and at least one contig resumes from the journal."""
+    import signal
+    import subprocess
+    import sys
+    import time as _time
+
+    p = tmp_path / "k.paf"
+    from alignasm_tpu.testing.synth import generate_paf
+
+    p.write_text(generate_paf(n_contigs=300, seed=13))
+    journal = tmp_path / "jk.bin"
+    cmd = [sys.executable, "-m", "alignasm_tpu.cli", str(p),
+           "--engine", "exact", "--resume", str(journal)]
+    proc = subprocess.Popen(cmd, stdout=subprocess.PIPE, stderr=subprocess.PIPE)
+    # let it journal some contigs, then kill hard
+    deadline = _time.time() + 30
+    while _time.time() < deadline:
+        if journal.exists() and journal.stat().st_size > 0:
+            break
+        if proc.poll() is not None:
+            break
+        _time.sleep(0.02)
+    if proc.poll() is None:
+        proc.send_signal(signal.SIGKILL)
+        proc.wait()
+
+    out = subprocess.run(cmd, capture_output=True, text=True)
+    assert out.returncode == 0, out.stderr[-2000:]
+    if proc.returncode not in (0,):  # it was actually killed mid-run
+        assert "'resumed': " in out.stdout
+
+    # equality with a clean non-resumable run
+    clean = tmp_path / "clean.paf"
+    clean.write_bytes(p.read_bytes())
+    subprocess.run([sys.executable, "-m", "alignasm_tpu.cli", str(clean),
+                    "--engine", "exact"], check=True, capture_output=True)
+    for suffix in ("", ".alt", ".all"):
+        a = pathlib.Path(str(p)[:-4] + f".aln{suffix}.paf").read_bytes()
+        b = pathlib.Path(str(clean)[:-4] + f".aln{suffix}.paf").read_bytes()
+        assert a == b, f"aln{suffix}"
 
 
 def test_shard_indices_cover_and_partition():
