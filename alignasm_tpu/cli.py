@@ -49,6 +49,26 @@ def build_arg_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _progress_bar(width: int = 40):
+    """In-place progress bar for the serial path (the analogue of the
+    reference's indicators::ProgressBar, alignasm.cpp:362-397)."""
+    state = {"last": -1}
+
+    def tick(done: int, total: int) -> None:
+        pct = done * 100 // max(total, 1)
+        if pct == state["last"] and done != total:
+            return
+        state["last"] = pct
+        filled = width * done // max(total, 1)
+        sys.stderr.write(
+            f"\r[{'#' * filled}{'-' * (width - filled)}] {pct:3d}% "
+            f"({done}/{total} contigs)"
+        )
+        sys.stderr.flush()
+
+    return tick
+
+
 def output_paths(paf_loc: str):
     base = os.path.abspath(paf_loc)
     root, _ext = os.path.splitext(base)
@@ -145,7 +165,10 @@ def run(argv=None) -> int:
     else:
         from alignasm_tpu.engine.exact import solve_dataset
 
-        outs, alt_outs, max_outs = solve_dataset(dataset, cfg)
+        bar = _progress_bar() if args.progress else None
+        outs, alt_outs, max_outs = solve_dataset(dataset, cfg, progress=bar)
+        if bar is not None:
+            print(file=sys.stderr)
 
     if profile_ctx is not None:
         profile_ctx.__exit__(None, None, None)

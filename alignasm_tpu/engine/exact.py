@@ -293,12 +293,18 @@ def solve_from_graph(g: ContigGraph, cfg: AlignasmConfig, anom_floor=None):
     return out, alt_out, max_out
 
 
-def solve_dataset(dataset, cfg: AlignasmConfig = DEFAULT_CONFIG):
-    """Solve all contigs serially; returns (outs, alt_outs, max_outs)."""
+def solve_dataset(dataset, cfg: AlignasmConfig = DEFAULT_CONFIG,
+                  progress=None):
+    """Solve all contigs serially; returns (outs, alt_outs, max_outs).
+    ``progress(done, total)`` is called after each contig (the serial
+    path's progress bar, alignasm.cpp:362-397)."""
     outs, alt_outs, max_outs = [], [], []
-    for contig in dataset.contigs:
+    total = len(dataset.contigs)
+    for i, contig in enumerate(dataset.contigs):
         o, a, m = solve_contig(contig, cfg)
         outs.append(o)
         alt_outs.append(a)
         max_outs.append(m)
+        if progress is not None:
+            progress(i + 1, total)
     return outs, alt_outs, max_outs

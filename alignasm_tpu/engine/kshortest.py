@@ -85,6 +85,100 @@ def shortest_path_dag(adj, s: int, mode: int):
     return d, prv
 
 
+class NegativeCycleError(RuntimeError):
+    """Raised by bellman_ford on a negative cycle; ``.cycle`` holds the
+    vertex cycle (the reference returns it as the second element,
+    k_shortest_walks.hpp:90-91)."""
+
+    def __init__(self, cycle):
+        super().__init__(f"negative cycle: {cycle}")
+        self.cycle = cycle
+
+
+def dijkstra(adj, src: int, mode: int = D.CALC_SUM):
+    """Generic non-negative-weight shortest path over the distance
+    semiring (k_shortest_walks.hpp:69-87).  Dead in alignasm itself —
+    the solver always runs in DAG mode (paf_data.cpp:728) — but part of
+    the reference's reusable L0 library, replicated for completeness.
+
+    Returns (d, prv) with MAX_DIST for unreachable vertices; lazy-
+    deletion binary heap with strict ``>`` improvement like the
+    reference's min_heap loop."""
+    n = len(adj)
+    d = [D.MAX_DIST] * n
+    keys = [None] * n
+    prv = [-1] * n
+    d[src] = D.IDENTITY
+    keys[src] = D.key(D.IDENTITY, mode)
+    heap = [(keys[src], src)]
+    while heap:
+        kv, v = heapq.heappop(heap)
+        if kv != keys[v]:
+            continue  # stale entry (lazy deletion)
+        for to, w in adj[v]:
+            nd = D.add(d[v], w)
+            nk = D.key(nd, mode)
+            if keys[to] is None or nk < keys[to]:
+                d[to] = nd
+                keys[to] = nk
+                prv[to] = v
+                heapq.heappush(heap, (nk, to))
+    return d, prv
+
+
+def bellman_ford(adj, src: int, mode: int = D.CALC_SUM):
+    """SPFA shortest path with negative-cycle detection
+    (k_shortest_walks.hpp:91-129): level-synchronous queue rounds, at
+    most n of them; an improvement found in round n proves a negative
+    cycle, recovered by walking ``prv`` until a repeat.
+
+    Returns (d, prv); raises NegativeCycleError (carrying the cycle,
+    first vertex == last) where the reference returns {empty, cycle}."""
+    from collections import deque
+
+    n = len(adj)
+    d = [D.MAX_DIST] * n
+    keys = [None] * n
+    prv = [-1] * n
+    d[src] = D.IDENTITY
+    keys[src] = D.key(D.IDENTITY, mode)
+
+    def detect_cycle(x):
+        vis = [False] * n
+        t = []
+        while True:
+            t.append(x)
+            if vis[x]:
+                break
+            vis[x] = True
+            x = prv[x]
+        last = t[-1]
+        t.reverse()
+        while t[-1] != last:
+            t.pop()
+        return t
+
+    q = deque([(keys[src], src)])
+    rounds = 0
+    while q and rounds < n:
+        rounds += 1
+        for _ in range(len(q)):
+            cur_key, x = q.popleft()
+            if keys[x] is not None and cur_key > keys[x]:
+                continue
+            for to, w in adj[x]:
+                nd = D.add(d[x], w)
+                nk = D.key(nd, mode)
+                if keys[to] is None or nk < keys[to]:
+                    d[to] = nd
+                    keys[to] = nk
+                    prv[to] = x
+                    if rounds == n:
+                        raise NegativeCycleError(detect_cycle(to))
+                    q.append((nk, to))
+    return d, prv
+
+
 class KShortestWalks:
     """Eppstein k-shortest-walks solver for one DAG."""
 

@@ -43,6 +43,55 @@ def harness(oracle_bin):
     return HARNESS
 
 
+@pytest.mark.parametrize("seed", range(6))
+def test_dijkstra_and_spfa_match_dag_sp(seed):
+    """The generic library modes (k_shortest_walks.hpp:69-129, dead in
+    alignasm itself) must agree with the DAG shortest-path pass on
+    non-negative DAGs: same distance keys for every reachable vertex."""
+    from alignasm_tpu.engine.kshortest import (
+        bellman_ford, dijkstra, shortest_path_dag,
+    )
+
+    rng = random.Random(seed + 100)
+    n = rng.randrange(6, 16)
+    adj = _random_dag(rng, n, p=0.45)
+    d_dag, _ = shortest_path_dag(adj, 0, D.CALC_SUM)
+    d_dij, _ = dijkstra(adj, 0)
+    d_bf, _ = bellman_ford(adj, 0)
+    for v in range(n):
+        if d_dag[v] is D.MAX_DIST:
+            assert d_dij[v] is D.MAX_DIST and d_bf[v] is D.MAX_DIST
+        else:
+            key = D.key(d_dag[v], D.CALC_SUM)
+            assert D.key(d_dij[v], D.CALC_SUM) == key, v
+            assert D.key(d_bf[v], D.CALC_SUM) == key, v
+
+
+def test_bellman_ford_handles_negative_edges():
+    """SPFA must handle negative edge weights (dijkstra's precondition
+    doesn't hold) — a cheaper path through a negative edge must win."""
+    from alignasm_tpu.engine.kshortest import bellman_ford
+
+    neg = (-5, 0, 0, 0, 1)
+    pos = lambda q: (q, 0, 0, 0, 1)
+    # 0 -> 1 (cost 10), 0 -> 2 (cost 8), 2 -> 1 (cost -5): best 0->2->1 = 3
+    adj = [[(1, pos(10)), (2, pos(8))], [], [(1, neg)]]
+    d, prv = bellman_ford(adj, 0)
+    assert D.score_sum(d[1]) == 3 and prv[1] == 2
+
+
+def test_bellman_ford_detects_negative_cycle():
+    from alignasm_tpu.engine.kshortest import NegativeCycleError, bellman_ford
+
+    w = lambda q: (q, 0, 0, 0, 1)
+    # 1 -> 2 -> 1 with total weight -1: a negative cycle
+    adj = [[(1, w(1))], [(2, w(-3))], [(1, w(2))]]
+    with pytest.raises(NegativeCycleError) as exc:
+        bellman_ford(adj, 0)
+    cyc = exc.value.cycle
+    assert cyc[0] == cyc[-1] and set(cyc) == {1, 2}
+
+
 @pytest.mark.parametrize("seed", range(8))
 def test_random_dag_enumeration_matches_reference(harness, seed):
     rng = random.Random(seed)
