@@ -31,6 +31,12 @@ class AlignasmConfig:
     alt_baseline: float = 0.5      # -b/--alt_baseline
     non_skip_linkable: bool = False  # --non_skip_linkable
 
+    # The reference's compile-time UPGRADE_MODE (paf_data.hpp:13-18),
+    # runtime-selectable here: "alt_path" (the reference's compiled-in
+    # default), "single_piece" (gap filling with one covering piece,
+    # paf_data.cpp:932-1486; exact engine), or "no_update".
+    upgrade_mode: str = "alt_path"
+
     # --- TPU engine knobs (no reference analogue) ---
     # Per-node top-K candidate width for the tensorized k-shortest search.
     # Validated against the exact engine; raised adaptively on overflow.

@@ -217,7 +217,7 @@ def finish_contig(pg: PackedGraph, dev, cfg: AlignasmConfig, inf=int(_INF)):
 
     not_alt_map: dict = {}
     path1 = _backtrack_achieving(pg, d_s, d_a, inf)
-    out = exact_engine._edge_path_to_outputs(g, path1, not_alt_map)
+    out = exact_engine._edge_path_to_outputs(g, path1, not_alt_map, cfg)
     return out, [], []
 
 

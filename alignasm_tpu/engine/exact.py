@@ -145,11 +145,14 @@ def _upgrade_edge_path(g: ContigGraph, order, sorted_vertices, path):
     return edge_path
 
 
-def _edge_path_to_outputs(g: ContigGraph, path, not_alt_map: dict):
+def _edge_path_to_outputs(g: ContigGraph, path, not_alt_map: dict,
+                          cfg: AlignasmConfig = DEFAULT_CONFIG):
     """Vertex-pair casework → output records (edge_path_to_paf_path,
     paf_data.cpp:1489-1568).  ``not_alt_map`` accumulates across every
     call within a contig — paths converted later see marks from earlier
-    conversions, exactly like the reference's shared hash map."""
+    conversions, exactly like the reference's shared hash map.
+    ``cfg.upgrade_mode`` selects the reference's compile-time
+    UPGRADE_MODE branch (paf_data.hpp:13-18)."""
     src, dest = g.src, g.dest
     for u, v, w in path:
         if v != dest:
@@ -157,8 +160,9 @@ def _edge_path_to_outputs(g: ContigGraph, path, not_alt_map: dict):
             not_alt_map[g.recs[x].ctg_index] = True
             not_alt_map[g.recs[y].ctg_index] = True
 
-    order_arr, sorted_vertices = g._topo_cache
-    path = _upgrade_edge_path(g, order_arr, sorted_vertices, path)
+    if cfg.upgrade_mode == "alt_path":
+        order_arr, sorted_vertices = g._topo_cache
+        path = _upgrade_edge_path(g, order_arr, sorted_vertices, path)
 
     outs: list = []
     for u, v, w in path:
@@ -190,6 +194,11 @@ def _edge_path_to_outputs(g: ContigGraph, path, not_alt_map: dict):
                     py.edited_qry_end, py.edited_ref_end = g.cut_pre_end[(y, z)]
                     pz = outs[-1]
                     pz.edited_qry_str, pz.edited_ref_str = g.cut_str[(y, z)]
+
+    if cfg.upgrade_mode == "single_piece":
+        from alignasm_tpu.engine.singlepiece import upgrade_single_piece
+
+        outs = upgrade_single_piece(g, cfg, outs)
 
     for node in outs:
         assert node.edited_qry_str <= node.edited_qry_end
@@ -246,7 +255,7 @@ def solve_from_graph(g: ContigGraph, cfg: AlignasmConfig, anom_floor=None):
 
     # best path (paf_data.cpp:1587-1593)
     path1 = solver.recover(g.src, g.dest, 0)
-    out = _edge_path_to_outputs(g, path1, not_alt_map)
+    out = _edge_path_to_outputs(g, path1, not_alt_map, cfg)
     max_tot_coverage = _total_coverage(out)
     max_out: list = []
 
@@ -255,7 +264,7 @@ def solve_from_graph(g: ContigGraph, cfg: AlignasmConfig, anom_floor=None):
     idx = 1
     while idx < len(k_dists) and D.eq_sum_anom(min_distance, k_dists[idx]):
         path_max = solver.recover(g.src, g.dest, idx)
-        outs_max = _edge_path_to_outputs(g, path_max, not_alt_map)
+        outs_max = _edge_path_to_outputs(g, path_max, not_alt_map, cfg)
         tot = _total_coverage(outs_max)
         if tot > max_tot_coverage:
             max_tot_coverage = tot
@@ -280,11 +289,11 @@ def solve_from_graph(g: ContigGraph, cfg: AlignasmConfig, anom_floor=None):
             if ans_idx == -1 or up * ans_down < down * ans_up:
                 ans_up, ans_down, ans_idx = up, down, i
                 path2 = solver.recover(g.src, g.dest, ans_idx)
-                alt_out = _edge_path_to_outputs(g, path2, not_alt_map)
+                alt_out = _edge_path_to_outputs(g, path2, not_alt_map, cfg)
                 max_tot_coverage = _total_coverage(alt_out)
             elif ans_idx != -1 and D.eq_sum_anom(di, k_dists[ans_idx]):
                 path2 = solver.recover(g.src, g.dest, i)
-                outs2 = _edge_path_to_outputs(g, path2, not_alt_map)
+                outs2 = _edge_path_to_outputs(g, path2, not_alt_map, cfg)
                 tot = _total_coverage(outs2)
                 if tot > max_tot_coverage:
                     max_tot_coverage = tot

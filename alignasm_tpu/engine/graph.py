@@ -67,6 +67,54 @@ class ContigGraph:
         return len(self.adj)
 
 
+def edge_score(cfg, a, b, lft_qry_end, lft_ref_end, lft_ref_str,
+               rht_qry_str, rht_ref_str, rht_ref_end):
+    """Gap / inversion / translocation scoring between two internal
+    vertices (get_score, paf_data.cpp:449-521).  ``a``/``b`` are the
+    lft/rht records (chr, strand, mapq); the coordinate arguments are
+    the (possibly edited) internal-vertex coords.  Module-level so the
+    single-piece upgrade can score candidate splices with exactly the
+    graph builder's arithmetic."""
+    ref_neg = cfg.ref_negative_penalty
+
+    def ref_abs(x: int) -> int:
+        return -x * ref_neg if x < 0 else x
+
+    qry_diff = rht_qry_str - lft_qry_end - 1
+    assert qry_diff >= 0
+    anom = 0
+    if a.ref_chr == b.ref_chr and a.aln_fwd == b.aln_fwd:
+        signed_gap = (
+            rht_ref_str - (lft_ref_end + 1)
+            if a.aln_fwd
+            else lft_ref_end - (rht_ref_str + 1)
+        )
+        ref_diff = ref_abs(signed_gap)
+        if ref_diff > cfg.sv_baseline:
+            anom += 1
+            ref_diff = cfg.sv_baseline
+    elif a.ref_chr == b.ref_chr:
+        anom += 1
+        ref_diff = cfg.sv_inv_penalty
+        if a.aln_fwd:
+            ref_diff += ref_abs(rht_ref_end - (lft_ref_end + 1))
+        else:
+            ref_diff += ref_abs(rht_ref_str - (lft_ref_str + 1))
+        if ref_diff > cfg.sv_baseline:
+            anom += 1
+            ref_diff = cfg.sv_baseline
+    else:
+        anom += 1
+        ref_diff = cfg.sv_trans_penalty
+    return (
+        qry_diff * cfg.qry_weight,
+        ref_diff * cfg.ref_weight,
+        anom,
+        1 if b.map_qul else 0,
+        1,
+    )
+
+
 def sort_records(records: list) -> list:
     """Sort by (qry_str, qry_end) with libstdc++-exact std::sort element
     movement — ties between duplicate alignments must land in the same
@@ -209,53 +257,14 @@ def build_graph(records: list, cfg: AlignasmConfig) -> ContigGraph:
             return False
         return lft.qry_end < rht.qry_str
 
-    ref_neg = cfg.ref_negative_penalty
-    sv_baseline = cfg.sv_baseline
-    sv_inv = cfg.sv_inv_penalty
-    sv_trans = cfg.sv_trans_penalty
-
-    def ref_abs(x: int) -> int:
-        return -x * ref_neg if x < 0 else x
-
     def get_score(lft: Vertex, rht: Vertex):
-        # gap / inversion / translocation scoring (paf_data.cpp:449-521)
         lft_qry_end, lft_ref_end = lft.qry_end, lft.ref_end
         if not rht.is_one:
             lft_qry_end, lft_ref_end = cut_pre_end[(rht.pre, rht.cur)]
-        qry_diff = rht.qry_str - lft_qry_end - 1
-        assert qry_diff >= 0
-        anom = 0
-        a = recs[lft.cur]
-        b = recs[rht.cur]
-        if a.ref_chr == b.ref_chr and a.aln_fwd == b.aln_fwd:
-            signed_gap = (
-                rht.ref_str - (lft_ref_end + 1)
-                if a.aln_fwd
-                else lft_ref_end - (rht.ref_str + 1)
-            )
-            ref_diff = ref_abs(signed_gap)
-            if ref_diff > sv_baseline:
-                anom += 1
-                ref_diff = sv_baseline
-        elif a.ref_chr == b.ref_chr:
-            anom += 1
-            ref_diff = sv_inv
-            if a.aln_fwd:
-                ref_diff += ref_abs(rht.ref_end - (lft_ref_end + 1))
-            else:
-                ref_diff += ref_abs(rht.ref_str - (lft.ref_str + 1))
-            if ref_diff > sv_baseline:
-                anom += 1
-                ref_diff = sv_baseline
-        else:
-            anom += 1
-            ref_diff = sv_trans
-        return (
-            qry_diff * cfg.qry_weight,
-            ref_diff * cfg.ref_weight,
-            anom,
-            1 if b.map_qul else 0,
-            1,
+        return edge_score(
+            cfg, recs[lft.cur], recs[rht.cur],
+            lft_qry_end, lft_ref_end, lft.ref_str,
+            rht.qry_str, rht.ref_str, rht.ref_end,
         )
 
     non_skip = cfg.non_skip_linkable
