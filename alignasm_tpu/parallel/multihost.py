@@ -87,17 +87,25 @@ def run_multihost(
     alt_path: str | None = None,
     alt_baseline: float = 0.5,
     non_skip_linkable: bool = False,
+    device_runtime: bool = False,
 ) -> None:
-    import jax
-
     if coordinator and num_processes > 1:
-        jax.distributed.initialize(
-            coordinator_address=coordinator,
-            num_processes=num_processes,
-            process_id=process_id,
-        )
-        rank = jax.process_index()
-        world = jax.process_count()
+        # The rank/world of THIS job come from the launcher's flags —
+        # backends may renumber process_index, and the shard assignment
+        # must match what the operator set.  jax.distributed is only
+        # needed when ranks also drive accelerators (device collectives);
+        # the solve/merge itself is shared-filesystem and its grpc
+        # handshake costs ~1.2 s of fixed latency per job, so it is
+        # opt-in via --device-runtime.
+        if device_runtime:
+            import jax
+
+            jax.distributed.initialize(
+                coordinator_address=coordinator,
+                num_processes=num_processes,
+                process_id=process_id,
+            )
+        rank, world = process_id, num_processes
     else:
         rank, world = 0, 1
 
@@ -121,18 +129,27 @@ def run_multihost(
         part = exporter.fetch_results_raw()
 
         stem = os.path.abspath(paf_path)[: -len(".paf")]
-        np.savez(f"{stem}.part{rank}.npz", counts=part[0], gsizes=part[1],
+        # atomic publish: a reader must never see a partial zip
+        tmp = f"{stem}.part{rank}.npz.tmp.npz"
+        np.savez(tmp, counts=part[0], gsizes=part[1],
                  main=part[2], alt=part[3], max=part[4])
-
-        if world > 1:
-            from jax.experimental import multihost_utils
-
-            multihost_utils.sync_global_devices("alignasm_parts_written")
+        os.replace(tmp, f"{stem}.part{rank}.npz")
 
         if rank == 0:
+            # file-based barrier: partials publish via atomic rename, so
+            # existence == completeness; poll rather than trusting a
+            # device-runtime collective to span ranks
+            import time
+
+            deadline = time.monotonic() + 600
             parts = []
             for r in range(world):
-                z = np.load(f"{stem}.part{r}.npz")
+                path_r = f"{stem}.part{r}.npz"
+                while not os.path.exists(path_r):
+                    if time.monotonic() > deadline:
+                        raise TimeoutError(f"rank {r} partial never appeared")
+                    time.sleep(0.05)
+                z = np.load(path_r)
                 parts.append((z["counts"], z["gsizes"], z["main"],
                               z["alt"], z["max"]))
             flat = _assemble_global(parts, world)
@@ -153,10 +170,14 @@ def main() -> None:
     p.add_argument("-a", "--alt")
     p.add_argument("-b", "--alt_baseline", type=float, default=0.5)
     p.add_argument("--non_skip_linkable", action="store_true")
+    p.add_argument("--device-runtime", action="store_true",
+                   help="initialize jax.distributed (needed only when "
+                        "ranks drive accelerator collectives)")
     a = p.parse_args()
     run_multihost(
         a.paf_loc, a.coordinator, a.num_processes, a.process_id,
         a.thread, a.alt, a.alt_baseline, a.non_skip_linkable,
+        a.device_runtime,
     )
 
 
