@@ -28,8 +28,19 @@ def test_eval_config_all_engines(oracle_bin, tmp_path, name):
         got = pathlib.Path(str(nat)[:-4] + f".aln{suffix}.paf")
         assert o.read_bytes() == got.read_bytes(), f"{name} aln{suffix} (native)"
 
-    # device engine path equals the exact engine structurally
+    # device engine: byte-identical files ON DISK through the full
+    # native write path (not just structural equality with exact)
     ds = read_paf(paf)
     ds2 = copy.deepcopy(ds)
+    dev = tmp_path / f"d_{name}.paf"
+    dev.write_bytes(paf.read_bytes())
+    solve_dataset_tpu(read_paf(dev), DEFAULT_CONFIG,
+                      src_paths=(str(dev), None),
+                      write_prefix=str(dev)[:-4])
+    for o, suffix in zip(oracle_outs, ("", ".alt", ".all")):
+        got = pathlib.Path(str(dev)[:-4] + f".aln{suffix}.paf")
+        assert o.read_bytes() == got.read_bytes(), f"{name} aln{suffix} (device)"
+
+    # and the in-memory device path equals the exact engine structurally
     t = solve_dataset_tpu(ds, DEFAULT_CONFIG, src_paths=(str(paf), None))
     assert t == solve_dataset(ds2, DEFAULT_CONFIG), f"{name} (device)"
