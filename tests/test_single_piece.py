@@ -84,6 +84,36 @@ def test_single_piece_actually_changes_outputs(sp_oracle, oracle_bin, tmp_path):
     pytest.fail("SINGLE_PIECE never diverged from ALT_PATH on 12 corpora")
 
 
+def test_single_piece_with_alt_merge_and_flags(sp_oracle, tmp_path):
+    """single_piece combined with -a alt merge and --non_skip_linkable,
+    byte-for-byte vs the SP oracle."""
+    from alignasm_tpu.testing.synth import generate_alt_paf
+
+    main = generate_paf(n_contigs=15, seed=9)
+    paf = tmp_path / "spalt.paf"
+    paf.write_text(main)
+    alt = tmp_path / "spalt_in.paf"
+    alt.write_text(generate_alt_paf(main, seed=9))
+    assert alt.stat().st_size > 0
+    subprocess.run([str(SP_BIN), str(paf), "-a", str(alt),
+                    "--non_skip_linkable"], check=True, capture_output=True)
+    stem = str(paf)[: -len(".paf")]
+    oracle_outs = [pathlib.Path(stem + f".aln{sfx}.paf")
+                   for sfx in ("", ".alt", ".all")]
+    eng = tmp_path / "eng_spalt.paf"
+    eng.write_bytes(paf.read_bytes())
+    subprocess.run(
+        [sys.executable, "-m", "alignasm_tpu.cli", str(eng),
+         "-a", str(alt), "--non_skip_linkable",
+         "--engine", "exact", "--upgrade_mode", "single_piece"],
+        check=True, capture_output=True,
+    )
+    estem = str(eng)[: -len(".paf")]
+    _assert_identical(oracle_outs,
+                      [pathlib.Path(estem + f".aln{sfx}.paf")
+                       for sfx in ("", ".alt", ".all")])
+
+
 def test_no_update_mode_runs(tmp_path):
     """no_update: neither upgrade pass runs; engine must still produce
     self-consistent outputs."""
