@@ -37,7 +37,6 @@ from alignasm_tpu.ops.semiring import ANOM_BITS, QUL_BITS, QUL_ONE
 
 INF = jnp.int64(2**62)
 COUNT_SAT = jnp.int64(10_001)  # saturation above the reference's k budget
-MAX_LEVELS = 8                 # anomaly levels tracked for the alt scan
 
 
 def _seg_min(vals, seg, num):
@@ -70,9 +69,9 @@ def _argmin3(k1, k2, k3, seg, num, valid):
     return m1, m2, m3
 
 
-@functools.partial(jax.jit, static_argnames=("V", "A", "n_sweeps"))
+@functools.partial(jax.jit, static_argnames=("V", "n_sweeps"))
 def solve_graph_batch(
-    eu, ev, es, ea, enz, etot, erank, evalid, src, dest, V, A=MAX_LEVELS,
+    eu, ev, es, ea, enz, etot, erank, evalid, src, dest, V,
     n_sweeps=None,
 ):
     """Solve one bucket of contig graphs.
@@ -144,61 +143,6 @@ def solve_graph_batch(
 
         fa = jax.lax.fori_loop(0, n_sweeps, sweep_anom, fa)
 
-        # ---- per-anomaly-level constrained SP to sink ------------------
-        # state (V, A): min (sum, qul, rank) among paths with anom == a
-        lv = dict(
-            s=jnp.full((V, A), INF, jnp.int64).at[dest, 0].set(0),
-            nz=jnp.zeros((V, A), jnp.int64),
-            tot=jnp.zeros((V, A), jnp.int64),
-            rank=jnp.full((V, A), INF, jnp.int64).at[dest, 0].set(-1),
-            eid=jnp.full((V, A), -1, jnp.int32),
-        )
-        a_ids = jnp.arange(A, dtype=jnp.int32)
-        seg_flat = eu[:, None] * A + a_ids[None, :]       # (E, A)
-        child_lv = a_ids[None, :] - ea[:, None]           # (E, A)
-        lv_ok0 = evalid[:, None] & (child_lv >= 0)
-        child_lv_c = jnp.clip(child_lv, 0, A - 1)
-
-        def sweep_lv(_, lv):
-            gs = lv["s"][ev[:, None], child_lv_c]
-            cs = gs + es[:, None]
-            cnz = lv["nz"][ev[:, None], child_lv_c] + enz[:, None]
-            ctot = lv["tot"][ev[:, None], child_lv_c] + etot[:, None]
-            ok = lv_ok0 & (gs < INF)
-            ck2 = _qul_key(cnz, ctot)
-            crank = jnp.broadcast_to(erank[:, None], ck2.shape)
-            m1, m2, m3 = _argmin3(
-                cs.reshape(-1), ck2.reshape(-1), crank.reshape(-1),
-                seg_flat.reshape(-1), V * A, ok.reshape(-1),
-            )
-            m1 = m1.reshape(V, A); m2 = m2.reshape(V, A); m3 = m3.reshape(V, A)
-            cur2 = _qul_key(lv["nz"], lv["tot"])
-            cur1 = lv["s"]
-            better = (m1 < cur1) | ((m1 == cur1) & (m2 < cur2)) | (
-                (m1 == cur1) & (m2 == cur2) & (m3 < lv["rank"])
-            )
-            win = ok & (crank == m3[eu[:, None], a_ids[None, :]]) \
-                & better[eu[:, None], a_ids[None, :]]
-            eids = jnp.broadcast_to(
-                jnp.arange(E, dtype=jnp.int32)[:, None], win.shape)
-            w_eid = _seg_min(
-                jnp.where(win, eids, E).reshape(-1), seg_flat.reshape(-1), V * A
-            ).reshape(V, A)
-            got = w_eid < E
-            w = jnp.clip(w_eid, 0, E - 1)
-            a_grid = jnp.broadcast_to(a_ids[None, :], (V, A))
-            # winning candidate for (v, a) came from edge w[v,a] at target
-            # level a, so gather candidate tables at (w, a)
-            return dict(
-                s=jnp.where(got, cs[w, a_grid], lv["s"]),
-                nz=jnp.where(got, cnz[w, a_grid], lv["nz"]),
-                tot=jnp.where(got, ctot[w, a_grid], lv["tot"]),
-                rank=jnp.where(got, erank[w], lv["rank"]),
-                eid=jnp.where(got, w, lv["eid"]),
-            )
-
-        lv = jax.lax.fori_loop(0, n_sweeps, sweep_lv, lv)
-
         # ---- walk counts (saturating) ----------------------------------
         cnt_tot = jnp.zeros((V,), jnp.int64).at[dest].set(1)
 
@@ -232,7 +176,6 @@ def solve_graph_batch(
         return dict(
             d_s=d["s"], d_a=d["a"], d_nz=d["nz"], d_tot=d["tot"],
             d_eid=d["eid"], floor_a=fa,
-            lv_s=lv["s"], lv_nz=lv["nz"], lv_tot=lv["tot"], lv_eid=lv["eid"],
             cnt_tot=cnt_tot, cnt_min=cnt_min,
         )
 

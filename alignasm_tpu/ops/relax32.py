@@ -27,7 +27,6 @@ import numpy as np
 INF32 = jnp.int32(2**30)
 FINF = jnp.float32(np.inf)
 COUNT_SAT = jnp.int32(10_001)
-MAX_LEVELS = 8
 
 
 def _seg_min(vals, seg, num):
@@ -53,75 +52,6 @@ def _argmin4(k1, k2, k3, k4, seg, num, valid):
     on = on & (k3 == m3[seg])
     m4 = _seg_min(jnp.where(on, k4, INF32), seg, num)
     return m1, m2, m3, m4
-
-
-@functools.partial(jax.jit, static_argnames=("V", "A", "n_sweeps"))
-def level_dp_batch32(eu, ev, es, ea, enz, etot, erank, evalid, src, dest,
-                     V, A=MAX_LEVELS, n_sweeps=None):
-    """Per-anomaly-level constrained SP only — phase 2, run just for the
-    contigs whose best path misses the anomaly floor (alt scan needed;
-    usually a small minority)."""
-    B, E = eu.shape
-    if n_sweeps is None:
-        n_sweeps = V
-
-    def one(eu, ev, es, ea, enz, etot, erank, evalid, src, dest):
-        lv = dict(
-            s=jnp.full((V, A), INF32).at[dest, 0].set(0),
-            nz=jnp.zeros((V, A), jnp.int32),
-            tot=jnp.zeros((V, A), jnp.int32),
-            rank=jnp.full((V, A), INF32).at[dest, 0].set(-1),
-            eid=jnp.full((V, A), -1, jnp.int32),
-        )
-        a_ids = jnp.arange(A, dtype=jnp.int32)
-        seg_flat = eu[:, None] * A + a_ids[None, :]
-        child_lv = a_ids[None, :] - ea[:, None]
-        lv_ok0 = evalid[:, None] & (child_lv >= 0)
-        child_lv_c = jnp.clip(child_lv, 0, A - 1)
-
-        def sweep_lv(_, lv):
-            gs = lv["s"][ev[:, None], child_lv_c]
-            cs = gs + es[:, None]
-            cnz = lv["nz"][ev[:, None], child_lv_c] + enz[:, None]
-            ctot = lv["tot"][ev[:, None], child_lv_c] + etot[:, None]
-            ok = lv_ok0 & (gs < INF32)
-            crank = jnp.broadcast_to(erank[:, None], cs.shape)
-            m1, _m2, m3, m4 = _argmin4(
-                jnp.where(ok, cs, INF32).reshape(-1),
-                jnp.zeros_like(cs).reshape(-1),
-                _qkey(cnz, ctot).reshape(-1),
-                crank.reshape(-1),
-                seg_flat.reshape(-1), V * A, ok.reshape(-1),
-            )
-            m1 = m1.reshape(V, A); m3 = m3.reshape(V, A); m4 = m4.reshape(V, A)
-            cur3 = _qkey(lv["nz"], lv["tot"])
-            better = (m1 < lv["s"]) | ((m1 == lv["s"]) & (
-                (m3 < cur3) | ((m3 == cur3) & (m4 < lv["rank"]))
-            ))
-            better = better & (m1 < INF32)
-            win = ok & (crank == m4[eu[:, None], a_ids[None, :]]) \
-                & better[eu[:, None], a_ids[None, :]]
-            eids = jnp.broadcast_to(
-                jnp.arange(E, dtype=jnp.int32)[:, None], win.shape)
-            w_eid = _seg_min(
-                jnp.where(win, eids, E).reshape(-1), seg_flat.reshape(-1), V * A
-            ).reshape(V, A)
-            got = w_eid < E
-            w = jnp.clip(w_eid, 0, E - 1)
-            a_grid = jnp.broadcast_to(a_ids[None, :], (V, A))
-            return dict(
-                s=jnp.where(got, cs[w, a_grid], lv["s"]),
-                nz=jnp.where(got, cnz[w, a_grid], lv["nz"]),
-                tot=jnp.where(got, ctot[w, a_grid], lv["tot"]),
-                rank=jnp.where(got, erank[w], lv["rank"]),
-                eid=jnp.where(got, w, lv["eid"]),
-            )
-
-        lv = jax.lax.fori_loop(0, n_sweeps, sweep_lv, lv)
-        # only lv_s and lv_eid feed the host finish; stack for one transfer
-        return jnp.stack([lv["s"], lv["eid"]])
-
-    return jax.vmap(one)(eu, ev, es, ea, enz, etot, erank, evalid, src, dest)
 
 
 @functools.partial(jax.jit, static_argnames=("V", "n_sweeps"))
@@ -214,9 +144,7 @@ SP_ROWS = ("d_s", "d_a", "d_eid", "floor_a", "cnt_tot", "cnt_min")
 
 def unpack_sp(stacked_row):
     """Per-contig dict view of one (6, V) stacked phase-1 result."""
-    out = {k: stacked_row[j] for j, k in enumerate(SP_ROWS)}
-    out["lv_s"] = None
-    return out
+    return {k: stacked_row[j] for j, k in enumerate(SP_ROWS)}
 
 
 def rerank_dense(erank: np.ndarray) -> np.ndarray:
