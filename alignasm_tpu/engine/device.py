@@ -103,50 +103,6 @@ class Fallback(Exception):
     be solved by the exact host engine."""
 
 
-def pack_graph_from_native(contig: list, exp: dict) -> PackedGraph:
-    """Build a finish-compatible PackedGraph from the native exporter's
-    struct-of-arrays (native/src/export.cc) — the C++ host plane does
-    the sort/cut/score work; Python only reassembles views."""
-    n = exp["n"]
-    V = exp["n_vertices"]
-    recs = [contig[int(k)] for k in exp["perm"]]
-    for i, rec in enumerate(recs):
-        contig[rec.ctg_index].ctg_sorted_index = i
-
-    vtx_pairs = list(zip(exp["vtx_pre"].tolist(), exp["vtx_cur"].tolist()))
-    cut_str = {}
-    cut_pre_end = {}
-    NO_CUT = np.int64(-(2**63))
-    for vid, (i, j) in enumerate(vtx_pairs):
-        cut_str[(i, j)] = (int(exp["cut_st_q"][vid]), int(exp["cut_st_r"][vid]))
-        if exp["cut_pe_q"][vid] != NO_CUT:
-            cut_pre_end[(i, j)] = (
-                int(exp["cut_pe_q"][vid]), int(exp["cut_pe_r"][vid])
-            )
-
-    eu = exp["eu"]; ev = exp["ev"]
-    edge_w = list(zip(
-        exp["eq"].tolist(), exp["er"].tolist(), exp["ea"].tolist(),
-        exp["enz"].tolist(), exp["etot"].tolist(),
-    ))
-    adj: list = [[] for _ in range(V)]
-    ev_l = ev.tolist()
-    for e, u in enumerate(eu.tolist()):
-        adj[u].append((ev_l[e], edge_w[e]))
-
-    g = ContigGraph(
-        n=n, recs=recs, part_idx=None, parts=None,
-        cut_pre_end=cut_pre_end, cut_str=cut_str, cut_overlap_idx={},
-        vtx_pairs=vtx_pairs,
-        vtx_index={p: i for i, p in enumerate(vtx_pairs)},
-        adj=adj, src=exp["src"], dest=exp["dest"],
-    )
-    return PackedGraph(
-        g=g, eu=eu, ev=ev, es=exp["eq"] + exp["er"], ea=exp["ea"],
-        enz=exp["enz"], etot=exp["etot"], erank=exp["erank"], edge_w=edge_w,
-    )
-
-
 def _backtrack_achieving(pg: PackedGraph, d_s, d_a, inf):
     """Follow achieving edges src->dest: e=(u,v) with
     d[v] + w(e) == d[u] in the (sum, anom) key.  The fast path only runs

@@ -123,12 +123,6 @@ def get_lib():
 
         i32p = npc.ndpointer(dtype="int32", flags="C_CONTIGUOUS")
         i64p = npc.ndpointer(dtype="int64", flags="C_CONTIGUOUS")
-        lib.aln_contig_graph.argtypes = [
-            ctypes.c_void_p, ctypes.c_longlong,
-            i32p, i32p, i64p, i64p, i32p, i32p, i32p, i64p,
-            i32p, i32p, i64p, i64p, i64p, i64p, i32p,
-        ]
-        lib.aln_contig_graph.restype = ctypes.c_int
         lib.aln_solve_one.argtypes = [
             ctypes.c_void_p, ctypes.c_longlong, ctypes.c_int,
         ]
@@ -186,6 +180,18 @@ def get_lib():
         lib.aln_results_group_sizes.restype = ctypes.c_int
         lib.aln_results_fill.argtypes = [ctypes.c_void_p, i64p, i64p, i64p]
         lib.aln_results_fill.restype = ctypes.c_int
+        lib.aln_results_counts_subset.argtypes = [
+            ctypes.c_void_p, i64p, ctypes.c_longlong, i64p,
+        ]
+        lib.aln_results_counts_subset.restype = ctypes.c_longlong
+        lib.aln_results_group_sizes_subset.argtypes = [
+            ctypes.c_void_p, i64p, ctypes.c_longlong, i64p,
+        ]
+        lib.aln_results_group_sizes_subset.restype = ctypes.c_int
+        lib.aln_results_fill_subset.argtypes = [
+            ctypes.c_void_p, i64p, ctypes.c_longlong, i64p, i64p, i64p, i64p,
+        ]
+        lib.aln_results_fill_subset.restype = ctypes.c_int
         _lib = lib
     return _lib
 
@@ -227,37 +233,6 @@ class GraphExporter:
 
     def __len__(self):
         return int(self._lib.aln_num_contigs(self._h))
-
-    def contig_graph(self, i: int):
-        """Returns None if the contig wasn't packed (singleton/oversize),
-        else a dict of numpy arrays + meta."""
-        np = self._np
-        meta = (ctypes.c_longlong * 6)()
-        if self._lib.aln_contig_meta(self._h, i, meta) != 0:
-            raise IndexError(i)
-        built, n, V, E, src, dest = (int(x) for x in meta)
-        if not built:
-            return None
-        out = dict(
-            n=n, n_vertices=V, src=src, dest=dest,
-            eu=np.empty(E, np.int32), ev=np.empty(E, np.int32),
-            eq=np.empty(E, np.int64), er=np.empty(E, np.int64),
-            ea=np.empty(E, np.int32), enz=np.empty(E, np.int32),
-            etot=np.empty(E, np.int32), erank=np.empty(E, np.int64),
-            vtx_pre=np.empty(V - 2, np.int32), vtx_cur=np.empty(V - 2, np.int32),
-            cut_pe_q=np.empty(V - 2, np.int64), cut_pe_r=np.empty(V - 2, np.int64),
-            cut_st_q=np.empty(V - 2, np.int64), cut_st_r=np.empty(V - 2, np.int64),
-            perm=np.empty(n, np.int32),
-        )
-        rc = self._lib.aln_contig_graph(
-            self._h, i, out["eu"], out["ev"], out["eq"], out["er"],
-            out["ea"], out["enz"], out["etot"], out["erank"],
-            out["vtx_pre"], out["vtx_cur"], out["cut_pe_q"], out["cut_pe_r"],
-            out["cut_st_q"], out["cut_st_r"], out["perm"],
-        )
-        if rc != 0:
-            raise NativeError(f"contig {i}: graph export failed (rc={rc})")
-        return out
 
     def solve_contig(self, i: int):
         """Solve one contig natively; returns (out, alt, max_out) as
@@ -398,6 +373,53 @@ class GraphExporter:
                 main_rows[: n_main * 6].reshape(n_main, 6),
                 alt_rows[: n_alt * 6].reshape(n_alt, 6),
                 max_rows[: n_max * 6].reshape(n_max, 6))
+
+    def fetch_results_for(self, idx):
+        """Results for just the given contig indices, as lists aligned
+        with ``idx`` — chunked consumers (resume) must not pay an
+        all-contigs scan per chunk."""
+        np = self._np
+        from alignasm_tpu.model.records import PafOutput
+
+        idx = np.ascontiguousarray(idx, np.int64)
+        k = len(idx)
+        counts = np.empty((max(k, 1), 3), np.int64)
+        total_groups = int(self._lib.aln_results_counts_subset(
+            self._h, idx, k, counts.reshape(-1)))
+        counts = counts[:k]
+        n_main = int(counts[:, 0].sum()) if k else 0
+        n_alt = int(counts[:, 1].sum()) if k else 0
+        gsizes = np.empty((max(total_groups, 1),), np.int64)
+        if total_groups:
+            self._lib.aln_results_group_sizes_subset(self._h, idx, k, gsizes)
+        n_max = int(gsizes[:total_groups].sum()) if total_groups else 0
+        main_rows = np.empty((max(n_main, 1) * 6,), np.int64)
+        alt_rows = np.empty((max(n_alt, 1) * 6,), np.int64)
+        max_rows = np.empty((max(n_max, 1) * 6,), np.int64)
+        if k:
+            self._lib.aln_results_fill_subset(
+                self._h, idx, k, gsizes, main_rows, alt_rows, max_rows)
+
+        def conv(flat, total):
+            rows = flat[: total * 6].reshape(total, 6).tolist()
+            return [PafOutput(r[0], r[1], r[2], r[3], r[4], bool(r[5]))
+                    for r in rows]
+
+        mains = conv(main_rows, n_main)
+        alts = conv(alt_rows, n_alt)
+        maxes = conv(max_rows, n_max)
+        outs, alt_outs, max_outs = [], [], []
+        m = a = x = g = 0
+        for ki in range(k):
+            cm, ca, cg = (int(v) for v in counts[ki])
+            outs.append(mains[m:m + cm]); m += cm
+            alt_outs.append(alts[a:a + ca]); a += ca
+            groups = []
+            for _j in range(cg):
+                sz = int(gsizes[g]); g += 1
+                groups.append(maxes[x:x + sz]); x += sz
+            max_outs.append(groups)
+        return outs, alt_outs, max_outs
 
     def fetch_results(self):
         """All stored results as (outs, alt_outs, max_outs) PafOutput

@@ -194,54 +194,6 @@ int aln_contig_meta(void *h, long long i, long long *meta) {
     return 0;
 }
 
-// fills caller-allocated buffers; sizes from aln_contig_meta.
-//   eu, ev            int32[E]
-//   eq, er            int64[E]   (qry / ref score components)
-//   ea, enz, etot     int32[E]
-//   erank             int64[E]
-//   vtx_pre, vtx_cur  int32[V]
-//   cut_pe_q/r, cut_st_q/r  int64[V]
-//   perm              int32[n]   (sorted position -> original ctg_index)
-int aln_contig_graph(void *h, long long i,
-                     int32_t *eu, int32_t *ev, int64_t *eq, int64_t *er,
-                     int32_t *ea, int32_t *enz, int32_t *etot, int64_t *erank,
-                     int32_t *vtx_pre, int32_t *vtx_cur,
-                     int64_t *cut_pe_q, int64_t *cut_pe_r,
-                     int64_t *cut_st_q, int64_t *cut_st_r,
-                     int32_t *perm) {
-    auto &ctx = *(ExportCtx *) h;
-    if (i < 0 || i >= (long long) ctx.packed.size()) return 1;
-    const auto &pc = ctx.packed[i];
-    if (!pc.built) return 2;
-    const auto &g = pc.graph;
-    long long e = 0;
-    for (size_t u = 0; u < g.adj.size(); u++) {
-        for (const auto &edge : g.adj[u]) {
-            eu[e] = (int32_t) u;
-            ev[e] = edge.to;
-            eq[e] = edge.w.q;
-            er[e] = edge.w.r;
-            ea[e] = (int32_t) edge.w.a;
-            enz[e] = (int32_t) edge.w.nz;
-            etot[e] = (int32_t) edge.w.tot;
-            erank[e] = pc.erank[e];
-            e++;
-        }
-    }
-    size_t V = g.vtx.size();
-    for (size_t v = 0; v < V; v++) {
-        vtx_pre[v] = g.vtx[v].first;
-        vtx_cur[v] = g.vtx[v].second;
-        cut_pe_q[v] = g.cut_pe_q[v];
-        cut_pe_r[v] = g.cut_pe_r[v];
-        cut_st_q[v] = g.cut_st_q[v];
-        cut_st_r[v] = g.cut_st_r[v];
-    }
-    // src/dest have no vtx entries; caller uses meta for them
-    for (int64_t k = 0; k < g.n; k++) perm[k] = g.recs[k]->ctg_index;
-    return 0;
-}
-
 const char *aln_contig_error(void *h, long long i) {
     auto &ctx = *(ExportCtx *) h;
     if (i < 0 || i >= (long long) ctx.packed.size()) return "index out of range";
@@ -543,6 +495,53 @@ int aln_results_fill(void *h, int64_t *main_rows, int64_t *alt_rows,
         fill_rows(r.alt, alt_rows + a * 6);
         a += (long long) r.alt.size();
         for (const auto &grp : r.max_out) {
+            fill_rows(grp, max_rows + x * 6);
+            x += (long long) grp.size();
+        }
+    }
+    return 0;
+}
+
+// subset variants: only the given contig indices — chunked consumers
+// (resume) must not pay an all-contigs scan per chunk
+long long aln_results_counts_subset(void *h, const int64_t *idx,
+                                    long long n_idx, int64_t *counts) {
+    auto &ctx = *(ExportCtx *) h;
+    ensure_results(ctx);
+    long long total_groups = 0;
+    for (long long k = 0; k < n_idx; k++) {
+        const auto &r = ctx.results[idx[k]];
+        counts[k * 3 + 0] = (int64_t) r.out.size();
+        counts[k * 3 + 1] = (int64_t) r.alt.size();
+        counts[k * 3 + 2] = (int64_t) r.max_out.size();
+        total_groups += (long long) r.max_out.size();
+    }
+    return total_groups;
+}
+
+int aln_results_group_sizes_subset(void *h, const int64_t *idx,
+                                   long long n_idx, int64_t *gsizes) {
+    auto &ctx = *(ExportCtx *) h;
+    long long g = 0;
+    for (long long k = 0; k < n_idx; k++)
+        for (const auto &grp : ctx.results[idx[k]].max_out)
+            gsizes[g++] = (int64_t) grp.size();
+    return 0;
+}
+
+int aln_results_fill_subset(void *h, const int64_t *idx, long long n_idx,
+                            int64_t *gsizes, int64_t *main_rows,
+                            int64_t *alt_rows, int64_t *max_rows) {
+    auto &ctx = *(ExportCtx *) h;
+    long long m = 0, a = 0, x = 0, g = 0;
+    for (long long k = 0; k < n_idx; k++) {
+        const auto &r = ctx.results[idx[k]];
+        fill_rows(r.out, main_rows + m * 6);
+        m += (long long) r.out.size();
+        fill_rows(r.alt, alt_rows + a * 6);
+        a += (long long) r.alt.size();
+        for (const auto &grp : r.max_out) {
+            gsizes[g++] = (int64_t) grp.size();
             fill_rows(grp, max_rows + x * 6);
             x += (long long) grp.size();
         }

@@ -89,14 +89,13 @@ def run_multihost(
     non_skip_linkable: bool = False,
     device_runtime: bool = False,
 ) -> None:
-    if coordinator and num_processes > 1:
-        # The rank/world of THIS job come from the launcher's flags —
-        # backends may renumber process_index, and the shard assignment
-        # must match what the operator set.  jax.distributed is only
-        # needed when ranks also drive accelerators (device collectives);
-        # the solve/merge itself is shared-filesystem and its grpc
-        # handshake costs ~1.2 s of fixed latency per job, so it is
-        # opt-in via --device-runtime.
+    # The rank/world of THIS job come from the launcher's flags —
+    # backends may renumber process_index, and the shard assignment must
+    # match what the operator set.  A coordinator is only needed when
+    # ranks also drive accelerators (--device-runtime wires
+    # jax.distributed; its grpc handshake costs ~1.2 s of fixed latency
+    # per job); the solve/merge itself is shared-filesystem.
+    if num_processes > 1:
         if device_runtime:
             import jax
 
@@ -109,9 +108,29 @@ def run_multihost(
     else:
         rank, world = 0, 1
 
+    import hashlib
+
     import numpy as np
 
     from alignasm_tpu import native
+
+    def _input_digest() -> int:
+        """Cheap job identity: a partial is valid for THIS job iff it was
+        produced from the same input bytes with the same world size (the
+        per-rank solve is deterministic, so a matching partial from an
+        earlier crashed run is byte-equal to what this run would produce
+        and is safe — even correct — to merge)."""
+        h = hashlib.sha256()
+        st = os.stat(paf_path)
+        h.update(f"{st.st_size}:{world}:".encode())
+        with open(paf_path, "rb") as fh:
+            h.update(fh.read(1 << 16))
+            if st.st_size > (1 << 16):
+                fh.seek(-(1 << 16), os.SEEK_END)
+                h.update(fh.read(1 << 16))
+        if alt_path and os.path.getsize(alt_path):
+            h.update(open(alt_path, "rb").read(1 << 16))
+        return int.from_bytes(h.digest()[:8], "big", signed=False) >> 1
 
     # per-rank native plane: parse + merge in C++ (graph building is
     # skipped here — max_records=0 — since the subset solve rebuilds
@@ -124,34 +143,54 @@ def run_multihost(
     )
     try:
         n = len(exporter)
+        digest = _input_digest()
         mine = shard_indices(n, rank, world)
         exporter.solve_subset(mine, threads=threads)
         part = exporter.fetch_results_raw()
 
         stem = os.path.abspath(paf_path)[: -len(".paf")]
-        # atomic publish: a reader must never see a partial zip
+        # atomic publish: a reader must never see a partial zip; meta
+        # ties the partial to (input bytes, world, rank, contig count)
         tmp = f"{stem}.part{rank}.npz.tmp.npz"
         np.savez(tmp, counts=part[0], gsizes=part[1],
-                 main=part[2], alt=part[3], max=part[4])
+                 main=part[2], alt=part[3], max=part[4],
+                 meta=np.asarray([digest, world, rank, n], np.int64))
         os.replace(tmp, f"{stem}.part{rank}.npz")
 
         if rank == 0:
             # file-based barrier: partials publish via atomic rename, so
-            # existence == completeness; poll rather than trusting a
-            # device-runtime collective to span ranks
+            # existence == internal completeness; the meta check rejects
+            # stale partials from a different input / world size and
+            # keeps polling until a matching one appears
             import time
 
-            deadline = time.monotonic() + 600
+            timeout_s = float(os.environ.get("ALIGNASM_MERGE_TIMEOUT_S",
+                                             "86400"))
+            deadline = time.monotonic() + timeout_s
+            last_note = 0.0
             parts = []
             for r in range(world):
                 path_r = f"{stem}.part{r}.npz"
-                while not os.path.exists(path_r):
-                    if time.monotonic() > deadline:
-                        raise TimeoutError(f"rank {r} partial never appeared")
+                while True:
+                    if os.path.exists(path_r):
+                        z = np.load(path_r)
+                        meta = z["meta"] if "meta" in z.files else None
+                        if meta is not None and list(meta) == [
+                                digest, world, r, n]:
+                            parts.append((z["counts"], z["gsizes"],
+                                          z["main"], z["alt"], z["max"]))
+                            break
+                    now = time.monotonic()
+                    if now > deadline:
+                        raise TimeoutError(
+                            f"rank {r} partial never appeared/matched "
+                            f"within {timeout_s:.0f}s "
+                            "(ALIGNASM_MERGE_TIMEOUT_S to adjust)")
+                    if now - last_note > 60:
+                        last_note = now
+                        print(f"waiting for rank {r} partial...",
+                              file=sys.stderr)
                     time.sleep(0.05)
-                z = np.load(path_r)
-                parts.append((z["counts"], z["gsizes"], z["main"],
-                              z["alt"], z["max"]))
             flat = _assemble_global(parts, world)
             exporter.write_outputs_flat(stem, *flat, threads=threads)
             for r in range(world):

@@ -123,9 +123,9 @@ def solve_dataset_resumable(dataset, cfg, journal_path: str, solve_contig=None,
                 for lo in range(0, len(missing), chunk):
                     part = missing[lo:lo + chunk]
                     exporter.solve_subset(part, threads=threads)
-                    all_o, all_a, all_m = exporter.fetch_results()
-                    for i in part:
-                        put(i, all_o[i], all_a[i], all_m[i])
+                    ch_o, ch_a, ch_m = exporter.fetch_results_for(part)
+                    for j, i in enumerate(part):
+                        put(i, ch_o[j], ch_a[j], ch_m[j])
             finally:
                 exporter.close()
         elif engine == "tpu":
