@@ -40,8 +40,7 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    choices=["alt_path", "single_piece", "no_update"],
                    default="alt_path",
                    help="Path upgrade mode — the reference's compile-time "
-                        "UPGRADE_MODE, runtime-selectable (non-default "
-                        "modes run through the Python engines)")
+                        "UPGRADE_MODE, runtime-selectable in every engine")
     p.add_argument("--engine", choices=["native", "exact", "tpu"], default="native",
                    help="native: C++ host plane (default); exact: Python "
                         "reference engine; tpu: batched device kernels")
@@ -93,11 +92,6 @@ def run(argv=None) -> int:
         non_skip_linkable=args.non_skip_linkable,
         upgrade_mode=args.upgrade_mode,
     )
-    if args.upgrade_mode != "alt_path" and args.engine == "native":
-        print("--upgrade_mode requires --engine exact or tpu "
-              "(the C++ plane implements the reference's compiled-in "
-              "ALT_PATH mode only)", file=sys.stderr)
-        return 1
 
     if args.alt and not args.alt.endswith(".paf"):
         print(f"Wrong PAF file : {os.path.abspath(args.alt)}", file=sys.stderr)

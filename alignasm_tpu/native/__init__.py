@@ -73,13 +73,17 @@ class ScoringParams(ctypes.Structure):
         ("sv_inv_penalty", ctypes.c_longlong),
         ("sv_front_end_coefficient", ctypes.c_longlong),
         ("max_path_count", ctypes.c_longlong),
+        ("upgrade_mode", ctypes.c_longlong),
     ]
+
+    UPGRADE_MODES = {"alt_path": 0, "single_piece": 1, "no_update": 2}
 
     @classmethod
     def from_config(cls, cfg):
         return cls(cfg.qry_weight, cfg.ref_weight, cfg.ref_negative_penalty,
                    cfg.sv_baseline, cfg.sv_trans_penalty, cfg.sv_inv_penalty,
-                   cfg.sv_front_end_coefficient, cfg.max_path_count)
+                   cfg.sv_front_end_coefficient, cfg.max_path_count,
+                   cls.UPGRADE_MODES[getattr(cfg, "upgrade_mode", "alt_path")])
 
 
 def get_lib():

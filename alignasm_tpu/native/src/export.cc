@@ -367,7 +367,7 @@ int aln_finish_bulk(void *h, const int64_t *idx, long long n_idx,
         const int32_t *ct = row + 3 * V, *cm = row + 4 * V;
         aln::i32 src = pc.graph.src;
         if (cm[src] == 1 && !(ct[src] >= 2 && d_a[src] != fl[src])) {
-            ctx.results[i] = aln::finish_from_device(pc.graph, d_s, d_a, INF32);
+            ctx.results[i] = aln::finish_from_device(pc.graph, d_s, d_a, INF32, cfg);
             fast.fetch_add(1);
         } else {
             ctx.results[i] = aln::solve_from_graph(pc.graph, cfg);

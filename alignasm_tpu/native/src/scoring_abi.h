@@ -8,6 +8,7 @@ struct AlnScoring {
     long long qry_weight, ref_weight, ref_negative_penalty;
     long long sv_baseline, sv_trans_penalty, sv_inv_penalty;
     long long sv_front_end_coefficient, max_path_count;
+    long long upgrade_mode;  // 0 alt_path, 1 single_piece, 2 no_update
 };
 
 namespace aln {
@@ -21,5 +22,6 @@ inline void apply_scoring(Config &cfg, const AlnScoring *s) {
     cfg.sv_inv_penalty = s->sv_inv_penalty;
     cfg.sv_front_end_coefficient = s->sv_front_end_coefficient;
     cfg.max_path_count = s->max_path_count;
+    cfg.upgrade_mode = (int) s->upgrade_mode;
 }
 }  // namespace aln

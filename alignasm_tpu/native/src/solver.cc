@@ -26,6 +26,31 @@ struct CutRes {
     i64 pe_q = 0, pe_r = 0, st_q = 0, st_r = 0;
 };
 
+// gap/inversion/translocation scoring between two internal vertices
+// (get_score, paf_data.cpp:449-521); standalone so the single-piece
+// upgrade can score candidate splices with the graph builder's math
+Dist score_between(const Config &cfg, const Record &a, const Record &b,
+                   i64 lqe, i64 lre, i64 lrs, i64 rqs, i64 rrs, i64 rre) {
+    auto ref_abs = [&](i64 x) { return x < 0 ? -x * cfg.ref_negative_penalty : x; };
+    i64 qry_diff = rqs - lqe - 1;
+    i64 anom = 0, ref_diff = 0;
+    if (a.ref_chr == b.ref_chr && a.fwd == b.fwd) {
+        i64 sg = a.fwd ? rrs - (lre + 1) : lre - (rrs + 1);
+        ref_diff = ref_abs(sg);
+        if (ref_diff > cfg.sv_baseline) { anom++; ref_diff = cfg.sv_baseline; }
+    } else if (a.ref_chr == b.ref_chr) {
+        anom++;
+        ref_diff = cfg.sv_inv_penalty +
+                   (a.fwd ? ref_abs(rre - (lre + 1)) : ref_abs(rrs - (lrs + 1)));
+        if (ref_diff > cfg.sv_baseline) { anom++; ref_diff = cfg.sv_baseline; }
+    } else {
+        anom++;
+        ref_diff = cfg.sv_trans_penalty;
+    }
+    return {qry_diff * cfg.qry_weight, ref_diff * cfg.ref_weight, anom,
+            b.map_qul ? 1 : 0, 1};
+}
+
 CutRes pair_cut(const Record &pre, const Record &cur) {
     const auto &pq = pre.qry_runs, &cq = cur.qry_runs;
     const auto &pr = pre.ref_runs, &cr = cur.ref_runs;
@@ -130,31 +155,14 @@ Graph build_graph(std::vector<Record> &records, const Config &cfg) {
         if (g.part_idx[l.cur] != g.part_idx[r.cur]) return false;
         return l.qe < r.qs;
     };
-    auto ref_abs = [&](i64 x) { return x < 0 ? -x * cfg.ref_negative_penalty : x; };
     auto score = [&](Vert l, const Vert &r) -> Dist {
         if (!r.one()) {
             i32 id = g.vid(r.pre, r.cur);
             l.qe = g.cut_pe_q[id];
             l.re = g.cut_pe_r[id];
         }
-        i64 qry_diff = r.qs - l.qe - 1;
-        i64 anom = 0, ref_diff = 0;
-        const Record &a = *g.recs[l.cur], &b = *g.recs[r.cur];
-        if (a.ref_chr == b.ref_chr && a.fwd == b.fwd) {
-            i64 sg = a.fwd ? r.rs - (l.re + 1) : l.re - (r.rs + 1);
-            ref_diff = ref_abs(sg);
-            if (ref_diff > cfg.sv_baseline) { anom++; ref_diff = cfg.sv_baseline; }
-        } else if (a.ref_chr == b.ref_chr) {
-            anom++;
-            ref_diff = cfg.sv_inv_penalty +
-                       (a.fwd ? ref_abs(r.re - (l.re + 1)) : ref_abs(r.rs - (l.rs + 1)));
-            if (ref_diff > cfg.sv_baseline) { anom++; ref_diff = cfg.sv_baseline; }
-        } else {
-            anom++;
-            ref_diff = cfg.sv_trans_penalty;
-        }
-        return {qry_diff * cfg.qry_weight, ref_diff * cfg.ref_weight, anom,
-                b.map_qul ? 1 : 0, 1};
+        return score_between(cfg, *g.recs[l.cur], *g.recs[r.cur],
+                             l.qe, l.re, l.rs, r.qs, r.rs, r.re);
     };
     auto add = [&](i32 u, i32 v, const Dist &w) { g.adj[u].push_back({v, w}); };
     const bool nsl = cfg.non_skip_linkable;
@@ -592,10 +600,329 @@ struct Upgrader {
 
 }  // namespace
 
+// ---- SINGLE_PIECE upgrade (paf_data.cpp:932-1486) -------------------
+// Gap filling with one covering piece; runtime port of the reference's
+// compile-time third mode.  Mirrors alignasm_tpu/engine/singlepiece.py
+// (byte-validated against a constant-flipped reference build); the
+// candidate loops iterate the RAW heap array of a libstdc++
+// priority_queue — which this IS, so the order is exact by construction.
+namespace {
+
+struct PQV : std::priority_queue<std::pair<i64, i64>,
+                                 std::vector<std::pair<i64, i64>>,
+                                 std::greater<>> {
+    const std::vector<std::pair<i64, i64>> &vec() const { return c; }
+};
+
+i64 run_containing(const std::vector<std::pair<i64, i64>> &runs, i64 x) {
+    auto it = std::lower_bound(runs.begin(), runs.end(),
+                               std::pair<i64, i64>(x + 1, -1));
+    if (it != runs.begin() && std::prev(it)->second >= x)
+        return (it - runs.begin()) - 1;
+    return -1;
+}
+
+struct SweepHit {
+    bool ok = false;
+    i64 pe_q = 0, pe_r = 0, st_q = 0, st_r = 0;
+    i64 range_idx = 0;
+};
+
+// two-pointer l-boundary search (paf_data.cpp:1166-1223)
+SweepHit sweep_l(const Record &ldata, i64 pre_qs, const Record &data,
+                 i64 range_idx) {
+    SweepHit h;
+    const auto &lq = ldata.qry_runs;
+    const auto &lr = ldata.ref_runs;
+    const auto &cq = data.qry_runs;
+    const auto &cr = data.ref_runs;
+    i64 step_pre = ldata.fwd ? 1 : -1;
+    i64 step = data.fwd ? 1 : -1;
+    i64 p = 0;
+    while (p < (i64) lq.size() && range_idx < (i64) cq.size()) {
+        if (lq[p].second < pre_qs) { p++; continue; }
+        i64 l_i = lq[p].first, r_i = lq[p].second;
+        i64 l_j = cq[range_idx].first, r_j = cq[range_idx].second;
+        if (l_i < pre_qs) l_i = pre_qs;
+        if (l_i == l_j) {
+            if (l_j == r_j) { range_idx++; continue; }
+            h = {true, l_i, lr[p].first + (l_i - lq[p].first) * step_pre,
+                 l_j + 1, cr[range_idx].first + step, range_idx};
+            return h;
+        }
+        if (l_i < l_j) {
+            if (l_j <= r_i + 1) {
+                h = {true, l_j - 1,
+                     lr[p].first + (l_j - 1 - lq[p].first) * step_pre,
+                     l_j, cr[range_idx].first, range_idx};
+                return h;
+            }
+            p++;
+        } else {
+            if (l_i <= r_j - 1) {
+                h = {true, l_i, lr[p].first + (l_i - lq[p].first) * step_pre,
+                     l_i + 1, cr[range_idx].first + (l_i + 1 - l_j) * step,
+                     range_idx};
+                return h;
+            }
+            range_idx++;
+        }
+    }
+    h.range_idx = range_idx;
+    return h;
+}
+
+// two-pointer r-boundary search (paf_data.cpp:1011-1062)
+SweepHit sweep_r(const Record &data, i64 range_idx, const Record &rdata,
+                 i64 cur_qe) {
+    SweepHit h;
+    const auto &cq = data.qry_runs;
+    const auto &cr = data.ref_runs;
+    const auto &rq = rdata.qry_runs;
+    const auto &rr = rdata.ref_runs;
+    i64 step_pre = data.fwd ? 1 : -1;
+    i64 step = rdata.fwd ? 1 : -1;
+    i64 p = 0;
+    while (p < (i64) rq.size() && range_idx < (i64) cq.size()) {
+        if (rq[p].first > cur_qe) break;
+        i64 l_i = cq[range_idx].first, r_i = cq[range_idx].second;
+        i64 l_j = rq[p].first, r_j = rq[p].second;
+        if (r_j > cur_qe) r_j = cur_qe;
+        if (l_i == l_j) {
+            if (l_j == r_j) { range_idx++; continue; }
+            h = {true, l_i, cr[range_idx].first,
+                 l_j + 1, rr[p].first + step, range_idx};
+            return h;
+        }
+        if (l_i < l_j) {
+            if (l_j <= r_i + 1) {
+                h = {true, l_j - 1,
+                     cr[range_idx].first + (l_j - 1 - l_i) * step_pre,
+                     l_j, rr[p].first, range_idx};
+                return h;
+            }
+            range_idx++;
+        } else {
+            if (l_i <= r_j - 1) {
+                h = {true, l_i, cr[range_idx].first,
+                     l_i + 1, rr[p].first + (l_i + 1 - l_j) * step, range_idx};
+                return h;
+            }
+            p++;
+        }
+    }
+    return h;
+}
+
+std::vector<OutRow> upgrade_single_piece(const Graph &g, const Config &cfg,
+                                         std::vector<OutRow> rows) {
+    if (rows.empty()) return rows;
+    const auto &recs = g.recs;
+    std::vector<const Record *> orig(g.n);
+    for (const Record *r : recs) orig[r->ctg_index] = r;
+
+    i64 qry_min = std::numeric_limits<i64>::max();
+    i64 qry_max = std::numeric_limits<i64>::min();
+    for (const Record *r : recs) {
+        qry_min = std::min(qry_min, r->qry_str);
+        qry_max = std::max(qry_max, r->qry_end);
+    }
+
+    PQV pq;
+    i64 it_cur = 0;  // sorted-record sweep cursor (persists across gaps)
+    auto advance = [&](i64 l, i64 r) {
+        while (!pq.empty() && pq.top().first < r) pq.pop();
+        while (it_cur < (i64) recs.size() && recs[it_cur]->qry_str <= l) {
+            if (recs[it_cur]->qry_end >= r)
+                pq.emplace(recs[it_cur]->qry_end, it_cur);
+            it_cur++;
+        }
+    };
+    auto node = [&](i64 sorted_idx, i64 qs, i64 qe, i64 rs, i64 re) -> OutRow {
+        return {recs[sorted_idx]->ctg_index, qs, qe, rs, re, false};
+    };
+    auto ref_at = [](const Record &d, i64 run, i64 x) {
+        i64 step = d.fwd ? 1 : -1;
+        return d.ref_runs[run].first + (x - d.qry_runs[run].first) * step;
+    };
+
+    std::vector<OutRow> out;
+
+    // ---- first node (paf_data.cpp:943-1095) -------------------------
+    {
+        const OutRow &cur = rows[0];
+        i64 l = qry_min, r = cur.qs - 1;
+        if (l >= r) {
+            out.push_back(cur);
+        } else {
+            advance(l, r);
+            if (pq.empty()) {
+                out.push_back(cur);
+            } else {
+                const Record &rdata = *orig[cur.ctg_index];
+                i64 r_sorted = rdata.sorted_index;
+                Dist best_sc{};
+                bool have = false;
+                struct { i64 si, qs, qe, rs, re, ivr_q, ivr_r; } ans{};
+                for (auto [end_, si] : pq.vec()) {
+                    (void) end_;
+                    const Record &data = *recs[si];
+                    i64 iv_qs = data.qry_str, iv_rs = data.ref_str;
+                    i64 iv_qe, iv_re, ivr_q, ivr_r;
+                    i64 ri = run_containing(data.qry_runs, r);
+                    if (ri >= 0) {
+                        iv_qe = r;
+                        iv_re = ref_at(data, ri, r);
+                        ivr_q = cur.qs;
+                        ivr_r = cur.rs;
+                    } else {
+                        SweepHit h = sweep_r(data, 0, rdata, cur.qe);
+                        if (!h.ok) continue;
+                        iv_qe = h.pe_q; iv_re = h.pe_r;
+                        ivr_q = h.st_q; ivr_r = h.st_r;
+                    }
+                    Dist sc = score_between(cfg, data, *recs[r_sorted],
+                                            iv_qe, iv_re, iv_rs,
+                                            ivr_q, ivr_r, cur.re);
+                    if (!have || dist_less(sc, best_sc, Mode::CalcSum)) {
+                        have = true;
+                        best_sc = sc;
+                        ans = {si, iv_qs, iv_qe, iv_rs, iv_re, ivr_q, ivr_r};
+                    }
+                }
+                if (!have) {
+                    out.push_back(cur);
+                } else {
+                    out.push_back(node(ans.si, ans.qs, ans.qe, ans.rs, ans.re));
+                    out.push_back(node(r_sorted, ans.ivr_q, cur.qe,
+                                       ans.ivr_r, cur.re));
+                }
+            }
+        }
+    }
+
+    // ---- main nodes (paf_data.cpp:1096-1336) ------------------------
+    for (i64 i = 1; i < (i64) rows.size(); i++) {
+        OutRow pre = out.back();
+        const OutRow &cur = rows[i];
+        i64 l = pre.qe + 1, r = cur.qs - 1;
+        if (l >= r) { out.push_back(cur); continue; }
+        advance(l, r);
+        if (pq.empty()) { out.push_back(cur); continue; }
+        const Record &ldata = *orig[pre.ctg_index];
+        const Record &rdata = *orig[cur.ctg_index];
+        Dist best_sc{};
+        bool have = false;
+        struct { i64 si, ivl_q, ivl_r, qs, qe, rs, re, ivr_q, ivr_r; } ans{};
+        for (auto [end_, si] : pq.vec()) {
+            (void) end_;
+            const Record &data = *recs[si];
+            i64 ivl_q, ivl_r, iv_qs, iv_rs, range_idx;
+            i64 li = run_containing(data.qry_runs, l);
+            if (li >= 0) {
+                ivl_q = pre.qe; ivl_r = pre.re;
+                iv_qs = l;
+                iv_rs = ref_at(data, li, l);
+                range_idx = li;
+            } else {
+                SweepHit h = sweep_l(ldata, pre.qs, data, 0);
+                if (!h.ok) continue;
+                ivl_q = h.pe_q; ivl_r = h.pe_r;
+                iv_qs = h.st_q; iv_rs = h.st_r;
+                range_idx = h.range_idx;
+            }
+            i64 iv_qe, iv_re, ivr_q, ivr_r;
+            i64 ri = run_containing(data.qry_runs, r);
+            if (ri >= 0) {
+                iv_qe = r;
+                iv_re = ref_at(data, ri, r);
+                ivr_q = cur.qs; ivr_r = cur.rs;
+            } else {
+                SweepHit h = sweep_r(data, range_idx, rdata, cur.qe);
+                if (!h.ok) continue;
+                iv_qe = h.pe_q; iv_re = h.pe_r;
+                ivr_q = h.st_q; ivr_r = h.st_r;
+            }
+            Dist sc = score_between(cfg, ldata, data,
+                                    ivl_q, ivl_r, pre.rs,
+                                    iv_qs, iv_rs, iv_re) +
+                      score_between(cfg, data, rdata,
+                                    iv_qe, iv_re, iv_rs,
+                                    ivr_q, ivr_r, cur.re);
+            if (!have || dist_less(sc, best_sc, Mode::CalcSum)) {
+                have = true;
+                best_sc = sc;
+                ans = {si, ivl_q, ivl_r, iv_qs, iv_qe, iv_rs, iv_re,
+                       ivr_q, ivr_r};
+            }
+        }
+        if (!have) {
+            out.push_back(cur);
+        } else {
+            out.pop_back();
+            out.push_back(node(ldata.sorted_index, pre.qs, ans.ivl_q,
+                               pre.rs, ans.ivl_r));
+            out.push_back(node(ans.si, ans.qs, ans.qe, ans.rs, ans.re));
+            out.push_back(node(rdata.sorted_index, ans.ivr_q, cur.qe,
+                               ans.ivr_r, cur.re));
+        }
+    }
+
+    // ---- last node (paf_data.cpp:1337-1481) -------------------------
+    {
+        OutRow pre = out.back();
+        i64 l = pre.qe + 1, r = qry_max;
+        if (l < r) {
+            advance(l, r);
+            if (!pq.empty()) {
+                const Record &ldata = *orig[pre.ctg_index];
+                Dist best_sc{};
+                bool have = false;
+                struct { i64 si, ivl_q, ivl_r, qs, qe, rs, re; } ans{};
+                for (auto [end_, si] : pq.vec()) {
+                    (void) end_;
+                    const Record &data = *recs[si];
+                    i64 ivl_q, ivl_r, iv_qs, iv_rs;
+                    i64 li = run_containing(data.qry_runs, l);
+                    if (li >= 0) {
+                        ivl_q = pre.qe; ivl_r = pre.re;
+                        iv_qs = l;
+                        iv_rs = ref_at(data, li, l);
+                    } else {
+                        SweepHit h = sweep_l(ldata, pre.qs, data, 0);
+                        if (!h.ok) continue;
+                        ivl_q = h.pe_q; ivl_r = h.pe_r;
+                        iv_qs = h.st_q; iv_rs = h.st_r;
+                    }
+                    i64 iv_qe = data.qry_end, iv_re = data.ref_end;
+                    Dist sc = score_between(cfg, ldata, data,
+                                            ivl_q, ivl_r, pre.rs,
+                                            iv_qs, iv_rs, iv_re);
+                    if (!have || dist_less(sc, best_sc, Mode::CalcSum)) {
+                        have = true;
+                        best_sc = sc;
+                        ans = {si, ivl_q, ivl_r, iv_qs, iv_qe, iv_rs, iv_re};
+                    }
+                }
+                if (have) {
+                    out.pop_back();
+                    out.push_back(node(ldata.sorted_index, pre.qs, ans.ivl_q,
+                                       pre.rs, ans.ivl_r));
+                    out.push_back(node(ans.si, ans.qs, ans.qe, ans.rs, ans.re));
+                }
+            }
+        }
+    }
+    return out;
+}
+
+}  // namespace
+
 // ---- edge path -> output rows (paf_data.cpp:1489-1568) --------------
 static std::vector<OutRow> to_rows(const Graph &g, const Upgrader &up,
                                    EdgePath path,
-                                   std::unordered_map<i32, bool> &not_alt) {
+                                   std::unordered_map<i32, bool> &not_alt,
+                                   const Config &cfg) {
     for (auto &[u, v, w] : path) {
         if (v != g.dest) {
             auto [x, y] = g.vtx[v];
@@ -603,7 +930,8 @@ static std::vector<OutRow> to_rows(const Graph &g, const Upgrader &up,
             not_alt[g.recs[y]->ctg_index] = true;
         }
     }
-    path = up.upgrade(path);
+    if (cfg.upgrade_mode == 0)
+        path = up.upgrade(path);
     if (std::getenv("ALN_DEBUG_WALKS")) {
         fprintf(stderr, "upgraded:");
         for (auto &[u, v, w] : path) fprintf(stderr, " %d->%d", u, v);
@@ -640,6 +968,8 @@ static std::vector<OutRow> to_rows(const Graph &g, const Upgrader &up,
             }
         }
     }
+    if (cfg.upgrade_mode == 1)
+        rows = upgrade_single_piece(g, cfg, std::move(rows));
     for (auto &row : rows) {
         auto it = not_alt.find(row.ctg_index);
         row.alt_flag = (it == not_alt.end() || !it->second);
@@ -717,7 +1047,7 @@ ContigResult solve_from_graph(const Graph &g, const Config &cfg) {
         walks.count_min_walks(2) == 1) {
         Upgrader up0(g);
         std::unordered_map<i32, bool> not_alt0;
-        res.out = to_rows(g, up0, walks.recover(0), not_alt0);
+        res.out = to_rows(g, up0, walks.recover(0), not_alt0, cfg);
         return res;
     }
 
@@ -784,7 +1114,7 @@ ContigResult solve_from_graph(const Graph &g, const Config &cfg) {
 
     Upgrader up(g);
     std::unordered_map<i32, bool> not_alt;
-    auto convert = [&](i64 k) { return to_rows(g, up, walks.recover(k), not_alt); };
+    auto convert = [&](i64 k) { return to_rows(g, up, walks.recover(k), not_alt, cfg); };
 
     res.out = convert(0);
     i64 max_cov = coverage(res.out);
@@ -837,7 +1167,8 @@ ContigResult solve_from_graph(const Graph &g, const Config &cfg) {
 // which makes the achieving path UNIQUE, so no fraction/rank
 // tie-breaks are needed to reproduce the reference's best walk.
 ContigResult finish_from_device(const Graph &g, const int32_t *d_s,
-                                const int32_t *d_a, int32_t inf) {
+                                const int32_t *d_a, int32_t inf,
+                                const Config &cfg) {
     EdgePath path;
     i32 u = g.src;
     while (u != g.dest) {
@@ -857,7 +1188,7 @@ ContigResult finish_from_device(const Graph &g, const int32_t *d_s,
     Upgrader up(g);
     std::unordered_map<i32, bool> not_alt;
     ContigResult res;
-    res.out = to_rows(g, up, std::move(path), not_alt);
+    res.out = to_rows(g, up, std::move(path), not_alt, cfg);
     return res;
 }
 

@@ -30,7 +30,8 @@ ContigResult solve_from_graph(const Graph &g, const Config &cfg);
 // device-assisted finish for the provably order-insensitive case
 // (unique best walk, no alt scan); d_s/d_a indexed by vertex id
 ContigResult finish_from_device(const Graph &g, const int32_t *d_s,
-                                const int32_t *d_a, int32_t inf);
+                                const int32_t *d_a, int32_t inf,
+                                const Config &cfg);
 
 // ---- graph internals, exposed for the device-engine export ABI ------
 

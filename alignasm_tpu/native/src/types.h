@@ -31,6 +31,9 @@ struct Config {
     double alt_baseline = 0.5;
     bool non_skip_linkable = false;
     bool lazy_walks = true;  // early-stopped enumeration (same results)
+    // the reference's compile-time UPGRADE_MODE (paf_data.hpp:13-18),
+    // runtime here: 0 = alt_path, 1 = single_piece, 2 = no_update
+    int upgrade_mode = 0;
 };
 
 // The scoring semiring value.  Comparison modes: CALC_SUM orders by

@@ -394,13 +394,6 @@ def _solve_tpu_native(dataset, cfg: AlignasmConfig, src_paths, write_prefix):
     from alignasm_tpu import native
     from alignasm_tpu.ops.dense import dense_solve_packed
 
-    if cfg.upgrade_mode != "alt_path":
-        # the C++ plane implements the reference's compiled-in mode
-        # only; other modes run through the Python plane
-        raise native.NativeError(
-            f"upgrade_mode={cfg.upgrade_mode!r} is python-plane only"
-        )
-
     t_start = time.perf_counter()
     stats = {"device": 0, "fallback": 0, "singleton": 0, "oversize": 0,
              "host_plane": "native", "dense_buckets": 0, "native_direct": 0}

@@ -53,15 +53,18 @@ def _assert_identical(oracle_outs, engine_outs):
             assert len(ob) == len(eb), f"{o.name}: length differs"
 
 
-@pytest.mark.parametrize("kind,seed", [
-    ("basic", 7), ("basic", 11), ("basic", 23),
-    ("hard", 11), ("hard", 42), ("hard", 3),
+@pytest.mark.parametrize("engine,kind,seed", [
+    ("exact", "basic", 7), ("exact", "basic", 11), ("exact", "basic", 23),
+    ("exact", "hard", 11), ("exact", "hard", 42), ("exact", "hard", 3),
+    ("native", "basic", 7), ("native", "hard", 11), ("native", "hard", 42),
+    ("tpu", "basic", 7), ("tpu", "hard", 11),
 ])
-def test_single_piece_byte_identical(sp_oracle, tmp_path, kind, seed):
+def test_single_piece_byte_identical(sp_oracle, tmp_path, engine, kind, seed):
     gen = generate_paf if kind == "basic" else generate_hard_paf
     paf = tmp_path / f"sp_{kind}{seed}.paf"
     paf.write_text(gen(n_contigs=20, seed=seed))
-    _assert_identical(_run_sp_oracle(paf), _run_engine_sp(paf, tmp_path))
+    _assert_identical(_run_sp_oracle(paf),
+                      _run_engine_sp(paf, tmp_path, engine=engine))
 
 
 def test_single_piece_actually_changes_outputs(sp_oracle, oracle_bin, tmp_path):
