@@ -117,15 +117,36 @@ def test_single_piece_with_alt_merge_and_flags(sp_oracle, tmp_path):
                        for sfx in ("", ".alt", ".all")])
 
 
-def test_no_update_mode_runs(tmp_path):
-    """no_update: neither upgrade pass runs; engine must still produce
-    self-consistent outputs."""
-    paf = tmp_path / "nu.paf"
-    paf.write_text(generate_paf(n_contigs=8, seed=5))
+NU_BIN = ORACLE_DIR / "bin" / "alignasm_ref_nu"
+
+
+@pytest.fixture(scope="module")
+def nu_oracle():
+    if not NU_BIN.exists():
+        subprocess.run(["make", "-C", str(ORACLE_DIR), "noupdate"],
+                       check=True, capture_output=True)
+    return NU_BIN
+
+
+@pytest.mark.parametrize("engine,seed", [
+    ("exact", 5), ("native", 13), ("tpu", 5),
+])
+def test_no_update_byte_identical(nu_oracle, tmp_path, engine, seed):
+    """no_update vs a reference build with UPGRADE_MODE == NO_UPDATE."""
+    paf = tmp_path / f"nu{seed}.paf"
+    paf.write_text(generate_hard_paf(n_contigs=15, seed=seed))
+    subprocess.run([str(NU_BIN), str(paf)], check=True, capture_output=True)
+    stem = str(paf)[: -len(".paf")]
+    oracle_outs = [pathlib.Path(stem + f".aln{sfx}.paf")
+                   for sfx in ("", ".alt", ".all")]
+    eng = tmp_path / f"eng_nu{seed}.paf"
+    eng.write_bytes(paf.read_bytes())
     subprocess.run(
-        [sys.executable, "-m", "alignasm_tpu.cli", str(paf),
-         "--engine", "exact", "--upgrade_mode", "no_update"],
+        [sys.executable, "-m", "alignasm_tpu.cli", str(eng),
+         "--engine", engine, "--upgrade_mode", "no_update"],
         check=True, capture_output=True,
     )
-    out = pathlib.Path(str(paf)[:-4] + ".aln.paf")
-    assert out.stat().st_size > 0
+    estem = str(eng)[: -len(".paf")]
+    _assert_identical(oracle_outs,
+                      [pathlib.Path(estem + f".aln{sfx}.paf")
+                       for sfx in ("", ".alt", ".all")])
