@@ -38,11 +38,6 @@ class AlignasmConfig:
     upgrade_mode: str = "alt_path"
 
     # --- TPU engine knobs (no reference analogue) ---
-    # Per-node top-K candidate width for the tensorized k-shortest search.
-    # Validated against the exact engine; raised adaptively on overflow.
-    device_top_k: int = 32
-    # Contig bucket edges for padding/bucketing by record count.
-    bucket_sizes: tuple = (4, 8, 16, 32, 64, 128, 256, 512)
     # Contigs at or below this record count are solved by the batched
     # device path; larger ones fall back to the exact host engine.
     max_device_records: int = 512
