@@ -202,6 +202,70 @@ def test_config_reference_defaults():
         pass
 
 
+def test_multihost_two_processes_no_coordinator(tmp_path, oracle_bin):
+    """Coordinator-less launch (file-based barrier only): rank/world come
+    from the flags, outputs byte-identical to the oracle."""
+    import os
+    import subprocess
+    import sys
+
+    from tests.conftest import run_oracle
+
+    p = _dataset(tmp_path, seed=17, n=8)
+    oracle_outs = run_oracle(oracle_bin, p, tmp_path)
+    mh = tmp_path / "mhnc.paf"
+    mh.write_bytes(p.read_bytes())
+    env = dict(os.environ)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-m", "alignasm_tpu.parallel.multihost", str(mh),
+             "--num-processes", "2", "--process-id", str(rank)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        )
+        for rank in range(2)
+    ]
+    for proc in procs:
+        out, _ = proc.communicate(timeout=180)
+        assert proc.returncode == 0, out.decode()[-2000:]
+    for o, suffix in zip(oracle_outs, ("", ".alt", ".all")):
+        got = pathlib.Path(str(mh)[:-4] + f".aln{suffix}.paf")
+        assert o.read_bytes() == got.read_bytes(), f"aln{suffix}"
+
+
+def test_assemble_global_interleave():
+    """The rank-0 merge must interleave per-rank partials back into
+    global contig order, including max-group structure."""
+    import numpy as np
+
+    from alignasm_tpu.parallel.multihost import _assemble_global
+
+    def mk_part(owned, n, world, rank):
+        counts = np.zeros((n, 3), np.int64)
+        rows_m, rows_a, rows_x, gsizes = [], [], [], []
+        for i in owned:
+            counts[i] = (2, 1, 1)
+            rows_m += [[i, 1, 2, 3, 4, 0], [i, 5, 6, 7, 8, 1]]
+            rows_a += [[i, 9, 9, 9, 9, 0]]
+            gsizes += [1]
+            rows_x += [[i, 7, 7, 7, 7, 0]]
+        arr = lambda r: (np.asarray(r, np.int64).reshape(-1, 6)
+                         if r else np.empty((0, 6), np.int64))
+        return (counts, np.asarray(gsizes, np.int64),
+                arr(rows_m), arr(rows_a), arr(rows_x))
+
+    n, world = 5, 2
+    parts = [mk_part(range(r, n, world), n, world, r) for r in range(world)]
+    m_rows, m_off, a_rows, a_off, x_rows, x_goff, gcnt_off = \
+        _assemble_global(parts, world)
+    assert m_off.tolist() == [0, 2, 4, 6, 8, 10]
+    # main rows land in global contig order
+    assert m_rows[:, 0].tolist() == [0, 0, 1, 1, 2, 2, 3, 3, 4, 4]
+    assert a_rows[:, 0].tolist() == [0, 1, 2, 3, 4]
+    assert x_rows[:, 0].tolist() == [0, 1, 2, 3, 4]
+    assert gcnt_off.tolist() == [0, 1, 2, 3, 4, 5]
+    assert x_goff.tolist() == [0, 1, 2, 3, 4, 5]
+
+
 def test_multihost_two_processes(tmp_path, oracle_bin):
     """Real jax.distributed run: 2 processes, modulo-sharded contigs,
     rank-0 ordered merge — byte-identical to the oracle."""
