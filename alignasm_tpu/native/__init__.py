@@ -152,11 +152,11 @@ def get_lib():
         llp = ctypes.POINTER(ctypes.c_longlong)
         lib.aln_meta_bulk.argtypes = [ctypes.c_void_p, i64p]
         lib.aln_meta_bulk.restype = ctypes.c_int
-        lib.aln_export_dense.argtypes = [
+        lib.aln_export_wire.argtypes = [
             ctypes.c_void_p, i64p, ctypes.c_longlong, ctypes.c_longlong,
-            i32p, i8p, ctypes.c_int,
+            ctypes.c_longlong, i32p, i8p, ctypes.c_int,
         ]
-        lib.aln_export_dense.restype = ctypes.c_int
+        lib.aln_export_wire.restype = ctypes.c_int
         lib.aln_finish_bulk.argtypes = [
             ctypes.c_void_p, i64p, ctypes.c_longlong, i32p,
             ctypes.c_longlong, ctypes.c_int, ctypes.c_int,
@@ -279,24 +279,24 @@ class GraphExporter:
         self._lib.aln_meta_bulk(self._h, meta.reshape(-1))
         return meta
 
-    def export_dense(self, idx, V: int, threads: int = 0):
-        """Single-tensor dense wire format for the given contig
-        indices, packed in C++: (len(idx), V + 1, V) int32 —
-        score|anom<<28 edge cells plus a dest row (see
-        ops/dense.py:dense_solve_packed).  Returns (packed, ok_mask);
+    def export_wire(self, idx, V: int, W: int, threads: int = 0):
+        """Sparse device wire format for the given contig indices,
+        packed in C++: (len(idx), 2, W) int32 — (flat cell index,
+        score|anom<<28) pairs + a dest entry, trash-padded (see
+        ops/dense.py:dense_solve_wire).  Returns (wire, ok_mask);
         contigs with ok_mask False (parallel edges / packing envelope
         exceeded) must be excluded and solved natively."""
         np = self._np
         idx = np.ascontiguousarray(idx, np.int64)
         B = len(idx)
-        packed = np.empty((B, V + 1, V), np.int32)
+        wire = np.empty((B, 2, W), np.int32)
         status = np.empty((B,), np.int8)
-        rc = self._lib.aln_export_dense(
-            self._h, idx, B, V, packed.reshape(-1), status, threads,
+        rc = self._lib.aln_export_wire(
+            self._h, idx, B, V, W, wire.reshape(-1), status, threads,
         )
         if rc != 0:
-            raise NativeError("dense export failed")
-        return packed, status == 0
+            raise NativeError("wire export failed")
+        return wire, status == 0
 
     def finish_bulk(self, idx, dp, threads: int = 0, lazy_walks: bool = True):
         """Finish contigs `idx` from their (B, 5, V) device DP rows —

@@ -297,33 +297,36 @@ int aln_meta_bulk(void *h, int64_t *meta) {
     return 0;
 }
 
-int aln_export_dense(void *h, const int64_t *idx, long long n_idx, long long V,
-                     int32_t *packed, int8_t *status, int threads) {
-    // Single-tensor wire format (ops/dense.py:dense_solve_packed):
-    // per contig a (V + 1, V) int32 slab — rows 0..V-1 hold
-    // score | anomaly << 28 per edge cell (INF32 = no edge), row V
-    // col 0 holds the dest vertex.  One tensor per bucket = one
-    // host->device transfer (each transfer pays a full round trip on
-    // tunneled backends).  status[b]: 1 = duplicate (u, v) cell,
-    // 2 = not built, 3 = V overflow, 4 = score/anomaly outside the
-    // packed envelope — caller routes those contigs to the native
-    // solver instead.
+int aln_export_wire(void *h, const int64_t *idx, long long n_idx, long long V,
+                    long long W, int32_t *wire, int8_t *status, int threads) {
+    // Sparse wire format (ops/dense.py:dense_solve_wire): per contig a
+    // (2, W) int32 slab of (flat cell index u*V+v, score|anom<<28)
+    // pairs, one (V*V, dest) entry, and padding pointing at the trash
+    // cell V*(V+1).  ~16x smaller than the dense matrices — transfers
+    // charge per byte; the device densifies with one batched scatter.
+    // status[b]: 1 = duplicate (u, v) cell, 2 = not built, 3 = V/W
+    // overflow, 4 = score/anomaly outside the packed envelope — caller
+    // routes those contigs to the native solver instead.
     auto &ctx = *(ExportCtx *) h;
-    const int32_t INF32 = 1 << 30;
-    const long long slab = (V + 1) * V;
+    const int32_t TRASH = (int32_t) (V * (V + 1));
     std::string err;
     run_pool(threads, n_idx, [&](long long b) {
         const auto &pc = ctx.packed[idx[b]];
-        int32_t *pb = packed + b * slab;
-        std::fill(pb, pb + slab, INF32);
+        int32_t *ib = wire + b * 2 * W;
+        int32_t *vb = ib + W;
+        std::fill(ib, ib + W, TRASH);
+        std::fill(vb, vb + W, 0);
         status[b] = pc.built ? 0 : 2;
         if (!pc.built) return;
         const auto &g = pc.graph;
-        if ((long long) g.adj.size() > V) {  // never write past the slab
+        long long n_e = 0;
+        for (const auto &a : g.adj) n_e += (long long) a.size();
+        if ((long long) g.adj.size() > V || n_e + 1 > W) {
             status[b] = 3;
             return;
         }
-        pb[V * V] = g.dest;
+        long long k = 0;
+        std::vector<char> seen((size_t) (V * V), 0);
         for (size_t u = 0; u < g.adj.size() && !status[b]; u++) {
             for (const auto &e : g.adj[u]) {
                 int64_t s = e.w.sum();
@@ -332,14 +335,20 @@ int aln_export_dense(void *h, const int64_t *idx, long long n_idx, long long V,
                     status[b] = 4;
                     break;
                 }
-                int32_t *cell = pb + (long long) u * V + e.to;
-                if (*cell != INF32) {
+                long long cell = (long long) u * V + e.to;
+                if (seen[cell]) {
                     status[b] = 1;
                     break;
                 }
-                *cell = (int32_t) (s | (a << 28));
+                seen[cell] = 1;
+                ib[k] = (int32_t) cell;
+                vb[k] = (int32_t) (s | (a << 28));
+                k++;
             }
         }
+        if (status[b]) return;
+        ib[k] = (int32_t) (V * V);  // the dest cell (row V, col 0)
+        vb[k] = g.dest;
     }, err);
     return err.empty() ? 0 : 1;
 }

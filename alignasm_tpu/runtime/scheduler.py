@@ -392,7 +392,7 @@ def _solve_tpu_native(dataset, cfg: AlignasmConfig, src_paths, write_prefix):
     import numpy as np
 
     from alignasm_tpu import native
-    from alignasm_tpu.ops.dense import dense_solve_packed
+    from alignasm_tpu.ops.dense import dense_solve_wire
 
     t_start = time.perf_counter()
     stats = {"device": 0, "fallback": 0, "singleton": 0, "oversize": 0,
@@ -438,12 +438,15 @@ def _solve_tpu_native(dataset, cfg: AlignasmConfig, src_paths, write_prefix):
             spec = NamedSharding(mesh, P("data"))
             stats["data_mesh_devices"] = n_dev
 
+        n_edges = meta[:, 3]
         t0 = time.perf_counter()
         launches = []
         for V, idxs in buckets:
-            packed, ok = exporter.export_dense(idxs, V)
+            # sparse wire: W = pow2-padded max edge count + 1 dest slot
+            W = _next_pow2(int(n_edges[idxs].max()) + 1) + 1
+            wire, ok = exporter.export_wire(idxs, V, W)
             if not ok.all():
-                packed = packed[ok]
+                wire = wire[ok]
                 idxs = idxs[ok]
                 if not len(idxs):
                     continue
@@ -451,11 +454,11 @@ def _solve_tpu_native(dataset, cfg: AlignasmConfig, src_paths, write_prefix):
             realB = len(idxs)
             padB = max(_next_pow2(realB), n_dev if spec is not None else 1)
             if padB != realB:
-                packed = np.concatenate(
-                    [packed, np.repeat(packed[-1:], padB - realB, 0)])
+                wire = np.concatenate(
+                    [wire, np.repeat(wire[-1:], padB - realB, 0)])
             if spec is not None:
-                packed = jax.device_put(packed, spec)
-            pending = dense_solve_packed(packed, n_sweeps=n_sweeps)
+                wire = jax.device_put(wire, spec)
+            pending = dense_solve_wire(wire, V=V, n_sweeps=n_sweeps)
             launches.append((idxs, realB, pending))
             stats["dense_buckets"] += 1
         stats["launch_s"] = round(time.perf_counter() - t0, 4)

@@ -82,6 +82,36 @@ def test_dense_packed_wire_format_matches_unpacked():
     np.testing.assert_array_equal(a, b)
 
 
+def test_dense_sparse_wire_matches_unpacked():
+    """dense_solve_wire (sparse transport + on-device scatter) must
+    equal dense_solve_batch on random DAG buckets."""
+    from alignasm_tpu.ops.dense import (
+        ANOM_SHIFT, INF32, dense_solve_batch, dense_solve_wire,
+    )
+
+    rng = np.random.default_rng(8)
+    B, V, S = 6, 32, 16
+    mask = np.triu(rng.random((B, V, V)) < 0.2, k=1)
+    ws = np.where(mask, rng.integers(1, 2**27, (B, V, V)), INF32).astype(np.int32)
+    wa = np.where(mask, rng.integers(0, 4, (B, V, V)), 0).astype(np.int32)
+    dests = rng.integers(V // 2, V, B).astype(np.int32)
+    E = int(mask.sum(axis=(1, 2)).max())
+    W = E + 2
+    wire = np.empty((B, 2, W), np.int32)
+    wire[:, 0] = V * (V + 1)  # trash
+    wire[:, 1] = 0
+    for b in range(B):
+        us, vs = np.nonzero(mask[b])
+        k = len(us)
+        wire[b, 0, :k] = (us * V + vs).astype(np.int32)
+        wire[b, 1, :k] = ws[b, us, vs] | (wa[b, us, vs] << ANOM_SHIFT)
+        wire[b, 0, k] = V * V
+        wire[b, 1, k] = dests[b]
+    a = np.asarray(dense_solve_batch(ws, wa, dests, n_sweeps=S))
+    c = np.asarray(dense_solve_wire(wire, V=V, n_sweeps=S))
+    np.testing.assert_array_equal(a, c)
+
+
 def test_dense_rejects_parallel_edges():
     """pack_dense_bucket must refuse duplicate (u, v) cells."""
     import dataclasses
