@@ -298,15 +298,17 @@ class GraphExporter:
             raise NativeError("wire export failed")
         return wire, status == 0
 
-    def finish_bulk(self, idx, dp, threads: int = 0, lazy_walks: bool = True):
-        """Finish contigs `idx` from their (B, 5, V) device DP rows —
-        device-assisted fast finish or full native solve, decided and
-        executed in C++.  Returns (n_fast, n_fallback)."""
+    def finish_bulk(self, idx, dp, V: int, threads: int = 0,
+                    lazy_walks: bool = True):
+        """Finish contigs `idx` from their (B, 2V + 4) device DP rows
+        (ops/dense.py:dense_solve_wire layout) — device-assisted fast
+        finish or full native solve, decided and executed in C++.
+        Returns (n_fast, n_fallback)."""
         np = self._np
         idx = np.ascontiguousarray(idx, np.int64)
         dp = np.ascontiguousarray(dp, np.int32)
-        B, five, V = dp.shape
-        assert five == 5 and B == len(idx)
+        B, K = dp.shape
+        assert K == 2 * V + 4 and B == len(idx)
         n_fast = ctypes.c_longlong()
         n_fb = ctypes.c_longlong()
         err = ctypes.create_string_buffer(4096)

@@ -321,7 +321,7 @@ int aln_export_wire(void *h, const int64_t *idx, long long n_idx, long long V,
         const auto &g = pc.graph;
         long long n_e = 0;
         for (const auto &a : g.adj) n_e += (long long) a.size();
-        if ((long long) g.adj.size() > V || n_e + 1 > W) {
+        if ((long long) g.adj.size() > V || n_e + 2 > W) {
             status[b] = 3;
             return;
         }
@@ -349,6 +349,8 @@ int aln_export_wire(void *h, const int64_t *idx, long long n_idx, long long V,
         if (status[b]) return;
         ib[k] = (int32_t) (V * V);  // the dest cell (row V, col 0)
         vb[k] = g.dest;
+        ib[k + 1] = (int32_t) (V * V + 1);  // the src cell (row V, col 1)
+        vb[k + 1] = g.src;
     }, err);
     return err.empty() ? 0 : 1;
 }
@@ -357,10 +359,11 @@ int aln_finish_bulk(void *h, const int64_t *idx, long long n_idx,
                     const int32_t *dp, long long V, int lazy_walks,
                     int threads, long long *n_fast, long long *n_fallback,
                     char *err, int errlen) {
-    // dp rows: (n_idx, 5, V) int32 [d_s, d_a, floor_a, cnt_tot,
-    // cnt_min] from ops/dense.py.  Fast-finishes provably
-    // order-insensitive contigs from the device DP; everything else
-    // gets the full native solve on the already-built graph.
+    // dp rows: (n_idx, 2V + 4) int32 [d_s (V), d_a (V), floor_a@src,
+    // cnt_tot@src, cnt_min@src, src] from ops/dense.py:dense_solve_wire.
+    // Fast-finishes provably order-insensitive contigs from the device
+    // DP; everything else gets the full native solve on the
+    // already-built graph.
     auto &ctx = *(ExportCtx *) h;
     ensure_results(ctx);
     const int32_t INF32 = 1 << 30;
@@ -371,11 +374,13 @@ int aln_finish_bulk(void *h, const int64_t *idx, long long n_idx,
     run_pool(threads, n_idx, [&](long long b) {
         long long i = idx[b];
         const auto &pc = ctx.packed[i];
-        const int32_t *row = dp + b * 5 * V;
-        const int32_t *d_s = row, *d_a = row + V, *fl = row + 2 * V;
-        const int32_t *ct = row + 3 * V, *cm = row + 4 * V;
+        const int32_t *row = dp + b * (2 * V + 4);
+        const int32_t *d_s = row, *d_a = row + V;
+        int32_t fl = row[2 * V], ct = row[2 * V + 1], cm = row[2 * V + 2];
         aln::i32 src = pc.graph.src;
-        if (cm[src] == 1 && !(ct[src] >= 2 && d_a[src] != fl[src])) {
+        if (row[2 * V + 3] != src)
+            throw std::runtime_error("device result row src mismatch");
+        if (cm == 1 && !(ct >= 2 && d_a[src] != fl)) {
             ctx.results[i] = aln::finish_from_device(pc.graph, d_s, d_a, INF32, cfg);
             fast.fetch_add(1);
         } else {

@@ -76,12 +76,17 @@ def dense_solve_packed(packed, n_sweeps):
 def dense_solve_wire(wire, V, n_sweeps):
     """Batched dense solve from the SPARSE wire format — the production
     transport: host->device moves one (B, 2, W) int32 tensor holding
-    per-edge (flat cell index u*V+v, score|anom<<28) pairs plus one
-    (V*V, dest) entry; padding slots point at a trash cell past the
-    matrix.  A batched scatter densifies on device (measured ~29 ms for
-    2048x128 on v5e — amortized; the wire is ~16x smaller than the
-    dense matrices, and on transports that charge per byte moved this
-    is a >3x end-to-end win)."""
+    per-edge (flat cell index u*V+v, score|anom<<28) pairs plus
+    (V*V, dest) and (V*V+1, src) entries; padding slots point at a
+    trash cell past the matrix.  A batched scatter densifies on device
+    (measured ~29 ms for 2048x128 on v5e — amortized; the wire is ~16x
+    smaller than the dense matrices, and on transports that charge per
+    byte moved this is a >3x end-to-end win).
+
+    Returns (B, 2V + 4) int32 rows: [d_s (V), d_a (V), floor_a@src,
+    cnt_tot@src, cnt_min@src, src] — the walk counts and the anomaly
+    floor are only consumed AT src (engine/device.py finish contract),
+    so the device->host result is ~60% smaller than the (5, V) stack."""
     B, two, W = wire.shape
     idx = wire[:, 0]
     val = wire[:, 1]
@@ -95,10 +100,15 @@ def dense_solve_wire(wire, V, n_sweeps):
     def solve(arr):
         wsa = arr[:V]
         dest = arr[V, 0]
+        src = arr[V, 1]
         edge = wsa != INF32
         ws = wsa & jnp.int32((1 << ANOM_SHIFT) - 1)
         wa = jax.lax.shift_right_logical(wsa, jnp.int32(ANOM_SHIFT))
-        return _solve_one(ws, wa, edge, dest, V, n_sweeps)
+        out5 = _solve_one(ws, wa, edge, dest, V, n_sweeps)
+        return jnp.concatenate([
+            out5[0], out5[1],
+            jnp.stack([out5[2][src], out5[3][src], out5[4][src], src]),
+        ])
 
     return jax.vmap(solve)(packed)
 

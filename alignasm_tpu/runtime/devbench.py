@@ -79,14 +79,19 @@ def bench_end_to_end(n_contigs: int, seed: int = 2024, reps: int = 3):
     paf = work / "bench_tpu.paf"
     paf.write_text(generate_paf(n_contigs=n_contigs, seed=seed,
                                 max_records_per_contig=24))
+    # the production boundary: parse -> solve -> the three output PAFs
+    # WRITTEN (the same boundary the native bench measures); the
+    # fetch-to-Python-objects API path is a test/debug surface
     paths = (str(paf), None)
+    prefix = str(paf)[: -len(".paf")]
     ds = read_paf(paf)
-    scheduler.solve_dataset_tpu(ds, DEFAULT_CONFIG, src_paths=paths)  # warm
+    scheduler.solve_dataset_tpu(ds, DEFAULT_CONFIG, src_paths=paths,
+                                write_prefix=prefix)  # warm
     best = float("inf")
     for _ in range(reps):
-        ds = read_paf(paf)
         t0 = time.perf_counter()
-        scheduler.solve_dataset_tpu(ds, DEFAULT_CONFIG, src_paths=paths)
+        scheduler.solve_dataset_tpu(None, DEFAULT_CONFIG, src_paths=paths,
+                                    write_prefix=prefix)
         best = min(best, time.perf_counter() - t0)
     return round(n_contigs / best, 2), scheduler.solve_dataset_tpu.last_stats
 
@@ -133,7 +138,7 @@ def bench_kernels(B=256, V=64, E=256, n_sweeps=32, seed=0):
     ws = rng.integers(1, 1000, (B, V, V)).astype(np.int32)
     wa = rng.integers(0, 2, (B, V, V)).astype(np.int32)
     # production sparse wire: (cell index, packed val) pairs + dest entry
-    E2 = int(mask.sum(axis=(1, 2)).max()) + 2
+    E2 = int(mask.sum(axis=(1, 2)).max()) + 3
     wire = np.empty((B, 2, E2), np.int32)
     wire[:, 0] = V * (V + 1)
     wire[:, 1] = 0
@@ -144,6 +149,8 @@ def bench_kernels(B=256, V=64, E=256, n_sweeps=32, seed=0):
         wire[b, 1, :k] = ws[b, us, vs] | (wa[b, us, vs] << ANOM_SHIFT)
         wire[b, 0, k] = V * V
         wire[b, 1, k] = V - 1
+        wire[b, 0, k + 1] = V * V + 1
+        wire[b, 1, k + 1] = 0
     import jax
 
     wire_d = jax.device_put(wire)

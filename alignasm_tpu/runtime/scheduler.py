@@ -442,8 +442,8 @@ def _solve_tpu_native(dataset, cfg: AlignasmConfig, src_paths, write_prefix):
         t0 = time.perf_counter()
         launches = []
         for V, idxs in buckets:
-            # sparse wire: W = pow2-padded max edge count + 1 dest slot
-            W = _next_pow2(int(n_edges[idxs].max()) + 1) + 1
+            # sparse wire: W = pow2-padded max edge count + dest/src slots
+            W = _next_pow2(int(n_edges[idxs].max()) + 2)
             wire, ok = exporter.export_wire(idxs, V, W)
             if not ok.all():
                 wire = wire[ok]
@@ -459,14 +459,14 @@ def _solve_tpu_native(dataset, cfg: AlignasmConfig, src_paths, write_prefix):
             if spec is not None:
                 wire = jax.device_put(wire, spec)
             pending = dense_solve_wire(wire, V=V, n_sweeps=n_sweeps)
-            launches.append((idxs, realB, pending))
+            launches.append((idxs, realB, V, pending))
             stats["dense_buckets"] += 1
         stats["launch_s"] = round(time.perf_counter() - t0, 4)
 
         t0 = time.perf_counter()
-        for idxs, realB, pending in launches:
+        for idxs, realB, V, pending in launches:
             dp = np.asarray(pending)[:realB]
-            n_fast, n_fb = exporter.finish_bulk(idxs, dp)
+            n_fast, n_fb = exporter.finish_bulk(idxs, dp, V)
             stats["device"] += n_fast
             stats["fallback"] += n_fb
         stats["native_direct"] = exporter.solve_remaining() \

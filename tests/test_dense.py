@@ -95,8 +95,9 @@ def test_dense_sparse_wire_matches_unpacked():
     ws = np.where(mask, rng.integers(1, 2**27, (B, V, V)), INF32).astype(np.int32)
     wa = np.where(mask, rng.integers(0, 4, (B, V, V)), 0).astype(np.int32)
     dests = rng.integers(V // 2, V, B).astype(np.int32)
+    srcs = rng.integers(0, V // 2, B).astype(np.int32)
     E = int(mask.sum(axis=(1, 2)).max())
-    W = E + 2
+    W = E + 3
     wire = np.empty((B, 2, W), np.int32)
     wire[:, 0] = V * (V + 1)  # trash
     wire[:, 1] = 0
@@ -107,9 +108,17 @@ def test_dense_sparse_wire_matches_unpacked():
         wire[b, 1, :k] = ws[b, us, vs] | (wa[b, us, vs] << ANOM_SHIFT)
         wire[b, 0, k] = V * V
         wire[b, 1, k] = dests[b]
+        wire[b, 0, k + 1] = V * V + 1
+        wire[b, 1, k + 1] = srcs[b]
     a = np.asarray(dense_solve_batch(ws, wa, dests, n_sweeps=S))
     c = np.asarray(dense_solve_wire(wire, V=V, n_sweeps=S))
-    np.testing.assert_array_equal(a, c)
+    for b in range(B):
+        s = int(srcs[b])
+        exp = np.concatenate([
+            a[b, 0], a[b, 1],
+            [a[b, 2, s], a[b, 3, s], a[b, 4, s], s],
+        ]).astype(np.int32)
+        np.testing.assert_array_equal(exp, c[b])
 
 
 def test_dense_rejects_parallel_edges():
