@@ -164,7 +164,7 @@ def bench_kernels(B=256, V=64, E=256, n_sweeps=32, seed=0):
     # marginal per-sweep cost: difference two sweep counts so the fixed
     # dispatch/round-trip latency (which dominates s_per_launch on
     # tunneled backends) cancels — this is the COMPUTE roofline
-    hi_sweeps = 16 * n_sweeps
+    hi_sweeps = 8 * n_sweeps
     t_hi = _bench_one(
         lambda: dense_solve_wire(wire_d, V=V, n_sweeps=hi_sweeps),
         n_launch_sweeps=hi_sweeps, bytes_per_sweep=B * V * V * 4,

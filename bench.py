@@ -82,7 +82,7 @@ def main() -> None:
     n_tpu = int(os.environ.get("BENCH_TPU_CONTIGS", "2000"))
     # the first device->host transfer in a process stalls ~285 s on
     # this tunnel (see BENCH_RESULTS notes); the budget must cover it
-    tpu_budget = int(os.environ.get("BENCH_TPU_BUDGET_S", "900"))
+    tpu_budget = int(os.environ.get("BENCH_TPU_BUDGET_S", "1500"))
     if n_tpu:
         import sys
 
