@@ -325,8 +325,11 @@ int aln_export_wire(void *h, const int64_t *idx, long long n_idx, long long V,
             status[b] = 3;
             return;
         }
+        // thread-local dup detector, cleared cell-by-cell afterwards (a
+        // fresh V*V memset per contig would dominate the pack phase)
+        static thread_local std::vector<char> seen;
+        if ((long long) seen.size() < V * V) seen.assign((size_t) (V * V), 0);
         long long k = 0;
-        std::vector<char> seen((size_t) (V * V), 0);
         for (size_t u = 0; u < g.adj.size() && !status[b]; u++) {
             for (const auto &e : g.adj[u]) {
                 int64_t s = e.w.sum();
@@ -346,6 +349,7 @@ int aln_export_wire(void *h, const int64_t *idx, long long n_idx, long long V,
                 k++;
             }
         }
+        for (long long j = 0; j < k; j++) seen[ib[j]] = 0;
         if (status[b]) return;
         ib[k] = (int32_t) (V * V);  // the dest cell (row V, col 0)
         vb[k] = g.dest;

@@ -48,30 +48,6 @@ ANOM_SHIFT = 28  # edge anomaly (<= 3) packed above the 28-bit score
 DENSE_ROWS = ("d_s", "d_a", "floor_a", "cnt_tot", "cnt_min")
 
 
-@functools.partial(jax.jit, static_argnames=("n_sweeps",))
-def dense_solve_packed(packed, n_sweeps):
-    """Batched dense solve from the single-tensor wire format.
-
-    ``packed``: (B, V + 1, V) int32 — rows 0..V-1 hold score|anom<<28
-    per edge cell (INF32 = no edge; scores < 2^28 and anomalies <= 3
-    are guaranteed by the eligibility check at pack time); row V col 0
-    holds the dest vertex.  One tensor per bucket = ONE host->device
-    transfer — on tunneled backends every transfer pays the full
-    round-trip latency, which dominates these kernels' runtime.
-    """
-    B, V1, V = packed.shape
-
-    def one(arr):
-        wsa = arr[:V]
-        dest = arr[V, 0]
-        edge = wsa != INF32
-        ws = wsa & jnp.int32((1 << ANOM_SHIFT) - 1)
-        wa = jax.lax.shift_right_logical(wsa, jnp.int32(ANOM_SHIFT))
-        return _solve_one(ws, wa, edge, dest, V, n_sweeps)
-
-    return jax.vmap(one)(packed)
-
-
 @functools.partial(jax.jit, static_argnames=("V", "n_sweeps"))
 def dense_solve_wire(wire, V, n_sweeps):
     """Batched dense solve from the SPARSE wire format — the production

@@ -114,6 +114,8 @@ def solve_dataset_tpu(dataset, cfg: AlignasmConfig, batch_size: int = 256,
         try:
             return _solve_tpu_native(dataset, cfg, src_paths, write_prefix)
         except native.NativeError as exc:
+            if dataset is None:
+                raise  # no parsed dataset to degrade to — surface it
             import warnings
 
             warnings.warn(f"native host plane unavailable: {exc}",

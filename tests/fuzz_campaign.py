@@ -13,11 +13,17 @@ import pathlib, random, subprocess, sys, tempfile, time
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 from alignasm_tpu.testing.synth import generate_alt_paf, generate_hard_paf, generate_paf
 
+REPO = pathlib.Path(__file__).resolve().parent.parent
+ORACLE_DIR = REPO / "tests" / "oracle"
 ORACLES = {
-    "alt_path": "/root/repo/tests/oracle/bin/alignasm_ref",
-    "single_piece": "/root/repo/tests/oracle/bin/alignasm_ref_sp",
-    "no_update": "/root/repo/tests/oracle/bin/alignasm_ref_nu",
+    "alt_path": str(ORACLE_DIR / "bin" / "alignasm_ref"),
+    "single_piece": str(ORACLE_DIR / "bin" / "alignasm_ref_sp"),
+    "no_update": str(ORACLE_DIR / "bin" / "alignasm_ref_nu"),
 }
+# build every oracle flavor up front (all, single, noupdate targets)
+for target in ("all", "single", "noupdate"):
+    subprocess.run(["make", "-C", str(ORACLE_DIR), target],
+                   check=True, capture_output=True)
 root = pathlib.Path(tempfile.mkdtemp(prefix="fuzz_r2_"))
 rng = random.Random(20260817)
 n_cases = int(sys.argv[1]) if len(sys.argv) > 1 else 300

@@ -61,27 +61,6 @@ def test_dense_kernel_matches_host_dps(tmp_path, kind, seed):
         assert int(cnt_tot[g.src]) >= sat or int(cnt_tot[g.src]) == 10_001
 
 
-def test_dense_packed_wire_format_matches_unpacked():
-    """dense_solve_packed (single-tensor wire format, score|anom<<28)
-    must equal dense_solve_batch on random DAG buckets."""
-    from alignasm_tpu.ops.dense import (
-        ANOM_SHIFT, INF32, dense_solve_batch, dense_solve_packed,
-    )
-
-    rng = np.random.default_rng(3)
-    B, V, S = 8, 32, 16
-    mask = np.triu(rng.random((B, V, V)) < 0.2, k=1)
-    ws = np.where(mask, rng.integers(1, 2**27, (B, V, V)), INF32).astype(np.int32)
-    wa = np.where(mask, rng.integers(0, 4, (B, V, V)), 0).astype(np.int32)
-    dests = rng.integers(V // 2, V, B).astype(np.int32)
-    packed = np.full((B, V + 1, V), INF32, np.int32)
-    packed[:, :V][mask] = ws[mask] | (wa[mask] << ANOM_SHIFT)
-    packed[:, V, 0] = dests
-    a = np.asarray(dense_solve_batch(ws, wa, dests, n_sweeps=S))
-    b = np.asarray(dense_solve_packed(packed, n_sweeps=S))
-    np.testing.assert_array_equal(a, b)
-
-
 def test_dense_sparse_wire_matches_unpacked():
     """dense_solve_wire (sparse transport + on-device scatter) must
     equal dense_solve_batch on random DAG buckets."""
