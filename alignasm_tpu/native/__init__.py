@@ -105,43 +105,19 @@ def get_lib():
             ctypes.POINTER(Stats), ctypes.POINTER(ScoringParams),
         ]
         lib.aln_run_stats2.restype = ctypes.c_int
-        lib.aln_open.argtypes = [
+        lib.aln_open2.argtypes = [
             ctypes.c_char_p, ctypes.c_char_p, ctypes.c_double,
             ctypes.c_int, ctypes.c_int, ctypes.c_longlong,
-            ctypes.c_char_p, ctypes.c_int,
-        ]
-        lib.aln_open.restype = ctypes.c_void_p
-        lib.aln_open2.argtypes = lib.aln_open.argtypes + [
-            ctypes.POINTER(ScoringParams),
+            ctypes.c_char_p, ctypes.c_int, ctypes.POINTER(ScoringParams),
         ]
         lib.aln_open2.restype = ctypes.c_void_p
         lib.aln_close.argtypes = [ctypes.c_void_p]
         lib.aln_num_contigs.argtypes = [ctypes.c_void_p]
         lib.aln_num_contigs.restype = ctypes.c_longlong
-        lib.aln_contig_meta.argtypes = [
-            ctypes.c_void_p, ctypes.c_longlong,
-            ctypes.POINTER(ctypes.c_longlong),
-        ]
-        lib.aln_contig_meta.restype = ctypes.c_int
         import numpy.ctypeslib as npc
 
         i32p = npc.ndpointer(dtype="int32", flags="C_CONTIGUOUS")
         i64p = npc.ndpointer(dtype="int64", flags="C_CONTIGUOUS")
-        lib.aln_solve_one.argtypes = [
-            ctypes.c_void_p, ctypes.c_longlong, ctypes.c_int,
-        ]
-        lib.aln_solve_one.restype = ctypes.c_int
-        lib.aln_result_sizes.argtypes = [
-            ctypes.c_void_p, ctypes.POINTER(ctypes.c_longlong),
-        ]
-        lib.aln_result_max_group_size.argtypes = [
-            ctypes.c_void_p, ctypes.c_longlong,
-        ]
-        lib.aln_result_max_group_size.restype = ctypes.c_longlong
-        lib.aln_result_rows.argtypes = [
-            ctypes.c_void_p, ctypes.c_int, ctypes.c_longlong, i64p,
-        ]
-        lib.aln_result_rows.restype = ctypes.c_int
         lib.aln_write_outputs.argtypes = [
             ctypes.c_void_p, ctypes.c_char_p,
             i64p, i64p, i64p, i64p, i64p, i64p, i64p,
@@ -237,37 +213,6 @@ class GraphExporter:
 
     def __len__(self):
         return int(self._lib.aln_num_contigs(self._h))
-
-    def solve_contig(self, i: int):
-        """Solve one contig natively; returns (out, alt, max_out) as
-        PafOutput lists — the fallback path for the device engine."""
-        np = self._np
-        from alignasm_tpu.model.records import PafOutput
-
-        rc = self._lib.aln_solve_one(self._h, i, 1)
-        if rc != 0:
-            raise NativeError(f"contig {i}: native solve failed (rc={rc})")
-        sizes = (ctypes.c_longlong * 3)()
-        self._lib.aln_result_sizes(self._h, sizes)
-
-        def fetch(which, gi, count):
-            buf = np.empty(count * 6, np.int64)
-            if count:
-                self._lib.aln_result_rows(self._h, which, gi, buf)
-            rows = buf.reshape(count, 6)
-            return [
-                PafOutput(int(r[0]), int(r[1]), int(r[2]), int(r[3]),
-                          int(r[4]), bool(r[5]))
-                for r in rows
-            ]
-
-        out = fetch(0, 0, int(sizes[0]))
-        alt = fetch(1, 0, int(sizes[1]))
-        max_out = [
-            fetch(2, gi, int(self._lib.aln_result_max_group_size(self._h, gi)))
-            for gi in range(int(sizes[2]))
-        ]
-        return out, alt, max_out
 
     # ---- bulk device-engine path (no per-contig Python) --------------
 

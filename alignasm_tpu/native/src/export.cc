@@ -33,8 +33,6 @@ struct ExportCtx {
     aln::Dataset ds;
     aln::Config cfg;
     std::vector<PackedContig> packed;
-    aln::ContigResult last_result;
-    std::string last_error;
     // bulk device-finish result store (aln_finish_bulk / aln_solve_remaining)
     std::vector<aln::ContigResult> results;
     std::vector<char> done;
@@ -160,82 +158,15 @@ void *aln_open2(const char *paf_path, const char *alt_path, double alt_baseline,
     }
 }
 
-void *aln_open(const char *paf_path, const char *alt_path, double alt_baseline,
-               int non_skip_linkable, int threads, long long max_records,
-               char *err, int errlen) {
-    return aln_open2(paf_path, alt_path, alt_baseline, non_skip_linkable,
-                     threads, max_records, err, errlen, nullptr);
-}
-
 void aln_close(void *h) { delete (ExportCtx *) h; }
 
 long long aln_num_contigs(void *h) {
     return (long long) ((ExportCtx *) h)->ds.contigs.size();
 }
 
-// meta[0..5] = built, n_records, n_vertices, n_edges, src, dest
-int aln_contig_meta(void *h, long long i, long long *meta) {
-    auto &ctx = *(ExportCtx *) h;
-    if (i < 0 || i >= (long long) ctx.packed.size()) return 1;
-    const auto &pc = ctx.packed[i];
-    meta[0] = pc.built ? 1 : 0;
-    meta[1] = (long long) ctx.ds.contigs[i].size();
-    if (!pc.built) {
-        meta[2] = meta[3] = meta[4] = meta[5] = 0;
-        return 0;
-    }
-    const auto &g = pc.graph;
-    long long ne = 0;
-    for (const auto &a : g.adj) ne += (long long) a.size();
-    meta[2] = (long long) g.adj.size();
-    meta[3] = ne;
-    meta[4] = g.src;
-    meta[5] = g.dest;
-    return 0;
-}
-
-const char *aln_contig_error(void *h, long long i) {
-    auto &ctx = *(ExportCtx *) h;
-    if (i < 0 || i >= (long long) ctx.packed.size()) return "index out of range";
-    return ctx.packed[i].error.c_str();
-}
-
 }  // extern "C"
 
-// ---- per-contig native solve (fallback path for the device engine) ----
-// Stores the result in the context; fetch with aln_result_sizes /
-// aln_result_rows.  Row layout: [ctg_index, qs, qe, rs, re, alt] i64.
-
 extern "C" {
-
-int aln_solve_one(void *h, long long i, int lazy_walks) {
-    auto &ctx = *(ExportCtx *) h;
-    if (i < 0 || i >= (long long) ctx.ds.contigs.size()) return 1;
-    try {
-        aln::Config cfg = ctx.cfg;
-        cfg.lazy_walks = lazy_walks != 0;
-        ctx.last_result = aln::solve_contig(ctx.ds.contigs[i], cfg);
-        return 0;
-    } catch (const std::exception &e) {
-        ctx.last_error = e.what();
-        return 2;
-    }
-}
-
-// sizes[0] = |out|, sizes[1] = |alt|, sizes[2] = number of max groups
-int aln_result_sizes(void *h, long long *sizes) {
-    auto &ctx = *(ExportCtx *) h;
-    sizes[0] = (long long) ctx.last_result.out.size();
-    sizes[1] = (long long) ctx.last_result.alt.size();
-    sizes[2] = (long long) ctx.last_result.max_out.size();
-    return 0;
-}
-
-long long aln_result_max_group_size(void *h, long long gi) {
-    auto &ctx = *(ExportCtx *) h;
-    if (gi < 0 || gi >= (long long) ctx.last_result.max_out.size()) return -1;
-    return (long long) ctx.last_result.max_out[gi].size();
-}
 
 static void fill_rows(const std::vector<aln::OutRow> &rows, int64_t *buf) {
     for (size_t k = 0; k < rows.size(); k++) {
@@ -247,18 +178,6 @@ static void fill_rows(const std::vector<aln::OutRow> &rows, int64_t *buf) {
         buf[k * 6 + 4] = r.re;
         buf[k * 6 + 5] = r.alt_flag ? 1 : 0;
     }
-}
-
-// which: 0 = out, 1 = alt, 2 = max group gi
-int aln_result_rows(void *h, int which, long long gi, int64_t *buf) {
-    auto &ctx = *(ExportCtx *) h;
-    if (which == 0) fill_rows(ctx.last_result.out, buf);
-    else if (which == 1) fill_rows(ctx.last_result.alt, buf);
-    else {
-        if (gi < 0 || gi >= (long long) ctx.last_result.max_out.size()) return 1;
-        fill_rows(ctx.last_result.max_out[gi], buf);
-    }
-    return 0;
 }
 
 // ---- bulk device-engine ABI ----------------------------------------
