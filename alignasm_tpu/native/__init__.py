@@ -91,13 +91,6 @@ def get_lib():
     if _lib is None:
         build()
         lib = ctypes.CDLL(str(_LIB))
-        lib.aln_run_stats.argtypes = [
-            ctypes.c_char_p, ctypes.c_char_p, ctypes.c_double,
-            ctypes.c_int, ctypes.c_int, ctypes.c_int,
-            ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int,
-            ctypes.POINTER(Stats),
-        ]
-        lib.aln_run_stats.restype = ctypes.c_int
         lib.aln_run_stats2.argtypes = [
             ctypes.c_char_p, ctypes.c_char_p, ctypes.c_double,
             ctypes.c_int, ctypes.c_int, ctypes.c_int,

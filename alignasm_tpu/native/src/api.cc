@@ -119,20 +119,4 @@ int aln_run_stats2(const char *paf_path, const char *alt_path, double alt_baseli
     }
 }
 
-int aln_run_stats(const char *paf_path, const char *alt_path, double alt_baseline,
-                  int non_skip_linkable, int threads, int lazy_walks,
-                  const char *out_prefix, char *err, int errlen,
-                  AlnStats *stats) {
-    return aln_run_stats2(paf_path, alt_path, alt_baseline, non_skip_linkable,
-                          threads, lazy_walks, out_prefix, err, errlen, stats,
-                          nullptr);
-}
-
-int aln_run(const char *paf_path, const char *alt_path, double alt_baseline,
-            int non_skip_linkable, int threads, int lazy_walks,
-            const char *out_prefix, char *err, int errlen) {
-    return aln_run_stats(paf_path, alt_path, alt_baseline, non_skip_linkable,
-                         threads, lazy_walks, out_prefix, err, errlen, nullptr);
-}
-
 }  // extern "C"

@@ -92,6 +92,54 @@ def test_byte_identical_tpu_engine_cli(oracle_bin, tmp_path, kind, seed):
     )
 
 
+def test_byte_identical_tpu_engine_with_alt_merge(oracle_bin, tmp_path):
+    """The tpu engine with an alt-PAF merge vs oracle bytes on disk."""
+    main = generate_paf(n_contigs=12, seed=47)
+    paf = tmp_path / "tpualt.paf"
+    paf.write_text(main)
+    alt = tmp_path / "tpualt_in.paf"
+    alt.write_text(generate_alt_paf(main, seed=47))
+    assert alt.stat().st_size > 0
+    _assert_identical(
+        run_oracle(oracle_bin, paf, tmp_path, extra=["-a", str(alt)]),
+        _run_engine(paf, tmp_path, extra=["-a", str(alt), "--engine", "tpu"]),
+    )
+
+
+def test_custom_scoring_config_native_matches_exact(tmp_path):
+    """Non-default scoring constants must produce identical outputs from
+    the native and exact engines (the ABI threads every knob; the oracle
+    can't check custom configs since the reference hard-compiles them)."""
+    import dataclasses
+
+    from alignasm_tpu import native
+    from alignasm_tpu.config import DEFAULT_CONFIG
+    from alignasm_tpu.engine.exact import solve_dataset
+    from alignasm_tpu.io.paf import read_paf, write_outputs
+
+    cfg = dataclasses.replace(
+        DEFAULT_CONFIG, qry_weight=2, ref_negative_penalty=3,
+        sv_inv_penalty=700, sv_trans_penalty=1500,
+        sv_front_end_coefficient=3,
+    )
+    paf = tmp_path / "cust.paf"
+    paf.write_text(generate_hard_paf(n_contigs=12, seed=29))
+    native.run(str(paf), config=cfg)
+    nat = [pathlib.Path(str(paf)[:-4] + f".aln{sfx}.paf").read_bytes()
+           for sfx in ("", ".alt", ".all")]
+
+    ds = read_paf(paf)
+    outs, alt_outs, max_outs = solve_dataset(ds, cfg)
+    stem = tmp_path / "cust_exact"
+    for name, data, kw in [(".aln.paf", outs, {}), (".aln.alt.paf", alt_outs, {}),
+                           (".aln.all.paf", max_outs, {"name_suffix_counts": True})]:
+        with open(str(stem) + name, "w") as fh:
+            write_outputs(ds, data, fh, **kw)
+    exa = [pathlib.Path(str(stem) + f".aln{sfx}.paf").read_bytes()
+           for sfx in ("", ".alt", ".all")]
+    assert nat == exa
+
+
 def test_parallel_engine_matches_serial(oracle_bin, tmp_path):
     paf = tmp_path / "par.paf"
     paf.write_text(generate_hard_paf(n_contigs=20, seed=9))
