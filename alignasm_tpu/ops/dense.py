@@ -42,7 +42,7 @@ import jax.numpy as jnp
 import numpy as np
 
 INF32 = np.int32(2**30)
-COUNT_SAT = jnp.int32(10_001)
+COUNT_SAT = np.int32(10_001)
 ANOM_SHIFT = 28  # edge anomaly (<= 3) packed above the 28-bit score
 
 DENSE_ROWS = ("d_s", "d_a", "floor_a", "cnt_tot", "cnt_min")
@@ -72,21 +72,7 @@ def dense_solve_wire(wire, V, n_sweeps):
         return flat[: V * (V + 1)].reshape(V + 1, V)
 
     packed = jax.vmap(one)(idx, val)
-
-    def solve(arr):
-        wsa = arr[:V]
-        dest = arr[V, 0]
-        src = arr[V, 1]
-        edge = wsa != INF32
-        ws = wsa & jnp.int32((1 << ANOM_SHIFT) - 1)
-        wa = jax.lax.shift_right_logical(wsa, jnp.int32(ANOM_SHIFT))
-        out5 = _solve_one(ws, wa, edge, dest, V, n_sweeps)
-        return jnp.concatenate([
-            out5[0], out5[1],
-            jnp.stack([out5[2][src], out5[3][src], out5[4][src], src]),
-        ])
-
-    return jax.vmap(solve)(packed)
+    return jax.vmap(lambda arr: solve_slab(arr, V, n_sweeps))(packed)
 
 
 @functools.partial(jax.jit, static_argnames=("n_sweeps",))
@@ -161,6 +147,53 @@ def _solve_one(ws, wa, edge, dest, V, n_sweeps):
 
     return jnp.stack([s, a, fa, cnt_tot, cnt_min])
 
+
+
+def solve_slab(arr, V, n_sweeps):
+    """The per-contig production math on one densified (V+1, V) slab —
+    shared verbatim by the XLA path (dense_solve_wire) and the Pallas
+    kernel below, so both compile identical arithmetic."""
+    wsa = arr[:V]
+    dest = arr[V, 0]
+    src = arr[V, 1]
+    edge = wsa != INF32
+    ws = wsa & jnp.int32((1 << ANOM_SHIFT) - 1)
+    wa = jax.lax.shift_right_logical(wsa, jnp.int32(ANOM_SHIFT))
+    out5 = _solve_one(ws, wa, edge, dest, V, n_sweeps)
+    return jnp.concatenate([
+        out5[0], out5[1],
+        jnp.stack([out5[2][src], out5[3][src], out5[4][src], src]),
+    ])
+
+
+@functools.partial(jax.jit, static_argnames=("n_sweeps", "interpret"))
+def dense_solve_slabs_pallas(packed, n_sweeps, interpret=False):
+    """Pallas twin of the production solve: one grid step per contig,
+    the (V+1, V) slab resident in VMEM across the whole sweep loop with
+    the compare cascade fused — the speed-of-light shape for this op
+    (the XLA path re-reads intermediates between the ~8 elementwise
+    passes of each sweep; see BENCH_RESULTS.md roofline).  Takes the
+    already-densified slabs (the wire scatter stays an XLA op).
+
+    Mosaic compilation is blocked in this container (BENCH_RESULTS.md
+    "Known infra limits"), so this kernel is validated in interpret
+    mode against dense_solve_wire and the XLA twin serves the hardware.
+    """
+    from jax.experimental import pallas as pl
+
+    B, V1, V = packed.shape
+
+    def kernel(arr_ref, out_ref):
+        out_ref[0] = solve_slab(arr_ref[0], V, n_sweeps)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[pl.BlockSpec((1, V + 1, V), lambda b: (b, 0, 0))],
+        out_specs=pl.BlockSpec((1, 2 * V + 4), lambda b: (b, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, 2 * V + 4), jnp.int32),
+        interpret=interpret,
+    )(packed)
 
 
 def unpack_dense(stacked_row):

@@ -100,6 +100,44 @@ def test_dense_sparse_wire_matches_unpacked():
         np.testing.assert_array_equal(exp, c[b])
 
 
+def test_pallas_slab_kernel_matches_xla_twin():
+    """The Pallas production kernel (interpret mode — Mosaic is blocked
+    in this container) must equal the XLA path on densified slabs."""
+    from alignasm_tpu.ops.dense import (
+        ANOM_SHIFT, INF32, dense_solve_slabs_pallas, dense_solve_wire,
+    )
+
+    rng = np.random.default_rng(12)
+    B, V, S = 4, 16, 8
+    mask = np.triu(rng.random((B, V, V)) < 0.25, k=1)
+    packed = np.full((B, V + 1, V), INF32, np.int32)
+    scores = rng.integers(1, 1000, (B, V, V)).astype(np.int32)
+    anoms = rng.integers(0, 3, (B, V, V)).astype(np.int32)
+    packed[:, :V][mask] = scores[mask] | (anoms[mask] << ANOM_SHIFT)
+    dests = rng.integers(V // 2, V, B).astype(np.int32)
+    srcs = rng.integers(0, V // 2, B).astype(np.int32)
+    packed[:, V, 0] = dests
+    packed[:, V, 1] = srcs
+
+    # the XLA reference via the wire (same slabs)
+    E = int(mask.sum(axis=(1, 2)).max())
+    wire = np.empty((B, 2, E + 3), np.int32)
+    wire[:, 0] = V * (V + 1)
+    wire[:, 1] = 0
+    for b in range(B):
+        us, vs = np.nonzero(mask[b])
+        k = len(us)
+        wire[b, 0, :k] = (us * V + vs).astype(np.int32)
+        wire[b, 1, :k] = packed[b, us, vs]
+        wire[b, 0, k] = V * V
+        wire[b, 1, k] = dests[b]
+        wire[b, 0, k + 1] = V * V + 1
+        wire[b, 1, k + 1] = srcs[b]
+    a = np.asarray(dense_solve_wire(wire, V=V, n_sweeps=S))
+    c = np.asarray(dense_solve_slabs_pallas(packed, n_sweeps=S, interpret=True))
+    np.testing.assert_array_equal(a, c)
+
+
 def test_dense_rejects_parallel_edges():
     """pack_dense_bucket must refuse duplicate (u, v) cells."""
     import dataclasses
