@@ -25,6 +25,12 @@ namespace {
 struct PackedContig {
     aln::Graph graph;
     std::vector<int64_t> erank;
+    // reverse-topo Kahn position per vertex (sinks first); the wire
+    // relabels vertex v to padded position V-1-kahn[v], so every edge
+    // goes low->high and the device can solve in ONE reverse-topo scan
+    // (ops/dense.py:dense_solve_wire_topo) instead of n_sweeps full
+    // relaxation sweeps
+    std::vector<int32_t> kahn;
     bool built = false;
     std::string error;
 };
@@ -85,8 +91,13 @@ void compute_ranks(PackedContig &pc) {
     std::deque<int32_t> q;
     for (int64_t u = 0; u < V; u++)
         if (!indeg[u]) q.push_back((int32_t) u);
-    std::vector<int64_t> kahn(V, 0);
-    int64_t pos = 0;
+    // kept (not recomputed per call): also the wire's topo relabeling.
+    // Seeding/queue order must stay EXACTLY this (index-ordered Kahn on
+    // the reversed graph) — erank reproduces the reference's reversed-
+    // relaxation arrival order from it.
+    pc.kahn.assign((size_t) V, 0);
+    auto &kahn = pc.kahn;
+    int32_t pos = 0;
     while (!q.empty()) {
         int32_t x = q.front();
         q.pop_front();
@@ -99,7 +110,7 @@ void compute_ranks(PackedContig &pc) {
     pc.erank.clear();
     for (int64_t u = 0; u < V; u++)
         for (const auto &e : g.adj[u])
-            pc.erank.push_back((kahn[e.to] << 26) | rev_idx[e.to]++);
+            pc.erank.push_back(((int64_t) kahn[e.to] << 26) | rev_idx[e.to]++);
 }
 
 void set_err(char *err, int errlen, const std::string &msg) {
@@ -218,11 +229,16 @@ int aln_meta_bulk(void *h, int64_t *meta) {
 
 int aln_export_wire(void *h, const int64_t *idx, long long n_idx, long long V,
                     long long W, int32_t *wire, int8_t *status, int threads) {
-    // Sparse wire format (ops/dense.py:dense_solve_wire): per contig a
-    // (2, W) int32 slab of (flat cell index u*V+v, score|anom<<28)
-    // pairs, one (V*V, dest) entry, and padding pointing at the trash
-    // cell V*(V+1).  ~16x smaller than the dense matrices — transfers
-    // charge per byte; the device densifies with one batched scatter.
+    // Sparse wire format (ops/dense.py:dense_solve_wire_topo): per
+    // contig a (2, W) int32 slab of (flat cell index pos(u)*V+pos(v),
+    // score|anom<<28) pairs, one (V*V, pos(dest)) entry, one
+    // (V*V+1, pos(src)) entry, and padding pointing at the trash cell
+    // V*(V+1).  Vertices are RELABELED to pos(v) = V-1-kahn[v] — a
+    // topological order (every edge goes low->high, unused padding
+    // rows sit at the front) — so the device solves all suffix DPs in
+    // one V-step reverse scan instead of n_sweeps O(V^2) sweeps.  The
+    // wire is ~16x smaller than the dense matrices; the device
+    // densifies with one batched scatter.
     // status[b]: 1 = duplicate (u, v) cell, 2 = not built, 3 = V/W
     // overflow, 4 = score/anomaly outside the packed envelope — caller
     // routes those contigs to the native solver instead.
@@ -248,6 +264,8 @@ int aln_export_wire(void *h, const int64_t *idx, long long n_idx, long long V,
         // fresh V*V memset per contig would dominate the pack phase)
         static thread_local std::vector<char> seen;
         if ((long long) seen.size() < V * V) seen.assign((size_t) (V * V), 0);
+        const auto &kahn = pc.kahn;
+        auto pos = [&](long long v) { return V - 1 - (long long) kahn[v]; };
         long long k = 0;
         for (size_t u = 0; u < g.adj.size() && !status[b]; u++) {
             for (const auto &e : g.adj[u]) {
@@ -257,7 +275,7 @@ int aln_export_wire(void *h, const int64_t *idx, long long n_idx, long long V,
                     status[b] = 4;
                     break;
                 }
-                long long cell = (long long) u * V + e.to;
+                long long cell = pos((long long) u) * V + pos(e.to);
                 if (seen[cell]) {
                     status[b] = 1;
                     break;
@@ -271,9 +289,9 @@ int aln_export_wire(void *h, const int64_t *idx, long long n_idx, long long V,
         for (long long j = 0; j < k; j++) seen[ib[j]] = 0;
         if (status[b]) return;
         ib[k] = (int32_t) (V * V);  // the dest cell (row V, col 0)
-        vb[k] = g.dest;
+        vb[k] = (int32_t) pos(g.dest);
         ib[k + 1] = (int32_t) (V * V + 1);  // the src cell (row V, col 1)
-        vb[k + 1] = g.src;
+        vb[k + 1] = (int32_t) pos(g.src);
     }, err);
     return err.empty() ? 0 : 1;
 }
@@ -283,10 +301,12 @@ int aln_finish_bulk(void *h, const int64_t *idx, long long n_idx,
                     int threads, long long *n_fast, long long *n_fallback,
                     char *err, int errlen) {
     // dp rows: (n_idx, 2V + 4) int32 [d_s (V), d_a (V), floor_a@src,
-    // cnt_tot@src, cnt_min@src, src] from ops/dense.py:dense_solve_wire.
-    // Fast-finishes provably order-insensitive contigs from the device
-    // DP; everything else gets the full native solve on the
-    // already-built graph.
+    // cnt_tot@src, cnt_min@src, src] from
+    // ops/dense.py:dense_solve_wire_topo, in the wire's TOPO-RELABELED
+    // vertex numbering (pos(v) = V-1-kahn[v]; see aln_export_wire) —
+    // un-permuted here before the finish.  Fast-finishes provably
+    // order-insensitive contigs from the device DP; everything else
+    // gets the full native solve on the already-built graph.
     auto &ctx = *(ExportCtx *) h;
     ensure_results(ctx);
     const int32_t INF32 = 1 << 30;
@@ -298,13 +318,23 @@ int aln_finish_bulk(void *h, const int64_t *idx, long long n_idx,
         long long i = idx[b];
         const auto &pc = ctx.packed[i];
         const int32_t *row = dp + b * (2 * V + 4);
-        const int32_t *d_s = row, *d_a = row + V;
+        const int32_t *p_s = row, *p_a = row + V;
         int32_t fl = row[2 * V], ct = row[2 * V + 1], cm = row[2 * V + 2];
         aln::i32 src = pc.graph.src;
-        if (row[2 * V + 3] != src)
+        long long nv = (long long) pc.graph.adj.size();
+        auto pos = [&](long long v) { return V - 1 - (long long) pc.kahn[v]; };
+        if (row[2 * V + 3] != (int32_t) pos(src))
             throw std::runtime_error("device result row src mismatch");
-        if (cm == 1 && !(ct >= 2 && d_a[src] != fl)) {
-            ctx.results[i] = aln::finish_from_device(pc.graph, d_s, d_a, INF32, cfg);
+        static thread_local std::vector<int32_t> ds2, da2;
+        ds2.resize((size_t) nv);
+        da2.resize((size_t) nv);
+        for (long long v = 0; v < nv; v++) {
+            ds2[v] = p_s[pos(v)];
+            da2[v] = p_a[pos(v)];
+        }
+        if (cm == 1 && !(ct >= 2 && da2[src] != fl)) {
+            ctx.results[i] = aln::finish_from_device(pc.graph, ds2.data(),
+                                                     da2.data(), INF32, cfg);
             fast.fetch_add(1);
         } else {
             ctx.results[i] = aln::solve_from_graph(pc.graph, cfg);

@@ -75,6 +75,91 @@ def dense_solve_wire(wire, V, n_sweeps):
     return jax.vmap(lambda arr: solve_slab(arr, V, n_sweeps))(packed)
 
 
+@functools.partial(jax.jit, static_argnames=("V",))
+def dense_solve_wire_topo(wire, V):
+    """Production batched solve from the TOPO-RELABELED sparse wire
+    (native export.cc:aln_export_wire): same transport as
+    ``dense_solve_wire``, but the host relabeled vertices into a
+    topological order (every edge's flat cell has row < col), so all
+    five suffix DPs — the (sum, anom) lex shortest path, the anomaly
+    floor, and both walk counts — resolve in ONE reverse scan of V
+    steps (each O(B*V) work) instead of ``n_sweeps`` O(B*V^2) full
+    relaxation sweeps: ~n_sweeps x less compute AND no per-shape
+    ``n_sweeps`` recompile axis.  When step u runs, every successor
+    (higher index) is final, so each value is written exactly once —
+    the fixed point the sweep kernels iterate toward; outputs are
+    bit-equal (tests/test_dense.py::test_topo_scan_matches_sweeps).
+
+    Returns (B, 2V + 4) int32 rows in the relabeled numbering:
+    [d_s (V), d_a (V), floor_a@src, cnt_tot@src, cnt_min@src, src_pos];
+    the C++ finish un-permutes via the stored Kahn positions."""
+    B, two, W = wire.shape
+    idx = wire[:, 0]
+    val = wire[:, 1]
+
+    def one(i, v):
+        flat = jnp.full((V * (V + 1) + 1,), INF32, jnp.int32).at[i].set(v)
+        return flat[: V * (V + 1)].reshape(V + 1, V)
+
+    packed = jax.vmap(one)(idx, val)
+    return jax.vmap(lambda arr: solve_slab_topo(arr, V))(packed)
+
+
+def solve_slab_topo(arr, V):
+    """One contig's production math on a topo-ordered (V+1, V) slab:
+    a single reverse-topological scan.  Requires every edge (u, v) to
+    satisfy u < v in the slab numbering (dest may sit anywhere — its
+    row is guarded, not skipped).  Value parity with solve_slab is the
+    standard DAG-DP argument: the sweep kernels' fixed point assigns
+    each vertex the value computed from its successors' finals, which
+    is exactly what this scan writes (successors are final when their
+    predecessor's step runs, because edges only point to higher
+    indices)."""
+    wsa = arr[:V]
+    dest = arr[V, 0]
+    src = arr[V, 1]
+    mask = jnp.int32((1 << ANOM_SHIFT) - 1)
+
+    s0 = jnp.full((V,), INF32, jnp.int32).at[dest].set(0)
+    ct0 = jnp.zeros((V,), jnp.int32).at[dest].set(1)
+    init = (s0, jnp.zeros((V,), jnp.int32), s0, ct0, ct0)
+
+    def step(t, st):
+        s, a, fa, ct, cm = st
+        u = V - 1 - t
+        row = jax.lax.dynamic_slice_in_dim(wsa, u, 1, 0)[0]
+        edge = row != INF32
+        ws = row & mask
+        wa = jax.lax.shift_right_logical(row, jnp.int32(ANOM_SHIFT))
+        cs = jnp.where(edge, ws + s, INF32)
+        m1 = jnp.min(cs)
+        on = edge & (cs == m1)
+        m2 = jnp.min(jnp.where(on, wa + a, INF32))
+        reach = m1 < INF32
+        s_u = jnp.where(reach, m1, INF32)
+        a_u = jnp.where(reach, m2, 0)
+        fa_u = jnp.min(jnp.where(edge, wa + fa, INF32))
+        ct_u = jnp.minimum(
+            jnp.sum(jnp.where(edge, ct, 0), dtype=jnp.int32), COUNT_SAT)
+        # achieving edges off the just-final (s_u, a_u) — cnt_min in the
+        # same scan (the sweep form needs a second loop AFTER s, a fix)
+        ach = edge & (s < INF32) & (ws + s == s_u) & (wa + a == a_u)
+        cm_u = jnp.minimum(
+            jnp.sum(jnp.where(ach, cm, 0), dtype=jnp.int32), COUNT_SAT)
+        keep = u == dest  # dest's base values are the DP anchors
+
+        def upd(vec, x):
+            return vec.at[u].set(jnp.where(keep, vec[u], x))
+
+        return (upd(s, s_u), upd(a, a_u), upd(fa, fa_u),
+                upd(ct, ct_u), upd(cm, cm_u))
+
+    s, a, fa, ct, cm = jax.lax.fori_loop(0, V, step, init)
+    return jnp.concatenate([
+        s, a, jnp.stack([fa[src], ct[src], cm[src], src]),
+    ])
+
+
 @functools.partial(jax.jit, static_argnames=("n_sweeps",))
 def dense_solve_batch(ws, wa, dest, n_sweeps):
     """Batched (B, V, V) dense solve; returns (B, 5, V) int32 stacked

@@ -394,7 +394,7 @@ def _solve_tpu_native(dataset, cfg: AlignasmConfig, src_paths, write_prefix):
     import numpy as np
 
     from alignasm_tpu import native
-    from alignasm_tpu.ops.dense import dense_solve_wire
+    from alignasm_tpu.ops.dense import dense_solve_wire_topo
 
     t_start = time.perf_counter()
     stats = {"device": 0, "fallback": 0, "singleton": 0, "oversize": 0,
@@ -452,7 +452,6 @@ def _solve_tpu_native(dataset, cfg: AlignasmConfig, src_paths, write_prefix):
                 idxs = idxs[ok]
                 if not len(idxs):
                     continue
-            n_sweeps = _next_pow2(int(n_rec[idxs].max()) + 2)
             realB = len(idxs)
             padB = max(_next_pow2(realB), n_dev if spec is not None else 1)
             if padB != realB:
@@ -460,20 +459,30 @@ def _solve_tpu_native(dataset, cfg: AlignasmConfig, src_paths, write_prefix):
                     [wire, np.repeat(wire[-1:], padB - realB, 0)])
             if spec is not None:
                 wire = jax.device_put(wire, spec)
-            pending = dense_solve_wire(wire, V=V, n_sweeps=n_sweeps)
+            # topo-relabeled wire -> single reverse-scan kernel: no
+            # n_sweeps axis, so compiled variants are bounded by the
+            # (padB, V, W) bucket shapes alone
+            pending = dense_solve_wire_topo(wire, V=V)
             launches.append((idxs, realB, V, pending))
             stats["dense_buckets"] += 1
         stats["launch_s"] = round(time.perf_counter() - t0, 4)
 
         t0 = time.perf_counter()
+        sync_s = cfinish_s = 0.0
         for idxs, realB, V, pending in launches:
+            t1 = time.perf_counter()
             dp = np.asarray(pending)[:realB]
+            t2 = time.perf_counter()
+            sync_s += t2 - t1
             n_fast, n_fb = exporter.finish_bulk(idxs, dp, V)
+            cfinish_s += time.perf_counter() - t2
             stats["device"] += n_fast
             stats["fallback"] += n_fb
         stats["native_direct"] = exporter.solve_remaining() \
             - stats["singleton"]
         stats["finish_s"] = round(time.perf_counter() - t0, 4)
+        stats["sync_s"] = round(sync_s, 4)      # device wait + transfer
+        stats["cfinish_s"] = round(cfinish_s, 4)  # threaded C++ finish
 
         if write_prefix is not None:
             t0 = time.perf_counter()

@@ -100,6 +100,80 @@ def test_dense_sparse_wire_matches_unpacked():
         np.testing.assert_array_equal(exp, c[b])
 
 
+def test_topo_scan_matches_sweeps():
+    """dense_solve_wire_topo (the production single-scan kernel on
+    topo-ordered wires) must be bit-equal to the sweep kernel on random
+    upper-triangular DAGs — including dests that are not at V-1 and
+    vertices that cannot reach dest."""
+    from alignasm_tpu.ops.dense import (
+        ANOM_SHIFT, INF32, dense_solve_wire, dense_solve_wire_topo,
+    )
+
+    rng = np.random.default_rng(21)
+    B, V, S = 8, 32, 64
+    mask = np.triu(rng.random((B, V, V)) < 0.15, k=1)
+    ws = np.where(mask, rng.integers(1, 2**27, (B, V, V)), INF32).astype(np.int32)
+    wa = np.where(mask, rng.integers(0, 4, (B, V, V)), 0).astype(np.int32)
+    dests = rng.integers(V // 2, V, B).astype(np.int32)
+    srcs = rng.integers(0, V // 2, B).astype(np.int32)
+    for b in range(B):
+        mask[b, dests[b], :] = False  # dest is a sink (exporter contract)
+    E = int(mask.sum(axis=(1, 2)).max())
+    wire = np.empty((B, 2, E + 3), np.int32)
+    wire[:, 0] = V * (V + 1)
+    wire[:, 1] = 0
+    for b in range(B):
+        us, vs = np.nonzero(mask[b])
+        k = len(us)
+        wire[b, 0, :k] = (us * V + vs).astype(np.int32)
+        wire[b, 1, :k] = ws[b, us, vs] | (wa[b, us, vs] << ANOM_SHIFT)
+        wire[b, 0, k] = V * V
+        wire[b, 1, k] = dests[b]
+        wire[b, 0, k + 1] = V * V + 1
+        wire[b, 1, k + 1] = srcs[b]
+    a = np.asarray(dense_solve_wire(wire, V=V, n_sweeps=S))
+    c = np.asarray(dense_solve_wire_topo(wire, V=V))
+    np.testing.assert_array_equal(a, c)
+
+
+def test_exporter_wire_is_topological(tmp_path):
+    """The native exporter's wire cells must be topologically relabeled
+    (row < col for every edge) with dest/src at their Kahn positions —
+    the contract dense_solve_wire_topo relies on."""
+    from alignasm_tpu import native
+    from alignasm_tpu.config import DEFAULT_CONFIG as cfg
+
+    p = tmp_path / "topo.paf"
+    p.write_text(generate_hard_paf(n_contigs=6, seed=9))
+    native.build()
+    exp = native.GraphExporter(str(p), config=cfg)
+    try:
+        meta = exp.meta_bulk()
+        idx = np.where(meta[:, 0] == 1)[0]
+        assert len(idx) > 0
+        V = 1 << int(meta[idx, 2].max() - 1).bit_length()
+        W = 1 << int(meta[idx, 3].max() + 2 - 1).bit_length()
+        wire, ok = exp.export_wire(idx, V, W)
+        assert ok.all()
+        trash = V * (V + 1)
+        n_checked = 0
+        for b in range(len(idx)):
+            cells = wire[b, 0]
+            edges = cells[(cells >= 0) & (cells < V * V)]
+            u, v = edges // V, edges % V
+            assert (u < v).all(), "edge against topo order"
+            dest_slots = wire[b, 1][cells == V * V]
+            src_slots = wire[b, 1][cells == V * V + 1]
+            assert len(dest_slots) == 1 and len(src_slots) == 1
+            # dest is a sink: nothing may leave its relabeled row
+            assert (u != dest_slots[0]).all()
+            assert (cells[cells >= V * V + 2] == trash).all()
+            n_checked += len(edges)
+        assert n_checked > 0
+    finally:
+        exp.close()
+
+
 def test_pallas_slab_kernel_matches_xla_twin():
     """The Pallas production kernel (interpret mode — Mosaic is blocked
     in this container) must equal the XLA path on densified slabs."""
