@@ -126,8 +126,9 @@ def get_lib():
             ctypes.c_longlong, i32p, i8p, ctypes.c_int,
         ]
         lib.aln_export_wire.restype = ctypes.c_int
+        i16p = npc.ndpointer(dtype="int16", flags="C_CONTIGUOUS")
         lib.aln_finish_bulk.argtypes = [
-            ctypes.c_void_p, i64p, ctypes.c_longlong, i32p,
+            ctypes.c_void_p, i64p, ctypes.c_longlong, i16p,
             ctypes.c_longlong, ctypes.c_int, ctypes.c_int,
             llp, llp, ctypes.c_char_p, ctypes.c_int,
         ]
@@ -238,15 +239,15 @@ class GraphExporter:
 
     def finish_bulk(self, idx, dp, V: int, threads: int = 0,
                     lazy_walks: bool = True):
-        """Finish contigs `idx` from their (B, 2V + 4) device DP rows
-        (ops/dense.py:dense_solve_wire layout) — device-assisted fast
-        finish or full native solve, decided and executed in C++.
-        Returns (n_fast, n_fallback)."""
+        """Finish contigs `idx` from their (B, V + 5) int16 device path
+        rows (ops/dense.py:dense_solve_wire_topo_path layout) —
+        device-assisted fast finish or full native solve, decided and
+        executed in C++.  Returns (n_fast, n_fallback)."""
         np = self._np
         idx = np.ascontiguousarray(idx, np.int64)
-        dp = np.ascontiguousarray(dp, np.int32)
+        dp = np.ascontiguousarray(dp, np.int16)
         B, K = dp.shape
-        assert K == 2 * V + 4 and B == len(idx)
+        assert K == V + 5 and B == len(idx)
         n_fast = ctypes.c_longlong()
         n_fb = ctypes.c_longlong()
         err = ctypes.create_string_buffer(4096)

@@ -297,19 +297,21 @@ int aln_export_wire(void *h, const int64_t *idx, long long n_idx, long long V,
 }
 
 int aln_finish_bulk(void *h, const int64_t *idx, long long n_idx,
-                    const int32_t *dp, long long V, int lazy_walks,
+                    const int16_t *dp, long long V, int lazy_walks,
                     int threads, long long *n_fast, long long *n_fallback,
                     char *err, int errlen) {
-    // dp rows: (n_idx, 2V + 4) int32 [d_s (V), d_a (V), floor_a@src,
-    // cnt_tot@src, cnt_min@src, src] from
-    // ops/dense.py:dense_solve_wire_topo, in the wire's TOPO-RELABELED
-    // vertex numbering (pos(v) = V-1-kahn[v]; see aln_export_wire) —
-    // un-permuted here before the finish.  Fast-finishes provably
-    // order-insensitive contigs from the device DP; everything else
-    // gets the full native solve on the already-built graph.
+    // dp rows: (n_idx, V + 5) int16 [path (V, dest-padded), floor_a@src,
+    // cnt_tot@src, cnt_min@src, d_a@src, src] from
+    // ops/dense.py:dense_solve_wire_topo_path — the device already
+    // chased the achieving-successor chain, so the row carries the
+    // min-walk PATH (unique whenever cnt_min == 1, the only case the
+    // fast finish accepts), not per-vertex DP values: ~3.8x fewer D2H
+    // bytes on a transport whose D2H bandwidth dominated the sync
+    // phase.  Entries are wire TOPO positions (pos(v) = V-1-kahn[v];
+    // see aln_export_wire), un-permuted here.  Non-order-insensitive
+    // contigs get the full native solve on the already-built graph.
     auto &ctx = *(ExportCtx *) h;
     ensure_results(ctx);
-    const int32_t INF32 = 1 << 30;
     std::atomic<long long> fast{0}, fb{0};
     aln::Config cfg = ctx.cfg;
     cfg.lazy_walks = lazy_walks != 0;
@@ -317,24 +319,35 @@ int aln_finish_bulk(void *h, const int64_t *idx, long long n_idx,
     run_pool(threads, n_idx, [&](long long b) {
         long long i = idx[b];
         const auto &pc = ctx.packed[i];
-        const int32_t *row = dp + b * (2 * V + 4);
-        const int32_t *p_s = row, *p_a = row + V;
-        int32_t fl = row[2 * V], ct = row[2 * V + 1], cm = row[2 * V + 2];
+        const int16_t *row = dp + b * (V + 5);
+        int32_t fl = row[V], ct = row[V + 1], cm = row[V + 2];
+        int32_t da_src = row[V + 3];
         aln::i32 src = pc.graph.src;
         long long nv = (long long) pc.graph.adj.size();
         auto pos = [&](long long v) { return V - 1 - (long long) pc.kahn[v]; };
-        if (row[2 * V + 3] != (int32_t) pos(src))
+        if (row[V + 4] != (int16_t) pos(src))
             throw std::runtime_error("device result row src mismatch");
-        static thread_local std::vector<int32_t> ds2, da2;
-        ds2.resize((size_t) nv);
-        da2.resize((size_t) nv);
-        for (long long v = 0; v < nv; v++) {
-            ds2[v] = p_s[pos(v)];
-            da2[v] = p_a[pos(v)];
-        }
-        if (cm == 1 && !(ct >= 2 && da2[src] != fl)) {
-            ctx.results[i] = aln::finish_from_device(pc.graph, ds2.data(),
-                                                     da2.data(), INF32, cfg);
+        // clamps (ops/dense.py:I16_INF) only hit when src cannot reach
+        // dest, which forces cm == 0 -> the fallback branch, so the
+        // fast-path guard below only ever sees exact finite values
+        if (cm == 1 && !(ct >= 2 && da_src != fl)) {
+            static thread_local std::vector<int32_t> inv;
+            inv.assign((size_t) V, -1);
+            for (long long v = 0; v < nv; v++) inv[pos(v)] = (int32_t) v;
+            static thread_local std::vector<aln::i32> verts;
+            verts.clear();
+            const long long dpos = pos(pc.graph.dest);
+            for (long long k = 0; k < V; k++) {
+                int p = row[k];
+                if (p < 0 || p >= V || inv[p] < 0)
+                    throw std::runtime_error("device path entry out of range");
+                verts.push_back(inv[p]);
+                if (p == dpos) break;
+            }
+            if (verts.front() != src || verts.back() != pc.graph.dest)
+                throw std::runtime_error("device path endpoints mismatch");
+            ctx.results[i] = aln::finish_from_path(pc.graph, verts.data(),
+                                                   (int) verts.size(), cfg);
             fast.fetch_add(1);
         } else {
             ctx.results[i] = aln::solve_from_graph(pc.graph, cfg);

@@ -1160,30 +1160,28 @@ ContigResult solve_from_graph(const Graph &g, const Config &cfg) {
     return res;
 }
 
-// Device-assisted finish: d_s/d_a are the device DP's per-vertex
-// (score-sum, anomaly) minima to dest (int32; `inf` = unreachable
-// sentinel).  The caller guarantees the provably order-insensitive
-// case (cnt_min == 1, no alt scan — see engine/device.py docstring),
-// which makes the achieving path UNIQUE, so no fraction/rank
-// tie-breaks are needed to reproduce the reference's best walk.
-ContigResult finish_from_device(const Graph &g, const int32_t *d_s,
-                                const int32_t *d_a, int32_t inf,
-                                const Config &cfg) {
+// Device-assisted finish: verts is the device-chased min-walk vertex
+// sequence (src..dest, n entries).  The caller guarantees the provably
+// order-insensitive case (cnt_min == 1, no alt scan — see
+// engine/device.py docstring), which makes the achieving path UNIQUE,
+// so no fraction/rank tie-breaks are needed to reproduce the
+// reference's best walk; (u, v) determines the edge because
+// parallel-edge contigs never enter the dense path (export.cc's
+// duplicate-cell status).
+ContigResult finish_from_path(const Graph &g, const i32 *verts, int n,
+                              const Config &cfg) {
     EdgePath path;
-    i32 u = g.src;
-    while (u != g.dest) {
+    for (int k = 0; k + 1 < n; k++) {
+        i32 u = verts[k], v = verts[k + 1];
         const Edge *hit = nullptr;
         for (const auto &e : g.adj[u]) {
-            if (d_s[e.to] < inf &&
-                (i64) d_s[e.to] + e.w.sum() == (i64) d_s[u] &&
-                (i64) d_a[e.to] + e.w.a == (i64) d_a[u]) {
+            if (e.to == v) {
                 hit = &e;
                 break;
             }
         }
-        if (!hit) throw std::runtime_error("no achieving edge in device finish");
-        path.emplace_back(u, hit->to, hit->w);
-        u = hit->to;
+        if (!hit) throw std::runtime_error("device path edge missing");
+        path.emplace_back(u, v, hit->w);
     }
     Upgrader up(g);
     std::unordered_map<i32, bool> not_alt;

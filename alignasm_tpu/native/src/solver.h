@@ -28,10 +28,10 @@ struct Graph;
 ContigResult solve_from_graph(const Graph &g, const Config &cfg);
 
 // device-assisted finish for the provably order-insensitive case
-// (unique best walk, no alt scan); d_s/d_a indexed by vertex id
-ContigResult finish_from_device(const Graph &g, const int32_t *d_s,
-                                const int32_t *d_a, int32_t inf,
-                                const Config &cfg);
+// (unique best walk, no alt scan); verts = the device-chased min-walk
+// vertex sequence src..dest
+ContigResult finish_from_path(const Graph &g, const i32 *verts, int n,
+                              const Config &cfg);
 
 // ---- graph internals, exposed for the device-engine export ABI ------
 

@@ -43,6 +43,7 @@ import numpy as np
 
 INF32 = np.int32(2**30)
 COUNT_SAT = np.int32(10_001)
+I16_INF = np.int32(16_384)  # int16-safe "infinity" for compact rows
 ANOM_SHIFT = 28  # edge anomaly (<= 3) packed above the 28-bit score
 
 DENSE_ROWS = ("d_s", "d_a", "floor_a", "cnt_tot", "cnt_min")
@@ -105,7 +106,7 @@ def dense_solve_wire_topo(wire, V):
     return jax.vmap(lambda arr: solve_slab_topo(arr, V))(packed)
 
 
-def solve_slab_topo(arr, V):
+def _topo_scan(arr, V):
     """One contig's production math on a topo-ordered (V+1, V) slab:
     a single reverse-topological scan.  Requires every edge (u, v) to
     satisfy u < v in the slab numbering (dest may sit anywhere — its
@@ -114,7 +115,10 @@ def solve_slab_topo(arr, V):
     each vertex the value computed from its successors' finals, which
     is exactly what this scan writes (successors are final when their
     predecessor's step runs, because edges only point to higher
-    indices)."""
+    indices).  Also records nxt[u] — the lowest-index achieving
+    successor (-1 if none / u == dest), which is THE unique min-walk
+    edge whenever cnt_min[u] == 1 (each achieving edge contributes
+    cnt_min >= 1), i.e. exactly the contigs the fast finish handles."""
     wsa = arr[:V]
     dest = arr[V, 0]
     src = arr[V, 1]
@@ -122,10 +126,11 @@ def solve_slab_topo(arr, V):
 
     s0 = jnp.full((V,), INF32, jnp.int32).at[dest].set(0)
     ct0 = jnp.zeros((V,), jnp.int32).at[dest].set(1)
-    init = (s0, jnp.zeros((V,), jnp.int32), s0, ct0, ct0)
+    init = (s0, jnp.zeros((V,), jnp.int32), s0, ct0, ct0,
+            jnp.full((V,), -1, jnp.int32))
 
     def step(t, st):
-        s, a, fa, ct, cm = st
+        s, a, fa, ct, cm, nxt = st
         u = V - 1 - t
         row = jax.lax.dynamic_slice_in_dim(wsa, u, 1, 0)[0]
         edge = row != INF32
@@ -146,18 +151,72 @@ def solve_slab_topo(arr, V):
         ach = edge & (s < INF32) & (ws + s == s_u) & (wa + a == a_u)
         cm_u = jnp.minimum(
             jnp.sum(jnp.where(ach, cm, 0), dtype=jnp.int32), COUNT_SAT)
+        nxt_u = jnp.where(ach.any(), jnp.argmax(ach).astype(jnp.int32),
+                          jnp.int32(-1))
         keep = u == dest  # dest's base values are the DP anchors
 
         def upd(vec, x):
             return vec.at[u].set(jnp.where(keep, vec[u], x))
 
         return (upd(s, s_u), upd(a, a_u), upd(fa, fa_u),
-                upd(ct, ct_u), upd(cm, cm_u))
+                upd(ct, ct_u), upd(cm, cm_u), upd(nxt, nxt_u))
 
-    s, a, fa, ct, cm = jax.lax.fori_loop(0, V, step, init)
+    return jax.lax.fori_loop(0, V, step, init), dest, src
+
+
+def solve_slab_topo(arr, V):
+    """Full-DP-row form of the topo scan (parity testing vs the sweep
+    kernels); production uses solve_slab_topo_path."""
+    (s, a, fa, ct, cm, _nxt), dest, src = _topo_scan(arr, V)
     return jnp.concatenate([
         s, a, jnp.stack([fa[src], ct[src], cm[src], src]),
     ])
+
+
+def solve_slab_topo_path(arr, V):
+    """Production compact form: chase the achieving-successor chain
+    from src ON DEVICE and return an int16 row
+
+        [path (V entries, dest-padded), floor_a@src, cnt_tot@src,
+         cnt_min@src, d_a@src, src]                       (V + 5,)
+
+    so the host transfer shrinks from (2V+4) int32 to (V+5) int16
+    (~3.8x fewer D2H bytes — the tunnel's D2H bandwidth dominated the
+    sync phase).  All payloads fit int16: path entries < V <= 2048,
+    counts saturate at 10001, and anomaly sums are <= 3*(V-1) whenever
+    src reaches dest — which cnt_min == 1 (the only case the C++ fast
+    finish consumes the path/anomaly fields in) guarantees; infinities
+    are clamped to I16_INF."""
+    (s, a, fa, ct, cm, nxt), dest, src = _topo_scan(arr, V)
+
+    def chase(cur, _):
+        stop = (cur == dest) | (cur < 0)
+        out = jnp.where(stop, dest, cur)
+        cur2 = jnp.where(stop, dest, nxt[jnp.maximum(cur, 0)])
+        return cur2, out
+
+    _, path = jax.lax.scan(chase, src, None, length=V)
+    clamp = jnp.int32(I16_INF)
+    tail = jnp.stack([jnp.minimum(fa[src], clamp), ct[src],
+                      jnp.minimum(cm[src], clamp),
+                      jnp.minimum(a[src], clamp), src])
+    return jnp.concatenate([path, tail]).astype(jnp.int16)
+
+
+@functools.partial(jax.jit, static_argnames=("V",))
+def dense_solve_wire_topo_path(wire, V):
+    """Batched production solve returning compact int16 path rows; see
+    dense_solve_wire_topo for the wire format and solve_slab_topo_path
+    for the row layout."""
+    idx = wire[:, 0]
+    val = wire[:, 1]
+
+    def one(i, v):
+        flat = jnp.full((V * (V + 1) + 1,), INF32, jnp.int32).at[i].set(v)
+        return flat[: V * (V + 1)].reshape(V + 1, V)
+
+    packed = jax.vmap(one)(idx, val)
+    return jax.vmap(lambda arr: solve_slab_topo_path(arr, V))(packed)
 
 
 @functools.partial(jax.jit, static_argnames=("n_sweeps",))

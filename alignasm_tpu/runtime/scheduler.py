@@ -394,7 +394,7 @@ def _solve_tpu_native(dataset, cfg: AlignasmConfig, src_paths, write_prefix):
     import numpy as np
 
     from alignasm_tpu import native
-    from alignasm_tpu.ops.dense import dense_solve_wire_topo
+    from alignasm_tpu.ops.dense import dense_solve_wire_topo_path
 
     t_start = time.perf_counter()
     stats = {"device": 0, "fallback": 0, "singleton": 0, "oversize": 0,
@@ -459,10 +459,12 @@ def _solve_tpu_native(dataset, cfg: AlignasmConfig, src_paths, write_prefix):
                     [wire, np.repeat(wire[-1:], padB - realB, 0)])
             if spec is not None:
                 wire = jax.device_put(wire, spec)
-            # topo-relabeled wire -> single reverse-scan kernel: no
-            # n_sweeps axis, so compiled variants are bounded by the
-            # (padB, V, W) bucket shapes alone
-            pending = dense_solve_wire_topo(wire, V=V)
+            # topo-relabeled wire -> single reverse-scan kernel that
+            # chases the min-walk path on device and returns compact
+            # int16 rows (no n_sweeps axis, ~3.8x fewer D2H bytes), so
+            # compiled variants are bounded by the (padB, V, W) bucket
+            # shapes alone
+            pending = dense_solve_wire_topo_path(wire, V=V)
             launches.append((idxs, realB, V, pending))
             stats["dense_buckets"] += 1
         stats["launch_s"] = round(time.perf_counter() - t0, 4)

@@ -136,6 +136,67 @@ def test_topo_scan_matches_sweeps():
     np.testing.assert_array_equal(a, c)
 
 
+def test_topo_path_rows_match_dp(tmp_path):
+    """dense_solve_wire_topo_path (production compact int16 rows) must
+    agree with the full-DP kernel: same scalars (int16-clamped) and,
+    whenever cnt_min == 1, a path that walks achieving edges src->dest
+    (the unique min walk)."""
+    from alignasm_tpu.ops.dense import (
+        ANOM_SHIFT, I16_INF, INF32, dense_solve_wire_topo,
+        dense_solve_wire_topo_path,
+    )
+
+    rng = np.random.default_rng(5)
+    B, V = 16, 24
+    mask = np.triu(rng.random((B, V, V)) < 0.18, k=1)
+    ws = np.where(mask, rng.integers(1, 2**20, (B, V, V)), INF32).astype(np.int32)
+    wa = np.where(mask, rng.integers(0, 4, (B, V, V)), 0).astype(np.int32)
+    dests = rng.integers(V // 2, V, B).astype(np.int32)
+    srcs = rng.integers(0, V // 2, B).astype(np.int32)
+    for b in range(B):
+        mask[b, dests[b], :] = False
+    E = int(mask.sum(axis=(1, 2)).max())
+    wire = np.empty((B, 2, E + 3), np.int32)
+    wire[:, 0] = V * (V + 1)
+    wire[:, 1] = 0
+    for b in range(B):
+        us, vs = np.nonzero(mask[b])
+        k = len(us)
+        wire[b, 0, :k] = (us * V + vs).astype(np.int32)
+        wire[b, 1, :k] = ws[b, us, vs] | (wa[b, us, vs] << ANOM_SHIFT)
+        wire[b, 0, k] = V * V
+        wire[b, 1, k] = dests[b]
+        wire[b, 0, k + 1] = V * V + 1
+        wire[b, 1, k + 1] = srcs[b]
+    full = np.asarray(dense_solve_wire_topo(wire, V=V))
+    rows = np.asarray(dense_solve_wire_topo_path(wire, V=V))
+    assert rows.dtype == np.int16 and rows.shape == (B, V + 5)
+    ws = np.where(mask, ws, INF32)
+    n_unique = 0
+    for b in range(B):
+        d_s, d_a = full[b, :V], full[b, V : 2 * V]
+        fl, ct, cm, src = full[b, 2 * V :]
+        assert rows[b, V] == min(fl, I16_INF)
+        assert rows[b, V + 1] == ct
+        assert rows[b, V + 2] == min(cm, I16_INF)
+        assert rows[b, V + 3] == min(d_a[src], I16_INF)
+        assert rows[b, V + 4] == src
+        if cm != 1:
+            continue
+        n_unique += 1
+        path = rows[b, :V]
+        assert path[0] == src
+        k = 0
+        while path[k] != dests[b]:
+            u, v = int(path[k]), int(path[k + 1])
+            assert mask[b, u, v], "path step is not an edge"
+            assert ws[b, u, v] + d_s[v] == d_s[u]
+            assert wa[b, u, v] + d_a[v] == d_a[u]
+            k += 1
+        assert (path[k:] == dests[b]).all(), "dest-padded tail"
+    assert n_unique > 0
+
+
 def test_exporter_wire_is_topological(tmp_path):
     """The native exporter's wire cells must be topologically relabeled
     (row < col for every edge) with dest/src at their Kahn positions —
