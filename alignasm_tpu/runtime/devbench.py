@@ -154,6 +154,37 @@ def bench_kernels(B=256, V=64, E=256, n_sweeps=32, seed=0):
     import jax
 
     wire_d = jax.device_put(wire)
+
+    # production kernel: single reverse-topo scan + on-device path chase
+    # (ops/dense.py:dense_solve_wire_topo_path).  Marginal per-contig
+    # cost differences two batch sizes so the fixed dispatch round trip
+    # cancels; model bytes = the minimal traffic (one pass over the
+    # densified slab + the compact int16 output).
+    from alignasm_tpu.ops.dense import dense_solve_wire_topo_path
+
+    B_hi = 8 * B
+    wire_hi = jax.device_put(np.repeat(wire, 8, axis=0))
+    topo = _bench_one(
+        lambda: dense_solve_wire_topo_path(wire_d, V=V),
+        n_launch_sweeps=B,  # "sweeps" = contig solves for this kernel
+        bytes_per_sweep=(V * (V + 1) * 4 + (V + 5) * 2),
+    )
+    t_hi = _bench_one(
+        lambda: dense_solve_wire_topo_path(wire_hi, V=V),
+        n_launch_sweeps=B_hi,
+        bytes_per_sweep=(V * (V + 1) * 4 + (V + 5) * 2),
+    )["s_per_launch"]
+    marg = max(t_hi - topo["s_per_launch"], 1e-9) / (B_hi - B)
+    _kind0, peak0 = _device_peak()
+    eff0 = (V * (V + 1) * 4 + (V + 5) * 2) / marg
+    topo["contigs_per_s"] = topo.pop("sweeps_per_s")
+    topo["model_bytes_per_contig"] = topo.pop("model_bytes_per_sweep")
+    topo["marginal_s_per_contig"] = round(marg, 9)
+    topo["marginal_contigs_per_s"] = round(1.0 / marg, 1)
+    topo["marginal_GB_per_s"] = round(eff0 / 1e9, 1)
+    topo["marginal_pct_of_hbm_peak"] = round(100 * eff0 / peak0, 1)
+    topo.update(B=B, V=V, wire_bytes=int(wire.nbytes))
+
     dense = _bench_one(
         lambda: dense_solve_wire(wire_d, V=V, n_sweeps=n_sweeps),
         n_launch_sweeps=n_sweeps,
@@ -199,7 +230,7 @@ def bench_kernels(B=256, V=64, E=256, n_sweeps=32, seed=0):
         bytes_per_sweep=B * (11 * E + 10 * V) * 4,
     )
     sparse.update(B=B, V=V, E=E, n_sweeps=n_sweeps)
-    return {"dense": dense, "sparse": sparse}
+    return {"topo": topo, "dense": dense, "sparse": sparse}
 
 
 def main() -> None:
