@@ -55,7 +55,7 @@ def _device_peak():
     return kind, DEFAULT_PEAK
 
 
-def bench_end_to_end(n_contigs: int, seed: int = 2024, reps: int = 3):
+def bench_end_to_end(n_contigs: int, seed: int = 2024, reps: int = 5):
     """Timed solve_dataset_tpu over the bench corpus (native host
     plane), warm: the first run pays jit compiles and the tunnel's
     first-transfer stall (~285 s seen on this backend), which is
@@ -100,18 +100,24 @@ def _bench_one(launch, n_launch_sweeps, bytes_per_sweep, reps=5):
     """Kernel COMPUTE roofline: inputs are device-resident (the
     end-to-end stats carry the transfer costs, which on tunneled
     backends are fixed-latency, not bandwidth)."""
+    import statistics
+
     import jax
 
     jax.block_until_ready(launch())  # compile + warm
-    best = float("inf")
+    times = []
     for _ in range(reps):
         t0 = time.perf_counter()
         jax.block_until_ready(launch())
-        best = min(best, time.perf_counter() - t0)
+        times.append(time.perf_counter() - t0)
+    best = min(times)
     kind, peak = _device_peak()
     eff = bytes_per_sweep * n_launch_sweeps / best
     return {
         "s_per_launch": round(best, 6),
+        # dispatch jitter estimate: median minus min of the reps — used
+        # to decide whether a differenced marginal cost is resolvable
+        "noise_s": round(statistics.median(times) - best, 6),
         "sweeps_per_s": round(n_launch_sweeps / best, 1),
         "model_bytes_per_sweep": bytes_per_sweep,
         "effective_GB_per_s": round(eff / 1e9, 1),
@@ -120,6 +126,29 @@ def _bench_one(launch, n_launch_sweeps, bytes_per_sweep, reps=5):
         "device_kind": kind,
         "hbm_peak_GB_per_s": round(peak / 1e9, 1),
     }
+
+
+def _marginal(t_lo, t_hi, noise_lo, noise_hi, n_delta, bytes_per_unit):
+    """Marginal per-unit cost by differencing two launch sizes so the
+    fixed dispatch round trip cancels.  On a tunneled backend the
+    round-trip jitter can exceed the compute signal; when the measured
+    difference is below the noise floor the marginal fields are None
+    rather than a nonsense number (round-2 fix: an early run recorded
+    1.8e12 contigs/s from a negative difference clamped to 1e-9)."""
+    _kind, peak = _device_peak()
+    diff = t_hi - t_lo
+    floor = 2 * max(noise_lo, noise_hi, 1e-4)
+    if diff <= floor:
+        return {"marginal_note":
+                f"unresolvable: size delta changed launch time by "
+                f"{diff * 1e3:.2f} ms, below the {floor * 1e3:.2f} ms "
+                f"dispatch-jitter floor"}, None
+    marg = diff / n_delta
+    eff = bytes_per_unit / marg
+    return {
+        "marginal_GB_per_s": round(eff / 1e9, 1),
+        "marginal_pct_of_hbm_peak": round(100 * eff / peak, 1),
+    }, marg
 
 
 def bench_kernels(B=256, V=64, E=256, n_sweeps=32, seed=0):
@@ -162,27 +191,30 @@ def bench_kernels(B=256, V=64, E=256, n_sweeps=32, seed=0):
     # densified slab + the compact int16 output).
     from alignasm_tpu.ops.dense import dense_solve_wire_topo_path
 
-    B_hi = 8 * B
-    wire_hi = jax.device_put(np.repeat(wire, 8, axis=0))
+    # 64x batch so the compute signal (~1 us/contig x 16k contigs =
+    # ~16 ms) clears the multi-ms dispatch jitter of the tunnel
+    B_hi = 64 * B
+    wire_hi = jax.device_put(np.repeat(wire, 64, axis=0))
+    contig_bytes = V * (V + 1) * 4 + (V + 5) * 2
     topo = _bench_one(
         lambda: dense_solve_wire_topo_path(wire_d, V=V),
         n_launch_sweeps=B,  # "sweeps" = contig solves for this kernel
-        bytes_per_sweep=(V * (V + 1) * 4 + (V + 5) * 2),
+        bytes_per_sweep=contig_bytes,
     )
-    t_hi = _bench_one(
+    hi = _bench_one(
         lambda: dense_solve_wire_topo_path(wire_hi, V=V),
         n_launch_sweeps=B_hi,
-        bytes_per_sweep=(V * (V + 1) * 4 + (V + 5) * 2),
-    )["s_per_launch"]
-    marg = max(t_hi - topo["s_per_launch"], 1e-9) / (B_hi - B)
-    _kind0, peak0 = _device_peak()
-    eff0 = (V * (V + 1) * 4 + (V + 5) * 2) / marg
+        bytes_per_sweep=contig_bytes,
+    )
     topo["contigs_per_s"] = topo.pop("sweeps_per_s")
     topo["model_bytes_per_contig"] = topo.pop("model_bytes_per_sweep")
-    topo["marginal_s_per_contig"] = round(marg, 9)
-    topo["marginal_contigs_per_s"] = round(1.0 / marg, 1)
-    topo["marginal_GB_per_s"] = round(eff0 / 1e9, 1)
-    topo["marginal_pct_of_hbm_peak"] = round(100 * eff0 / peak0, 1)
+    mfields, marg = _marginal(topo["s_per_launch"], hi["s_per_launch"],
+                              topo["noise_s"], hi["noise_s"],
+                              B_hi - B, contig_bytes)
+    if marg is not None:
+        topo["marginal_s_per_contig"] = round(marg, 9)
+        topo["marginal_contigs_per_s"] = round(1.0 / marg, 1)
+    topo.update(mfields)
     topo.update(B=B, V=V, wire_bytes=int(wire.nbytes))
 
     dense = _bench_one(
@@ -196,18 +228,19 @@ def bench_kernels(B=256, V=64, E=256, n_sweeps=32, seed=0):
     # dispatch/round-trip latency (which dominates s_per_launch on
     # tunneled backends) cancels — this is the COMPUTE roofline
     hi_sweeps = 8 * n_sweeps
-    t_hi = _bench_one(
+    hi = _bench_one(
         lambda: dense_solve_wire(wire_d, V=V, n_sweeps=hi_sweeps),
         n_launch_sweeps=hi_sweeps, bytes_per_sweep=B * V * V * 4,
-    )["s_per_launch"]
-    marg = max(t_hi - dense["s_per_launch"], 1e-9) / (hi_sweeps - n_sweeps)
-    _kind, peak = _device_peak()
-    eff = B * V * V * 4 / marg
-    dense["marginal_s_per_sweep"] = round(marg, 9)
-    dense["marginal_sweeps_per_s"] = round(1.0 / marg, 1)
-    dense["marginal_GB_per_s"] = round(eff / 1e9, 1)
-    dense["marginal_pct_of_hbm_peak"] = round(100 * eff / peak, 1)
-    dense["marginal_vmem_resident"] = eff > peak
+    )
+    mfields, marg = _marginal(dense["s_per_launch"], hi["s_per_launch"],
+                              dense["noise_s"], hi["noise_s"],
+                              hi_sweeps - n_sweeps, B * V * V * 4)
+    if marg is not None:
+        dense["marginal_s_per_sweep"] = round(marg, 9)
+        dense["marginal_sweeps_per_s"] = round(1.0 / marg, 1)
+        _kind, peak = _device_peak()
+        dense["marginal_vmem_resident"] = mfields["marginal_GB_per_s"] * 1e9 > peak
+    dense.update(mfields)
 
     # sparse: E random forward edges per contig
     eu = np.sort(rng.integers(0, V - 1, (B, E)), axis=1).astype(np.int32)
