@@ -121,10 +121,13 @@ def _sweep_r(data, range_idx, rdata, cur_qry_end):
 
 def _run_containing(runs, x):
     """lower_bound((x+1, -1)) then prev — the match-run containing x, or
-    -1 (paf_data.cpp:995-998)."""
-    import bisect
+    -1 (paf_data.cpp:995-998).  Run starts are sorted and run bounds are
+    non-negative, so the tuple lower_bound equals a searchsorted on the
+    start column — O(log n), no per-probe list materialization (this
+    sits inside the per-gap x per-candidate sweep loops)."""
+    import numpy as np
 
-    idx = bisect.bisect_left([tuple(r) for r in runs.tolist()], (x + 1, -1))
+    idx = int(np.searchsorted(runs[:, 0], x + 1, side="left"))
     if idx > 0 and int(runs[idx - 1, 1]) >= x:
         return idx - 1
     return -1

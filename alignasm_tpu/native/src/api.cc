@@ -1,10 +1,11 @@
 // C ABI for the native pipeline (ctypes-friendly).
 //
-// aln_run(): the full reference-equivalent pipeline — read PAF (+
-// optional alt merge), solve every contig on a thread pool, write the
-// three output PAFs.  The threading model mirrors the reference's
-// contig-level task parallelism (alignasm.cpp:346-361) with dynamic
-// chunking for skewed contig sizes.
+// aln_run_stats2(): the full reference-equivalent pipeline — read PAF
+// (+ optional alt merge), solve every contig on a thread pool, write
+// the three output PAFs, reporting phase timings + counters.  The
+// threading model mirrors the reference's contig-level task
+// parallelism (alignasm.cpp:346-361) with dynamic chunking for skewed
+// contig sizes.
 #include <atomic>
 #include <mutex>
 #include <chrono>
@@ -16,7 +17,7 @@
 #include "io.h"
 #include "solver.h"
 
-// phase timings + counters reported back through aln_run_stats
+// phase timings + counters reported back through aln_run_stats2
 struct AlnStats {
     double read_s, solve_s, write_s;
     long long contigs, records;

@@ -116,20 +116,30 @@ def run_multihost(
 
     def _input_digest() -> int:
         """Cheap job identity: a partial is valid for THIS job iff it was
-        produced from the same input bytes with the same world size (the
-        per-rank solve is deterministic, so a matching partial from an
-        earlier crashed run is byte-equal to what this run would produce
-        and is safe — even correct — to merge)."""
+        produced from the same inputs, the same solver flags, and the
+        same world size (the per-rank solve is deterministic, so a
+        matching partial from an earlier crashed run is byte-equal to
+        what this run would produce and is safe — even correct — to
+        merge).  The digest covers every knob that reaches the solver
+        (alt_baseline, non_skip_linkable) and the full file identity
+        (size + mtime + head/tail bytes) of BOTH inputs, so a re-run
+        with different flags, or against an edited same-size input,
+        rejects stale partials instead of silently mixing configs."""
         h = hashlib.sha256()
-        st = os.stat(paf_path)
-        h.update(f"{st.st_size}:{world}:".encode())
-        with open(paf_path, "rb") as fh:
-            h.update(fh.read(1 << 16))
-            if st.st_size > (1 << 16):
-                fh.seek(-(1 << 16), os.SEEK_END)
+        h.update(f"v2:{world}:{alt_baseline!r}:{non_skip_linkable}:".encode())
+
+        def _file_id(path):
+            st = os.stat(path)
+            h.update(f"{st.st_size}:{st.st_mtime_ns}:".encode())
+            with open(path, "rb") as fh:
                 h.update(fh.read(1 << 16))
+                if st.st_size > (1 << 16):
+                    fh.seek(-(1 << 16), os.SEEK_END)
+                    h.update(fh.read(1 << 16))
+
+        _file_id(paf_path)
         if alt_path and os.path.getsize(alt_path):
-            h.update(open(alt_path, "rb").read(1 << 16))
+            _file_id(alt_path)
         return int.from_bytes(h.digest()[:8], "big", signed=False) >> 1
 
     # per-rank native plane: parse + merge in C++ (graph building is

@@ -102,6 +102,24 @@ def solve_dataset_tpu(dataset, cfg: AlignasmConfig, batch_size: int = 256,
 
     _warm_transfer_async()
 
+    # 512 GB-class routing: a contig big enough for the edge-sharded
+    # graph axis must NOT go through the native plane (whose oversize
+    # sweep is a full single-host in-memory solve — the exact memory
+    # wall the mesh axis exists to break).  The Python plane below
+    # routes such contigs through parallel/mesh.py:solve_contig_sharded.
+    routed_for_graph_shard = False
+    if dataset is not None and src_paths is not None:
+        import jax
+
+        if jax.device_count() > 1 and any(
+            len(c) > cfg.max_device_records
+            and len(c) >= cfg.graph_shard_min_records
+            for c in dataset.contigs
+        ):
+            src_paths = None
+            write_prefix = None
+            routed_for_graph_shard = True
+
     if src_paths is not None:
         # production path: C++ host plane end to end (parse -> build ->
         # dense pack -> device DP -> finish -> write), no per-contig
@@ -128,6 +146,8 @@ def solve_dataset_tpu(dataset, cfg: AlignasmConfig, batch_size: int = 256,
     max_outs = [None] * n
     stats = {"device": 0, "fallback": 0, "singleton": 0, "oversize": 0,
              "host_plane": "python", "fallback_reasons": {}}
+    if routed_for_graph_shard:
+        stats["routed_for_graph_shard"] = True
 
     packed = []  # (contig index, PackedGraph)
     for i, contig in enumerate(dataset.contigs):
@@ -417,8 +437,14 @@ def _solve_tpu_native(dataset, cfg: AlignasmConfig, src_paths, write_prefix):
         stats["oversize"] = int((n_rec > cfg.max_device_records).sum())
         # score envelope 2^28 (packed wire format reserves bits 28-29
         # for the edge anomaly); bound is a path-sum upper bound, so
-        # every edge score and every DP value stays packable
-        eligible = built & (n_v <= cfg.dense_max_v) & (bound < 2**27)
+        # every edge score and every DP value stays packable.  The
+        # compact int16 result rows clamp anomaly sums at I16_INF=16384
+        # (ops/dense.py); with <= 3 anomaly per edge that is exact only
+        # for V <= 5461 — enforce it here so raising cfg.dense_max_v
+        # cannot silently turn the clamp into wrong fast-path bytes
+        # (a clamped d_a == clamped floor_a would skip a real alt scan).
+        max_v = min(cfg.dense_max_v, 5461)
+        eligible = built & (n_v <= max_v) & (bound < 2**27)
         idx_all = np.where(eligible)[0]
         stats["pack_s"] = round(time.perf_counter() - t_start, 4)
 
@@ -453,7 +479,11 @@ def _solve_tpu_native(dataset, cfg: AlignasmConfig, src_paths, write_prefix):
                 if not len(idxs):
                     continue
             realB = len(idxs)
-            padB = max(_next_pow2(realB), n_dev if spec is not None else 1)
+            padB = _next_pow2(realB)
+            if spec is not None:
+                # the data-mesh axis shards dim 0: pad to a multiple of
+                # the device count (pow2 alone fails on e.g. 6 devices)
+                padB = ((padB + n_dev - 1) // n_dev) * n_dev
             if padB != realB:
                 wire = np.concatenate(
                     [wire, np.repeat(wire[-1:], padB - realB, 0)])

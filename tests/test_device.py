@@ -198,6 +198,42 @@ def test_int64_kernel_path_for_large_coordinates(tmp_path):
     assert t == solve_dataset(ds2, DEFAULT_CONFIG)
 
 
+def test_native_plane_routes_giant_contigs_to_graph_axis(tmp_path):
+    """A 512 GB-class contig must reach the edge-sharded graph axis even
+    when the caller asked for the native host plane (src_paths given) —
+    the native plane's oversize sweep is a full single-host in-memory
+    solve, exactly the memory wall the mesh axis exists to break."""
+    import copy
+    import dataclasses
+
+    import jax
+
+    from alignasm_tpu.engine.exact import solve_dataset
+    from alignasm_tpu.io.paf import read_paf
+    from alignasm_tpu.runtime.scheduler import solve_dataset_tpu
+
+    if jax.device_count() < 2:
+        pytest.skip("needs the virtual multi-device mesh")
+    p = tmp_path / "giant.paf"
+    small = generate_paf(n_contigs=4, seed=9, max_records_per_contig=12)
+    big = generate_paf(n_contigs=1, seed=6, max_records_per_contig=60,
+                       mean_segment=250)
+    big = "\n".join("\t".join(["giantctg"] + ln.split("\t")[1:])
+                    for ln in big.splitlines() if ln) + "\n"
+    p.write_text(small + big)
+    ds = read_paf(p)
+    ds2 = copy.deepcopy(ds)
+    n_big = max(len(c) for c in ds.contigs)
+    cfg = dataclasses.replace(DEFAULT_CONFIG,
+                              max_device_records=max(16, n_big - 1),
+                              graph_shard_min_records=min(n_big, 48))
+    t = solve_dataset_tpu(ds, cfg, src_paths=(str(p), None))
+    stats = solve_dataset_tpu.last_stats
+    assert stats.get("routed_for_graph_shard"), stats
+    assert stats.get("graph_sharded", 0) >= 1, stats
+    assert t == solve_dataset(ds2, cfg)
+
+
 def test_device_engine_shards_over_data_mesh(tmp_path):
     """With multiple devices visible, the production device path shards
     bucket batches over the data mesh and still equals exact."""
