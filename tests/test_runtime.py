@@ -303,3 +303,30 @@ def test_multihost_two_processes(tmp_path, oracle_bin):
     for o, suffix in zip(oracle_outs, ("", ".alt", ".all")):
         got = pathlib.Path(str(mh)[:-4] + f".aln{suffix}.paf")
         assert o.read_bytes() == got.read_bytes(), f"aln{suffix}"
+
+
+def test_multihost_rejects_stale_partial_from_other_config(tmp_path, monkeypatch):
+    """A leftover rank-1 partial produced under DIFFERENT solver flags
+    (here: a different alt_baseline reflected in its meta digest) must
+    never be merged — rank 0 keeps polling and times out instead of
+    silently mixing configs (code-review finding, round 2)."""
+    import numpy as np
+
+    p = _dataset(tmp_path, seed=21, n=4)
+    mh = tmp_path / "stale.paf"
+    mh.write_bytes(p.read_bytes())
+
+    # plant a rank-1 partial with a bogus digest (as if from another run)
+    stem = str(mh)[: -len(".paf")]
+    empty = np.empty((0, 6), np.int64)
+    np.savez(f"{stem}.part1.npz.tmp.npz",
+             counts=np.zeros((4, 3), np.int64), gsizes=empty[:, 0],
+             main=empty, alt=empty, max=empty,
+             meta=np.asarray([12345, 2, 1, 4], np.int64))
+    import os
+    os.replace(f"{stem}.part1.npz.tmp.npz", f"{stem}.part1.npz")
+
+    monkeypatch.setenv("ALIGNASM_MERGE_TIMEOUT_S", "2")
+    import pytest as _pytest
+    with _pytest.raises(TimeoutError):
+        run_multihost(str(mh), num_processes=2, process_id=0)
