@@ -36,17 +36,29 @@ def _needs_build() -> bool:
 def build(force: bool = False) -> pathlib.Path:
     with _lock:
         if force or _needs_build():
+            # compile to a private temp path and os.replace into place:
+            # rename is atomic, so a concurrent PROCESS (multihost ranks,
+            # parallel CLI runs — the threading lock only covers this
+            # process) either dlopens the complete old library or the
+            # complete new one, never a half-written file
+            tmp = _LIB.with_suffix(f".so.tmp.{os.getpid()}")
             base = ["g++", "-std=c++20", "-O3", "-fPIC", "-shared",
-                    "-o", str(_LIB)] + [str(_SRC / s) for s in _SOURCES] + ["-pthread"]
+                    "-o", str(tmp)] + [str(_SRC / s) for s in _SOURCES] + ["-pthread"]
             # prefer host-tuned codegen; fall back for toolchains/platforms
             # where -march=native is unsupported
-            for extra in (["-march=native"], []):
-                cmd = base[:2] + extra + base[2:]
-                proc = subprocess.run(cmd, capture_output=True, text=True)
-                if proc.returncode == 0:
-                    break
-            else:
-                raise NativeError(f"native build failed:\n{proc.stderr[-4000:]}")
+            try:
+                for extra in (["-march=native"], []):
+                    cmd = base[:2] + extra + base[2:]
+                    proc = subprocess.run(cmd, capture_output=True, text=True)
+                    if proc.returncode == 0:
+                        break
+                else:
+                    raise NativeError(
+                        f"native build failed:\n{proc.stderr[-4000:]}")
+                os.replace(tmp, _LIB)
+            finally:
+                if tmp.exists():
+                    tmp.unlink()
     return _LIB
 
 

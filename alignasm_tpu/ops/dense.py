@@ -49,6 +49,24 @@ ANOM_SHIFT = 28  # edge anomaly (<= 3) packed above the 28-bit score
 DENSE_ROWS = ("d_s", "d_a", "floor_a", "cnt_tot", "cnt_min")
 
 
+def _densify_wire(wire, V):
+    """Scatter the sparse wire into (B, V+1, V) slabs on device — THE
+    layout contract with the native exporter (export.cc:aln_export_wire):
+    rows 0..V-1 are the dense score|anom<<28 matrix (INF32 = no edge),
+    row V holds [dest, src, ...], and flat index V*(V+1) is the trash
+    cell padding slots point at.  Single definition shared by every
+    wire entry point so the format cannot desync between the production
+    and parity-test paths."""
+    idx = wire[:, 0]
+    val = wire[:, 1]
+
+    def one(i, v):
+        flat = jnp.full((V * (V + 1) + 1,), INF32, jnp.int32).at[i].set(v)
+        return flat[: V * (V + 1)].reshape(V + 1, V)
+
+    return jax.vmap(one)(idx, val)
+
+
 @functools.partial(jax.jit, static_argnames=("V", "n_sweeps"))
 def dense_solve_wire(wire, V, n_sweeps):
     """Batched dense solve from the SPARSE wire format — the production
@@ -64,15 +82,7 @@ def dense_solve_wire(wire, V, n_sweeps):
     cnt_tot@src, cnt_min@src, src] — the walk counts and the anomaly
     floor are only consumed AT src (engine/device.py finish contract),
     so the device->host result is ~60% smaller than the (5, V) stack."""
-    B, two, W = wire.shape
-    idx = wire[:, 0]
-    val = wire[:, 1]
-
-    def one(i, v):
-        flat = jnp.full((V * (V + 1) + 1,), INF32, jnp.int32).at[i].set(v)
-        return flat[: V * (V + 1)].reshape(V + 1, V)
-
-    packed = jax.vmap(one)(idx, val)
+    packed = _densify_wire(wire, V)
     return jax.vmap(lambda arr: solve_slab(arr, V, n_sweeps))(packed)
 
 
@@ -94,15 +104,7 @@ def dense_solve_wire_topo(wire, V):
     Returns (B, 2V + 4) int32 rows in the relabeled numbering:
     [d_s (V), d_a (V), floor_a@src, cnt_tot@src, cnt_min@src, src_pos];
     the C++ finish un-permutes via the stored Kahn positions."""
-    B, two, W = wire.shape
-    idx = wire[:, 0]
-    val = wire[:, 1]
-
-    def one(i, v):
-        flat = jnp.full((V * (V + 1) + 1,), INF32, jnp.int32).at[i].set(v)
-        return flat[: V * (V + 1)].reshape(V + 1, V)
-
-    packed = jax.vmap(one)(idx, val)
+    packed = _densify_wire(wire, V)
     return jax.vmap(lambda arr: solve_slab_topo(arr, V))(packed)
 
 
@@ -208,14 +210,7 @@ def dense_solve_wire_topo_path(wire, V):
     """Batched production solve returning compact int16 path rows; see
     dense_solve_wire_topo for the wire format and solve_slab_topo_path
     for the row layout."""
-    idx = wire[:, 0]
-    val = wire[:, 1]
-
-    def one(i, v):
-        flat = jnp.full((V * (V + 1) + 1,), INF32, jnp.int32).at[i].set(v)
-        return flat[: V * (V + 1)].reshape(V + 1, V)
-
-    packed = jax.vmap(one)(idx, val)
+    packed = _densify_wire(wire, V)
     return jax.vmap(lambda arr: solve_slab_topo_path(arr, V))(packed)
 
 

@@ -19,20 +19,13 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from alignasm_tpu.ops.relax import solve_graph_batch, INF, _qul_key, _pack_k1
+from alignasm_tpu.ops.relax import INF, _qul_key, _pack_k1
 
-
-def data_parallel_solve(mesh: Mesh, batch, V: int, n_sweeps: int):
-    """Run solve_graph_batch with the contig-batch dim sharded over the
-    mesh's ``data`` axis."""
-    spec = NamedSharding(mesh, P("data"))
-    put = lambda x: jax.device_put(x, spec)
-    eu, ev, es, ea, enz, etot, erank, evalid, src, dest = batch
-    return solve_graph_batch(
-        put(eu), put(ev), put(es), put(ea), put(enz), put(etot),
-        put(erank), put(evalid), put(src), put(dest),
-        V=V, n_sweeps=n_sweeps,
-    )
+# NamedSharding is re-exported for callers building data-axis specs; the
+# production data-parallel sharding lives in runtime/scheduler.py
+# (_solve_tpu_native sharding bucket batches over a 'data' mesh).
+__all__ = ["Mesh", "NamedSharding", "P", "make_edge_sharded_sp",
+           "solve_contig_sharded"]
 
 
 def make_edge_sharded_sp(mesh: Mesh, axis: str, V: int, n_sweeps: int):
@@ -102,6 +95,21 @@ def make_edge_sharded_sp(mesh: Mesh, axis: str, V: int, n_sweeps: int):
     return jax.jit(sharded)
 
 
+_SHARDED_SP_CACHE: dict = {}
+
+
+def _edge_sharded_sp_cached(mesh: Mesh, axis: str, V: int, n_sweeps: int):
+    """make_edge_sharded_sp returns a fresh jax.jit wrapper per call;
+    cache it on (mesh devices, axis, V, n_sweeps) so several oversize
+    contigs with the same padded shapes share ONE compile."""
+    key = (tuple(d.id for d in mesh.devices.flat), axis, V, n_sweeps)
+    fn = _SHARDED_SP_CACHE.get(key)
+    if fn is None:
+        fn = _SHARDED_SP_CACHE[key] = make_edge_sharded_sp(
+            mesh, axis, V=V, n_sweeps=n_sweeps)
+    return fn
+
+
 def _host_floor_counts(pg, d_s, d_a, max_count=10_001):
     """Exact anomaly floor and walk counts in one O(V + E) reverse-topo
     pass on host — the relaxation (O(E * sweeps) and the memory) is what
@@ -158,10 +166,14 @@ def solve_contig_sharded(contig, cfg, mesh: Mesh = None, axis: str = "graph"):
     g = build_graph(contig, cfg)
     pg = pack_graph(g)
     E = len(pg.eu)
-    # pad E to a pow2 multiple of the mesh so compiled shapes stay
-    # bounded; V/n_sweeps pow2 for the same reason
-    Ep = max(n_dev, 1 << max(3, (E - 1).bit_length()))
+    # pad E to a pow2 rounded up to a mesh multiple (pow2 alone fails to
+    # shard on e.g. 6-device meshes); pad V and n_sweeps to pow2 — all
+    # three paddings bound the set of compiled shapes, and the jit cache
+    # below makes same-shape contigs share one compile
+    Ep = 1 << max(3, (E - 1).bit_length())
+    Ep = ((Ep + n_dev - 1) // n_dev) * n_dev
     V = g.n_vertices
+    Vp = 1 << max(3, (V - 1).bit_length())
     n_sweeps = 1 << max(3, (g.n + 1).bit_length())
 
     def padE(a, dtype, fill=0):
@@ -169,7 +181,7 @@ def solve_contig_sharded(contig, cfg, mesh: Mesh = None, axis: str = "graph"):
         out[:E] = a
         return out
 
-    sp = make_edge_sharded_sp(mesh, axis, V=V, n_sweeps=n_sweeps)
+    sp = _edge_sharded_sp_cached(mesh, axis, V=Vp, n_sweeps=n_sweeps)
     ds, da, _dnz, _dtot = sp(
         padE(pg.eu, np.int32), padE(pg.ev, np.int32),
         padE(pg.es, np.int64), padE(pg.ea, np.int32),
@@ -177,8 +189,10 @@ def solve_contig_sharded(contig, cfg, mesh: Mesh = None, axis: str = "graph"):
         padE(pg.erank, np.int64), padE(np.ones(E, bool), bool, False),
         np.int32(g.dest),
     )
-    d_s = np.asarray(ds)
-    d_a = np.asarray(da)
+    # padded vertices have no edges: their d stays INF and cannot
+    # influence real vertices — slice them off before the host finish
+    d_s = np.asarray(ds)[:V]
+    d_a = np.asarray(da)[:V]
     floor_a, cnt_tot, cnt_min = _host_floor_counts(pg, d_s, d_a)
     dev = {"d_s": d_s, "d_a": d_a, "floor_a": floor_a,
            "cnt_tot": cnt_tot, "cnt_min": cnt_min}

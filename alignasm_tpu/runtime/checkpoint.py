@@ -42,6 +42,7 @@ class Journal:
     def __init__(self, path: str):
         self.path = path
         self._done: dict = {}
+        good_end = 0
         if os.path.exists(path):
             with open(path, "rb") as fh:
                 while True:
@@ -50,9 +51,17 @@ class Journal:
                     except EOFError:
                         break
                     except Exception:
-                        break  # truncated tail from a crash: ignore
+                        break  # truncated tail from a crash: drop below
                     self._done[key] = value
+                    good_end = fh.tell()
         self._fh = open(path, "ab")
+        # a crash mid-dump leaves a truncated record at the tail; if we
+        # appended after it, every later entry would be unreachable on
+        # the NEXT load (the loader stops at the corrupt record) — so
+        # cut the journal back to the last whole record before appending
+        if self._fh.tell() != good_end:
+            self._fh.truncate(good_end)
+            self._fh.seek(good_end)
 
     def get(self, key: str):
         return self._done.get(key)
@@ -111,7 +120,8 @@ def solve_dataset_resumable(dataset, cfg, journal_path: str, solve_contig=None,
         if engine == "native":
             from alignasm_tpu import native
 
-            assert src_paths is not None, "native resume needs src_paths"
+            if src_paths is None:
+                raise ValueError("native resume needs src_paths")
             exporter = native.GraphExporter(
                 src_paths[0], alt_path=src_paths[1],
                 alt_baseline=cfg.alt_baseline,
@@ -119,7 +129,15 @@ def solve_dataset_resumable(dataset, cfg, journal_path: str, solve_contig=None,
                 threads=threads, max_records=0, config=cfg,
             )
             try:
-                assert len(exporter) == n
+                # load-bearing: a count mismatch means src_paths does
+                # not describe `dataset`, and chunk indices would store
+                # C++-solved contigs under the WRONG digests (silent
+                # journal cross-contamination) — never an assert (which
+                # vanishes under python -O)
+                if len(exporter) != n:
+                    raise RuntimeError(
+                        f"native parse found {len(exporter)} contigs but the "
+                        f"dataset has {n}: src_paths does not match dataset")
                 for lo in range(0, len(missing), chunk):
                     part = missing[lo:lo + chunk]
                     exporter.solve_subset(part, threads=threads)
@@ -129,16 +147,16 @@ def solve_dataset_resumable(dataset, cfg, journal_path: str, solve_contig=None,
             finally:
                 exporter.close()
         elif engine == "tpu":
-            import copy
-            import dataclasses as _dc
-
             from alignasm_tpu.io.paf import PafDataset
             from alignasm_tpu.runtime.scheduler import solve_dataset_tpu
 
             for lo in range(0, len(missing), chunk):
                 part = missing[lo:lo + chunk]
+                # records are handed to the solver uncopied, exactly as
+                # the exact branch and the non-resume scheduler do —
+                # solvers do not mutate input records
                 sub = PafDataset(
-                    contigs=[copy.deepcopy(dataset.contigs[i]) for i in part],
+                    contigs=[dataset.contigs[i] for i in part],
                     ctg_names=[dataset.ctg_names[i] for i in part],
                     chr_table=dataset.chr_table, paf_map={},
                 )

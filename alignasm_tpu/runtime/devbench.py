@@ -9,7 +9,12 @@ aborted the whole process at exit, rc 134).  Standalone use:
 
 Prints ONE JSON line:
   {"tpu_engine_contigs_per_s": ..., "tpu_engine_stats": {...},
-   "kernels": {"dense": {...}, "sparse": {...}}}
+   "kernels": {"topo": {...}, "dense": {...}, "sparse": {...}}}
+
+"topo" is the PRODUCTION kernel (single reverse-topo scan + on-device
+path chase) and carries contigs_per_s + marginal per-contig cost;
+"dense"/"sparse" are the legacy sweep formulations kept for the
+sweeps/s roofline comparison.
 
 Kernel roofline methodology (BASELINE.json's "relaxation sweeps/s/chip"
 metric): time the jitted bucket program on a representative synthetic

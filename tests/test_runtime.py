@@ -52,6 +52,28 @@ def test_resume_journal_survives_truncation(tmp_path):
     assert solve_dataset(read_paf(p), DEFAULT_CONFIG) == (o, a, m)
 
 
+def test_resume_journal_truncates_corrupt_tail_before_append(tmp_path):
+    """Entries appended AFTER a crash-corrupted record must be readable
+    on the next load: the journal cuts back to the last whole record
+    before appending (code-review finding: without the truncate, run 2's
+    entries land after the garbage and run 3 can never see them)."""
+    p = _dataset(tmp_path)
+    journal = tmp_path / "journal.bin"
+    ds = read_paf(p)
+    solve_dataset_resumable(ds, DEFAULT_CONFIG, str(journal))
+    raw = journal.read_bytes()
+    journal.write_bytes(raw[: len(raw) - 7])  # run 1 "crashed" mid-dump
+
+    # run 2: re-solves the chopped contig and appends it
+    solve_dataset_resumable(read_paf(p), DEFAULT_CONFIG, str(journal))
+    # run 3: EVERY contig must now resume from the journal
+    o, a, m, stats = solve_dataset_resumable(
+        read_paf(p), DEFAULT_CONFIG, str(journal))
+    assert stats["solved"] == 0, stats
+    assert stats["resumed"] == len(read_paf(p).contigs)
+    assert solve_dataset(read_paf(p), DEFAULT_CONFIG) == (o, a, m)
+
+
 def test_resume_journal_keyed_by_config(tmp_path):
     # a journal written under one config must NOT satisfy a run under a
     # different config (scoring/flags change the graph and the outputs)
