@@ -145,6 +145,13 @@ def get_lib():
             llp, llp, ctypes.c_char_p, ctypes.c_int,
         ]
         lib.aln_finish_bulk.restype = ctypes.c_int
+        u8p = npc.ndpointer(dtype="uint8", flags="C_CONTIGUOUS")
+        lib.aln_finish_bulk8.argtypes = [
+            ctypes.c_void_p, i64p, ctypes.c_longlong, u8p,
+            ctypes.c_longlong, ctypes.c_int, ctypes.c_int,
+            llp, llp, ctypes.c_char_p, ctypes.c_int,
+        ]
+        lib.aln_finish_bulk8.restype = ctypes.c_int
         lib.aln_solve_remaining.argtypes = [
             ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
             llp, ctypes.c_char_p, ctypes.c_int,
@@ -264,6 +271,29 @@ class GraphExporter:
         n_fb = ctypes.c_longlong()
         err = ctypes.create_string_buffer(4096)
         rc = self._lib.aln_finish_bulk(
+            self._h, idx, B, dp.reshape(-1), V,
+            1 if lazy_walks else 0, threads,
+            ctypes.byref(n_fast), ctypes.byref(n_fb), err, len(err),
+        )
+        if rc != 0:
+            raise NativeError(err.value.decode(errors="replace"))
+        return int(n_fast.value), int(n_fb.value)
+
+    def finish_bulk8(self, idx, dp, V: int, threads: int = 0,
+                     lazy_walks: bool = True):
+        """Finish contigs `idx` from their (B, V + 2) uint8 device rows
+        (ops/dense.py:dense_solve_wire_topo_path8 layout — path + the
+        on-device order-insensitivity gate).  Returns
+        (n_fast, n_fallback)."""
+        np = self._np
+        idx = np.ascontiguousarray(idx, np.int64)
+        dp = np.ascontiguousarray(dp, np.uint8)
+        B, K = dp.shape
+        assert K == V + 2 and B == len(idx)
+        n_fast = ctypes.c_longlong()
+        n_fb = ctypes.c_longlong()
+        err = ctypes.create_string_buffer(4096)
+        rc = self._lib.aln_finish_bulk8(
             self._h, idx, B, dp.reshape(-1), V,
             1 if lazy_walks else 0, threads,
             ctypes.byref(n_fast), ctypes.byref(n_fb), err, len(err),

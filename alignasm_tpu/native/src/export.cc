@@ -364,6 +364,66 @@ int aln_finish_bulk(void *h, const int64_t *idx, long long n_idx,
     return 0;
 }
 
+int aln_finish_bulk8(void *h, const int64_t *idx, long long n_idx,
+                     const uint8_t *dp, long long V, int lazy_walks,
+                     int threads, long long *n_fast, long long *n_fallback,
+                     char *err, int errlen) {
+    // dp rows: (n_idx, V + 2) uint8 [path (V, dest-padded), fast, src]
+    // from ops/dense.py:dense_solve_wire_topo_path8 — the device
+    // evaluated the order-insensitivity gate ITSELF in exact int32
+    //   fast = cnt_min == 1 && !(cnt_tot >= 2 && d_a != floor_a)
+    // (the same predicate the int16 path's host gate applies), so the
+    // host consumes only the path + one flag; path entries are wire
+    // TOPO positions (< V <= 256, uint8-exact), un-permuted here.
+    auto &ctx = *(ExportCtx *) h;
+    ensure_results(ctx);
+    std::atomic<long long> fast{0}, fb{0};
+    aln::Config cfg = ctx.cfg;
+    cfg.lazy_walks = lazy_walks != 0;
+    std::string werr;
+    run_pool(threads, n_idx, [&](long long b) {
+        long long i = idx[b];
+        const auto &pc = ctx.packed[i];
+        const uint8_t *row = dp + b * (V + 2);
+        aln::i32 src = pc.graph.src;
+        long long nv = (long long) pc.graph.adj.size();
+        auto pos = [&](long long v) { return V - 1 - (long long) pc.kahn[v]; };
+        if (row[V + 1] != (uint8_t) pos(src))
+            throw std::runtime_error("device result row src mismatch");
+        if (row[V]) {
+            static thread_local std::vector<int32_t> inv;
+            inv.assign((size_t) V, -1);
+            for (long long v = 0; v < nv; v++) inv[pos(v)] = (int32_t) v;
+            static thread_local std::vector<aln::i32> verts;
+            verts.clear();
+            const long long dpos = pos(pc.graph.dest);
+            for (long long k = 0; k < V; k++) {
+                int p = row[k];
+                if (p >= V || inv[p] < 0)
+                    throw std::runtime_error("device path entry out of range");
+                verts.push_back(inv[p]);
+                if (p == dpos) break;
+            }
+            if (verts.front() != src || verts.back() != pc.graph.dest)
+                throw std::runtime_error("device path endpoints mismatch");
+            ctx.results[i] = aln::finish_from_path(pc.graph, verts.data(),
+                                                   (int) verts.size(), cfg);
+            fast.fetch_add(1);
+        } else {
+            ctx.results[i] = aln::solve_from_graph(pc.graph, cfg);
+            fb.fetch_add(1);
+        }
+        ctx.done[i] = 1;
+    }, werr);
+    *n_fast = fast.load();
+    *n_fallback = fb.load();
+    if (!werr.empty()) {
+        set_err(err, errlen, werr);
+        return 1;
+    }
+    return 0;
+}
+
 int aln_solve_remaining(void *h, int lazy_walks, int threads,
                         long long *n_solved, char *err, int errlen) {
     // full native solve for every contig without a stored result:

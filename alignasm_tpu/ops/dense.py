@@ -214,6 +214,45 @@ def dense_solve_wire_topo_path(wire, V):
     return jax.vmap(lambda arr: solve_slab_topo_path(arr, V))(packed)
 
 
+def solve_slab_topo_path8(arr, V):
+    """uint8 production row for V <= 256: the host finish consumes
+    floor_a/cnt_tot/cnt_min/d_a ONLY through the order-insensitivity
+    gate
+
+        fast = (cnt_min == 1) and not (cnt_tot >= 2 and d_a != floor_a)
+
+    so evaluate the gate ON DEVICE in exact int32 (no clamping at any
+    V — the int16 row's I16_INF clamps and their V-bound disappear) and
+    ship just
+
+        [path (V entries, dest-padded), fast, src]        (V + 2,) uint8
+
+    Path entries and src are topo positions < V <= 256, so they fit
+    uint8 exactly.  ~2.1x fewer D2H bytes than the int16 row on a
+    transport whose D2H bandwidth dominates the sync phase."""
+    (s, a, fa, ct, cm, nxt), dest, src = _topo_scan(arr, V)
+
+    def chase(cur, _):
+        stop = (cur == dest) | (cur < 0)
+        out = jnp.where(stop, dest, cur)
+        cur2 = jnp.where(stop, dest, nxt[jnp.maximum(cur, 0)])
+        return cur2, out
+
+    _, path = jax.lax.scan(chase, src, None, length=V)
+    fast = (cm[src] == 1) & ~((ct[src] >= 2) & (a[src] != fa[src]))
+    tail = jnp.stack([fast.astype(jnp.int32), src])
+    return jnp.concatenate([path, tail]).astype(jnp.uint8)
+
+
+@functools.partial(jax.jit, static_argnames=("V",))
+def dense_solve_wire_topo_path8(wire, V):
+    """Batched production solve returning (B, V + 2) uint8 rows with the
+    on-device order-insensitivity gate; see solve_slab_topo_path8."""
+    assert V <= 256, "uint8 path entries require V <= 256"
+    packed = _densify_wire(wire, V)
+    return jax.vmap(lambda arr: solve_slab_topo_path8(arr, V))(packed)
+
+
 @functools.partial(jax.jit, static_argnames=("n_sweeps",))
 def dense_solve_batch(ws, wa, dest, n_sweeps):
     """Batched (B, V, V) dense solve; returns (B, 5, V) int32 stacked

@@ -190,24 +190,25 @@ def bench_kernels(B=256, V=64, E=256, n_sweeps=32, seed=0):
     wire_d = jax.device_put(wire)
 
     # production kernel: single reverse-topo scan + on-device path chase
-    # (ops/dense.py:dense_solve_wire_topo_path).  Marginal per-contig
+    # + on-device order-insensitivity gate, uint8 rows
+    # (ops/dense.py:dense_solve_wire_topo_path8).  Marginal per-contig
     # cost differences two batch sizes so the fixed dispatch round trip
     # cancels; model bytes = the minimal traffic (one pass over the
-    # densified slab + the compact int16 output).
-    from alignasm_tpu.ops.dense import dense_solve_wire_topo_path
+    # densified slab + the compact uint8 output).
+    from alignasm_tpu.ops.dense import dense_solve_wire_topo_path8
 
     # 64x batch so the compute signal (~1 us/contig x 16k contigs =
     # ~16 ms) clears the multi-ms dispatch jitter of the tunnel
     B_hi = 64 * B
     wire_hi = jax.device_put(np.repeat(wire, 64, axis=0))
-    contig_bytes = V * (V + 1) * 4 + (V + 5) * 2
+    contig_bytes = V * (V + 1) * 4 + (V + 2)
     topo = _bench_one(
-        lambda: dense_solve_wire_topo_path(wire_d, V=V),
+        lambda: dense_solve_wire_topo_path8(wire_d, V=V),
         n_launch_sweeps=B,  # "sweeps" = contig solves for this kernel
         bytes_per_sweep=contig_bytes,
     )
     hi = _bench_one(
-        lambda: dense_solve_wire_topo_path(wire_hi, V=V),
+        lambda: dense_solve_wire_topo_path8(wire_hi, V=V),
         n_launch_sweeps=B_hi,
         bytes_per_sweep=contig_bytes,
     )

@@ -414,7 +414,9 @@ def _solve_tpu_native(dataset, cfg: AlignasmConfig, src_paths, write_prefix):
     import numpy as np
 
     from alignasm_tpu import native
-    from alignasm_tpu.ops.dense import dense_solve_wire_topo_path
+    from alignasm_tpu.ops.dense import (
+        dense_solve_wire_topo_path, dense_solve_wire_topo_path8,
+    )
 
     t_start = time.perf_counter()
     stats = {"device": 0, "fallback": 0, "singleton": 0, "oversize": 0,
@@ -490,11 +492,16 @@ def _solve_tpu_native(dataset, cfg: AlignasmConfig, src_paths, write_prefix):
             if spec is not None:
                 wire = jax.device_put(wire, spec)
             # topo-relabeled wire -> single reverse-scan kernel that
-            # chases the min-walk path on device and returns compact
-            # int16 rows (no n_sweeps axis, ~3.8x fewer D2H bytes), so
-            # compiled variants are bounded by the (padB, V, W) bucket
-            # shapes alone
-            pending = dense_solve_wire_topo_path(wire, V=V)
+            # chases the min-walk path on device; compiled variants are
+            # bounded by the (padB, V, W) bucket shapes alone.  V <= 256
+            # buckets (all of them at the default dense_max_v) get uint8
+            # rows with the order-insensitivity gate evaluated ON DEVICE
+            # in exact int32 — ~2.1x fewer D2H bytes than the int16 rows
+            # on a transport whose D2H bandwidth dominates sync
+            if V <= 256:
+                pending = dense_solve_wire_topo_path8(wire, V=V)
+            else:
+                pending = dense_solve_wire_topo_path(wire, V=V)
             launches.append((idxs, realB, V, pending))
             stats["dense_buckets"] += 1
         stats["launch_s"] = round(time.perf_counter() - t0, 4)
@@ -506,7 +513,10 @@ def _solve_tpu_native(dataset, cfg: AlignasmConfig, src_paths, write_prefix):
             dp = np.asarray(pending)[:realB]
             t2 = time.perf_counter()
             sync_s += t2 - t1
-            n_fast, n_fb = exporter.finish_bulk(idxs, dp, V)
+            if dp.dtype == np.uint8:
+                n_fast, n_fb = exporter.finish_bulk8(idxs, dp, V)
+            else:
+                n_fast, n_fb = exporter.finish_bulk(idxs, dp, V)
             cfinish_s += time.perf_counter() - t2
             stats["device"] += n_fast
             stats["fallback"] += n_fb

@@ -197,6 +197,57 @@ def test_topo_path_rows_match_dp(tmp_path):
     assert n_unique > 0
 
 
+def test_topo_path8_rows_match_int16(tmp_path):
+    """dense_solve_wire_topo_path8 (uint8 rows, gate evaluated on
+    device) must agree with the int16 rows: identical path, identical
+    src, and a fast flag equal to the host gate
+    cnt_min == 1 and not (cnt_tot >= 2 and d_a != floor_a) evaluated on
+    the UNclamped DP values."""
+    from alignasm_tpu.ops.dense import (
+        ANOM_SHIFT, INF32, dense_solve_wire_topo,
+        dense_solve_wire_topo_path, dense_solve_wire_topo_path8,
+    )
+
+    rng = np.random.default_rng(13)
+    B, V = 16, 24
+    mask = np.triu(rng.random((B, V, V)) < 0.18, k=1)
+    ws = np.where(mask, rng.integers(1, 2**20, (B, V, V)), INF32).astype(np.int32)
+    wa = np.where(mask, rng.integers(0, 4, (B, V, V)), 0).astype(np.int32)
+    dests = rng.integers(V // 2, V, B).astype(np.int32)
+    srcs = rng.integers(0, V // 2, B).astype(np.int32)
+    for b in range(B):
+        mask[b, dests[b], :] = False
+    E = int(mask.sum(axis=(1, 2)).max())
+    wire = np.empty((B, 2, E + 3), np.int32)
+    wire[:, 0] = V * (V + 1)
+    wire[:, 1] = 0
+    for b in range(B):
+        us, vs = np.nonzero(mask[b])
+        k = len(us)
+        wire[b, 0, :k] = (us * V + vs).astype(np.int32)
+        wire[b, 1, :k] = ws[b, us, vs] | (wa[b, us, vs] << ANOM_SHIFT)
+        wire[b, 0, k] = V * V
+        wire[b, 1, k] = dests[b]
+        wire[b, 0, k + 1] = V * V + 1
+        wire[b, 1, k + 1] = srcs[b]
+    full = np.asarray(dense_solve_wire_topo(wire, V=V))
+    r16 = np.asarray(dense_solve_wire_topo_path(wire, V=V))
+    r8 = np.asarray(dense_solve_wire_topo_path8(wire, V=V))
+    assert r8.dtype == np.uint8 and r8.shape == (B, V + 2)
+    n_fast = 0
+    for b in range(B):
+        d_a = full[b, V : 2 * V]
+        fl, ct, cm, src = full[b, 2 * V :]
+        want_fast = cm == 1 and not (ct >= 2 and d_a[src] != fl)
+        assert bool(r8[b, V]) == want_fast, b
+        assert r8[b, V + 1] == src
+        np.testing.assert_array_equal(
+            r8[b, :V].astype(np.int16), r16[b, :V], err_msg=f"path b={b}")
+        n_fast += want_fast
+    assert 0 < n_fast  # the corpus exercises both gate outcomes
+    assert n_fast < B
+
+
 def test_exporter_wire_is_topological(tmp_path):
     """The native exporter's wire cells must be topologically relabeled
     (row < col for every edge) with dest/src at their Kahn positions —
