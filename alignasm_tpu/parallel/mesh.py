@@ -11,6 +11,15 @@ Two axes of scale (SURVEY.md §2.9/§5.7-5.8):
     sweeps exchange per-vertex running minima via lexicographic pmin
     collectives over ICI — the reference has no analogue (it simply
     demands a 512 GB host, README.md:25).
+
+Why the two axes are separate 1D meshes rather than one static 2D mesh:
+the phases are sequential (bucketed small contigs, then oversize ones)
+and contigs are independent, so each phase gets ALL devices — a 1D
+view per phase.  A static (data x graph) split would idle 1 - 1/n of
+the machine in whichever phase doesn't use its axis.  Pipelining
+several giants concurrently over disjoint submeshes only pays when a
+dataset has many >graph_shard_min_records contigs AND host graph
+construction stops being the bottleneck; revisit then.
 """
 
 from __future__ import annotations

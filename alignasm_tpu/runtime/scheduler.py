@@ -395,6 +395,52 @@ def _dense_buckets(order, n_v, dense_cells: int = 2**26,
     return buckets
 
 
+def _launch_buckets(buckets, n_edges, exporter, spec, n_dev, launches,
+                    stats, cfg):
+    """Export each bucket's sparse wire and dispatch its device program
+    (async); appends (idxs, realB, V, pending) to ``launches``."""
+    import jax
+    import numpy as np
+
+    from alignasm_tpu.ops.dense import (
+        dense_solve_wire_topo_path, dense_solve_wire_topo_path8,
+    )
+
+    for V, idxs in buckets:
+        # sparse wire: W = pow2-padded max edge count + dest/src slots
+        W = _next_pow2(int(n_edges[idxs].max()) + 2)
+        wire, ok = exporter.export_wire(idxs, V, W)
+        if not ok.all():
+            wire = wire[ok]
+            idxs = idxs[ok]
+            if not len(idxs):
+                continue
+        realB = len(idxs)
+        padB = _next_pow2(realB)
+        if spec is not None:
+            # the data-mesh axis shards dim 0: pad to a multiple of
+            # the device count (pow2 alone fails on e.g. 6 devices)
+            padB = ((padB + n_dev - 1) // n_dev) * n_dev
+        if padB != realB:
+            wire = np.concatenate(
+                [wire, np.repeat(wire[-1:], padB - realB, 0)])
+        if spec is not None:
+            wire = jax.device_put(wire, spec)
+        # topo-relabeled wire -> single reverse-scan kernel that
+        # chases the min-walk path on device; compiled variants are
+        # bounded by the (padB, V, W) bucket shapes alone.  V <= 256
+        # buckets (all of them at the default dense_max_v) get uint8
+        # rows with the order-insensitivity gate evaluated ON DEVICE
+        # in exact int32 — ~2.1x fewer D2H bytes than the int16 rows
+        # on a transport whose D2H bandwidth dominates sync
+        if V <= 256:
+            pending = dense_solve_wire_topo_path8(wire, V=V)
+        else:
+            pending = dense_solve_wire_topo_path(wire, V=V)
+        launches.append((idxs, realB, V, pending))
+        stats["dense_buckets"] += 1
+
+
 def _solve_tpu_native(dataset, cfg: AlignasmConfig, src_paths, write_prefix):
     """Production device path: the C++ host plane does parse -> graph
     build -> dense pack -> device-assisted finish -> output writing; the
@@ -414,9 +460,6 @@ def _solve_tpu_native(dataset, cfg: AlignasmConfig, src_paths, write_prefix):
     import numpy as np
 
     from alignasm_tpu import native
-    from alignasm_tpu.ops.dense import (
-        dense_solve_wire_topo_path, dense_solve_wire_topo_path8,
-    )
 
     t_start = time.perf_counter()
     stats = {"device": 0, "fallback": 0, "singleton": 0, "oversize": 0,
@@ -471,55 +514,50 @@ def _solve_tpu_native(dataset, cfg: AlignasmConfig, src_paths, write_prefix):
         n_edges = meta[:, 3]
         t0 = time.perf_counter()
         launches = []
-        for V, idxs in buckets:
-            # sparse wire: W = pow2-padded max edge count + dest/src slots
-            W = _next_pow2(int(n_edges[idxs].max()) + 2)
-            wire, ok = exporter.export_wire(idxs, V, W)
-            if not ok.all():
-                wire = wire[ok]
-                idxs = idxs[ok]
-                if not len(idxs):
-                    continue
-            realB = len(idxs)
-            padB = _next_pow2(realB)
-            if spec is not None:
-                # the data-mesh axis shards dim 0: pad to a multiple of
-                # the device count (pow2 alone fails on e.g. 6 devices)
-                padB = ((padB + n_dev - 1) // n_dev) * n_dev
-            if padB != realB:
-                wire = np.concatenate(
-                    [wire, np.repeat(wire[-1:], padB - realB, 0)])
-            if spec is not None:
-                wire = jax.device_put(wire, spec)
-            # topo-relabeled wire -> single reverse-scan kernel that
-            # chases the min-walk path on device; compiled variants are
-            # bounded by the (padB, V, W) bucket shapes alone.  V <= 256
-            # buckets (all of them at the default dense_max_v) get uint8
-            # rows with the order-insensitivity gate evaluated ON DEVICE
-            # in exact int32 — ~2.1x fewer D2H bytes than the int16 rows
-            # on a transport whose D2H bandwidth dominates sync
-            if V <= 256:
-                pending = dense_solve_wire_topo_path8(wire, V=V)
-            else:
-                pending = dense_solve_wire_topo_path(wire, V=V)
-            launches.append((idxs, realB, V, pending))
-            stats["dense_buckets"] += 1
+        # The device section must never sink the run: any failure here
+        # (tunnel down, backend init error, a result-integrity mismatch)
+        # degrades to the threaded native solve below — solve_remaining
+        # covers every contig without a stored result — with the reason
+        # recorded in stats.  Outputs stay byte-identical either way;
+        # only throughput changes.
+        try:
+            _launch_buckets(buckets, n_edges, exporter, spec, n_dev,
+                            launches, stats, cfg)
+        except Exception as exc:
+            stats["device_error"] = f"launch: {exc!r}"[:500]
+            launches = []
         stats["launch_s"] = round(time.perf_counter() - t0, 4)
 
         t0 = time.perf_counter()
         sync_s = cfinish_s = 0.0
         for idxs, realB, V, pending in launches:
             t1 = time.perf_counter()
-            dp = np.asarray(pending)[:realB]
+            try:
+                dp = np.asarray(pending)[:realB]
+            except Exception as exc:
+                stats["device_error"] = f"sync: {exc!r}"[:500]
+                sync_s += time.perf_counter() - t1
+                continue  # these contigs fall to solve_remaining
             t2 = time.perf_counter()
             sync_s += t2 - t1
-            if dp.dtype == np.uint8:
-                n_fast, n_fb = exporter.finish_bulk8(idxs, dp, V)
-            else:
-                n_fast, n_fb = exporter.finish_bulk(idxs, dp, V)
+            try:
+                if dp.dtype == np.uint8:
+                    n_fast, n_fb = exporter.finish_bulk8(idxs, dp, V)
+                else:
+                    n_fast, n_fb = exporter.finish_bulk(idxs, dp, V)
+            except Exception as exc:
+                stats["device_error"] = f"finish: {exc!r}"[:500]
+                cfinish_s += time.perf_counter() - t2
+                continue
             cfinish_s += time.perf_counter() - t2
             stats["device"] += n_fast
             stats["fallback"] += n_fb
+        if "device_error" in stats:
+            import warnings
+
+            warnings.warn(
+                "device path degraded to native solve: "
+                + stats["device_error"], RuntimeWarning, stacklevel=2)
         stats["native_direct"] = exporter.solve_remaining() \
             - stats["singleton"]
         stats["finish_s"] = round(time.perf_counter() - t0, 4)

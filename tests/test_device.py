@@ -234,6 +234,43 @@ def test_native_plane_routes_giant_contigs_to_graph_axis(tmp_path):
     assert t == solve_dataset(ds2, cfg)
 
 
+def test_device_failure_degrades_to_native_solve(tmp_path, oracle_bin,
+                                                 monkeypatch):
+    """A device-section failure (tunnel down, backend error) must never
+    sink an --engine tpu run: the scheduler records the reason and the
+    threaded native solve covers every contig — on-disk outputs stay
+    byte-identical to the oracle."""
+    import pathlib
+    import warnings
+
+    from alignasm_tpu.io.paf import read_paf
+    from alignasm_tpu.runtime import scheduler
+    from tests.conftest import run_oracle
+
+    p = tmp_path / "degrade.paf"
+    p.write_text(generate_paf(n_contigs=8, seed=5))
+    oracle_outs = run_oracle(oracle_bin, p, tmp_path)
+
+    def boom(*a, **k):
+        raise RuntimeError("simulated backend failure")
+
+    monkeypatch.setattr(scheduler, "_launch_buckets", boom)
+    eng = tmp_path / "e.paf"
+    eng.write_bytes(p.read_bytes())
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", RuntimeWarning)
+        scheduler.solve_dataset_tpu(
+            read_paf(eng), DEFAULT_CONFIG, src_paths=(str(eng), None),
+            write_prefix=str(eng)[:-4])
+    stats = scheduler.solve_dataset_tpu.last_stats
+    assert "simulated backend failure" in stats.get("device_error", ""), stats
+    assert stats["device"] == 0
+    assert stats["native_direct"] > 0
+    for o, suffix in zip(oracle_outs, ("", ".alt", ".all")):
+        got = pathlib.Path(str(eng)[:-4] + f".aln{suffix}.paf")
+        assert o.read_bytes() == got.read_bytes(), f"aln{suffix}"
+
+
 def test_device_engine_shards_over_data_mesh(tmp_path):
     """With multiple devices visible, the production device path shards
     bucket batches over the data mesh and still equals exact."""
