@@ -25,8 +25,9 @@ for target in ("all", "single", "noupdate"):
     subprocess.run(["make", "-C", str(ORACLE_DIR), target],
                    check=True, capture_output=True)
 root = pathlib.Path(tempfile.mkdtemp(prefix="fuzz_r2_"))
-rng = random.Random(20260817)
 n_cases = int(sys.argv[1]) if len(sys.argv) > 1 else 300
+master_seed = int(sys.argv[2]) if len(sys.argv) > 2 else 20260817
+rng = random.Random(master_seed)
 fails = []
 t0 = time.time()
 for case in range(n_cases):

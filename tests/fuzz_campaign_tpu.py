@@ -55,8 +55,9 @@ def main() -> None:
     np.asarray(jax.jit(lambda x: x + 1)(np.zeros(8, np.int32)))  # warm
 
     root = pathlib.Path(tempfile.mkdtemp(prefix="fuzz_tpu_"))
-    rng = random.Random(20260818)
     n_cases = int(sys.argv[1]) if len(sys.argv) > 1 else 60
+    master_seed = int(sys.argv[2]) if len(sys.argv) > 2 else 20260818
+    rng = random.Random(master_seed)
     fails = []
     tot = {"device": 0, "fallback": 0, "singleton": 0, "native_direct": 0}
     t0 = time.time()
@@ -108,6 +109,11 @@ def main() -> None:
             if st.get("host_plane") != "native":
                 fails.append((case, "plane", mode, kind, seed,
                               st.get("host_plane")))
+            if st.get("device_error"):
+                # the degrade-to-native path keeps bytes correct, so a
+                # device regression would otherwise pass silently here
+                fails.append((case, "device_error", mode, kind, seed,
+                              st["device_error"][:120]))
         except Exception as e:
             fails.append((case, "engine", mode, kind, seed, repr(e)[:200]))
             continue
