@@ -309,6 +309,148 @@ def generate_hard_paf(
     return "\n".join(lines) + "\n"
 
 
+def generate_boundary_paf(
+    n_contigs: int = 12,
+    seed: int = 0,
+) -> str:
+    """Boundary-composition generator for the differential campaign.
+
+    Where ``generate_paf``/``generate_hard_paf`` sample *typical* and
+    *tie-rich* structure, this one composes degenerate coordinate motifs
+    that sit exactly on the reference's decision boundaries: singleton
+    contigs (paf_data.cpp:235-239 passthrough), minimal ``:1`` records,
+    exact duplicates, zero/one-base query gaps and one-base overlaps
+    (closed-interval linkability edges, paf_data.cpp:248-262), full
+    containment, mapq values straddling the uint8 wrap (paf_data.hpp:65),
+    all-mapq-zero contigs (0/n qul fraction ties), strand flips on the
+    first record, and reference gaps straddling SV_BASELINE = 1e6
+    (paf_data.hpp:25 translocation threshold).
+    """
+    rng = np.random.default_rng(seed)
+    ref_chrs = [(f"chr{i + 1}", 4_000_000) for i in range(3)]
+    lines: list[str] = []
+
+    def mk(qry_name, qry_pos, approx, ref_name, ref_total, ref_pos, fwd, mapq,
+           qry_total=10**7):
+        rec, qlen, rlen = _make_record(
+            rng, qry_name, qry_total, qry_pos, approx,
+            ref_name, ref_total, ref_pos, fwd, mapq)
+        return rec, qlen, rlen
+
+    def tiny(qry_name, qry_pos, ref_name, ref_total, ref_pos, fwd, mapq, n=1):
+        # minimal record: a single ':n' match run
+        return SynthRecord(
+            qry_name=qry_name, qry_total=10**7,
+            qry_str=qry_pos, qry_end=qry_pos + n, fwd=fwd,
+            ref_name=ref_name, ref_total=ref_total,
+            ref_str=ref_pos, ref_end=ref_pos + n,
+            mat_num=n, aln_len=n, mapq=mapq, cs=f"cs:Z::{n}")
+
+    mapq_pool = [0, 1, 254, 255, 256, 300, 60]
+
+    for ci in range(n_contigs):
+        qry_name = f"bctg{ci:05d}"
+        motif = int(rng.integers(0, 8))
+        ref_name, ref_total = ref_chrs[int(rng.integers(0, 3))]
+        ref_pos = int(rng.integers(0, ref_total // 4))
+        recs: list[SynthRecord] = []
+
+        if motif == 0:
+            # singleton, possibly rev, possibly minimal
+            if rng.random() < 0.5:
+                recs.append(tiny(qry_name, int(rng.integers(0, 3)), ref_name,
+                                 ref_total, ref_pos, rng.random() < 0.5,
+                                 int(rng.choice(mapq_pool))))
+            else:
+                r, _q, _r = mk(qry_name, 0, 200, ref_name, ref_total, ref_pos,
+                               rng.random() < 0.5, int(rng.choice(mapq_pool)))
+                recs.append(r)
+        elif motif == 1:
+            # exact duplicates (2-4 copies) — full-distance ties
+            r, qlen, _ = mk(qry_name, int(rng.integers(0, 50)), 150, ref_name,
+                            ref_total, ref_pos, True, int(rng.choice(mapq_pool)))
+            recs.extend([r] + [dataclasses.replace(r)
+                               for _ in range(int(rng.integers(1, 4)))])
+        elif motif == 2:
+            # chain with query gaps in {0, 1, 2} half-open (touching /
+            # one-base gap) and one-base overlaps
+            qry_pos = int(rng.integers(0, 10))
+            for _ in range(int(rng.integers(3, 7))):
+                r, qlen, rlen = mk(qry_name, qry_pos, int(rng.integers(20, 120)),
+                                   ref_name, ref_total, ref_pos, True,
+                                   int(rng.choice(mapq_pool)))
+                recs.append(r)
+                step = int(rng.choice([-1, 0, 1, 2]))  # -1 = 1-base overlap
+                qry_pos += qlen + step
+                ref_pos += rlen + int(rng.integers(0, 40))
+        elif motif == 3:
+            # containment: small record strictly inside a big one, mapped
+            # elsewhere; occasionally identical query span (exact nesting)
+            big, qlen, _ = mk(qry_name, 10, 400, ref_name, ref_total, ref_pos,
+                              True, 60)
+            inner_start = 10 + int(rng.integers(1, max(2, qlen // 3)))
+            inner_len = int(rng.integers(5, max(6, qlen // 3)))
+            sm = tiny(qry_name, inner_start, ref_name, ref_total,
+                      ref_pos + 2_000_000, True, int(rng.choice(mapq_pool)),
+                      n=inner_len)
+            recs.extend([big, sm])
+        elif motif == 4:
+            # all-mapq-zero contig: qul fraction 0/n everywhere
+            qry_pos = 0
+            for _ in range(int(rng.integers(2, 6))):
+                r, qlen, rlen = mk(qry_name, qry_pos, 150, ref_name, ref_total,
+                                   ref_pos, rng.random() < 0.3, 0)
+                recs.append(r)
+                qry_pos += qlen + int(rng.integers(1, 30))
+                ref_pos += rlen + int(rng.integers(0, 50))
+        elif motif == 5:
+            # reference gaps straddling SV_BASELINE (1e6): same-chr jumps
+            # of 1e6 + {-2..2} flip the translocation casework
+            qry_pos = 0
+            for _ in range(int(rng.integers(2, 5))):
+                r, qlen, rlen = mk(qry_name, qry_pos, 150, ref_name, ref_total,
+                                   ref_pos, True, 60)
+                recs.append(r)
+                qry_pos += qlen + int(rng.integers(1, 30))
+                ref_pos += rlen + 1_000_000 + int(rng.integers(-2, 3))
+                ref_pos = min(ref_pos, ref_total - 5_000)
+        elif motif == 6:
+            # strand flip on the FIRST record, then alternating strands
+            qry_pos = int(rng.integers(0, 5))
+            fwd = False
+            for _ in range(int(rng.integers(2, 6))):
+                r, qlen, rlen = mk(qry_name, qry_pos, 120, ref_name, ref_total,
+                                   ref_pos, fwd, int(rng.choice(mapq_pool)))
+                recs.append(r)
+                fwd = not fwd
+                qry_pos += qlen + int(rng.integers(0, 20))
+                ref_pos += rlen + int(rng.integers(0, 60))
+        else:
+            # mixed pile: duplicates + containment + tiny records sharing
+            # one overlap cluster (stresses the O(n^2) cut machinery on
+            # degenerate interval lists)
+            base = int(rng.integers(0, 10))
+            r, qlen, _ = mk(qry_name, base, 200, ref_name, ref_total, ref_pos,
+                            True, 60)
+            recs.append(r)
+            for _ in range(int(rng.integers(2, 6))):
+                start = base + int(rng.integers(0, max(1, qlen - 3)))
+                n = int(rng.integers(1, 12))
+                rp = min(ref_pos + int(rng.integers(0, 3_000_000)),
+                         ref_total - n - 1)
+                recs.append(tiny(qry_name, start, ref_name, ref_total,
+                                 rp, rng.random() < 0.3,
+                                 int(rng.choice(mapq_pool)), n=n))
+
+        tail = max(r.qry_end for r in recs)
+        qry_total = tail + int(rng.integers(1, 200))
+        for r in recs:
+            r.qry_total = qry_total
+        lines.extend(r.to_line() for r in recs)
+
+    return "\n".join(lines) + "\n"
+
+
 def generate_alt_paf(main_paf: str, seed: int = 0, n_groups: int = 12) -> str:
     """Generate an alternative PAF for an existing main PAF.
 

@@ -11,7 +11,9 @@ Round-2 record: 300/300 cases clean (BENCH_RESULTS.md).
 import pathlib, random, subprocess, sys, tempfile, time
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
-from alignasm_tpu.testing.synth import generate_alt_paf, generate_hard_paf, generate_paf
+from alignasm_tpu.testing.synth import (
+    generate_alt_paf, generate_boundary_paf, generate_hard_paf, generate_paf,
+)
 
 REPO = pathlib.Path(__file__).resolve().parent.parent
 ORACLE_DIR = REPO / "tests" / "oracle"
@@ -31,8 +33,9 @@ rng = random.Random(master_seed)
 fails = []
 t0 = time.time()
 for case in range(n_cases):
-    kind = rng.choice(["basic", "basic", "hard", "hard", "hard"])
-    gen = generate_paf if kind == "basic" else generate_hard_paf
+    kind = rng.choice(["basic", "basic", "hard", "hard", "hard", "boundary"])
+    gen = {"basic": generate_paf, "hard": generate_hard_paf,
+           "boundary": generate_boundary_paf}[kind]
     seed = rng.randrange(10_000, 1_000_000)
     mode = rng.choice(["alt_path", "alt_path", "alt_path", "single_piece", "no_update"])
     engine = rng.choice(["native", "native", "exact"])

@@ -24,7 +24,7 @@ import time
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 from alignasm_tpu.testing.synth import (  # noqa: E402
-    generate_alt_paf, generate_hard_paf, generate_paf,
+    generate_alt_paf, generate_boundary_paf, generate_hard_paf, generate_paf,
 )
 
 REPO = pathlib.Path(__file__).resolve().parent.parent
@@ -62,8 +62,10 @@ def main() -> None:
     tot = {"device": 0, "fallback": 0, "singleton": 0, "native_direct": 0}
     t0 = time.time()
     for case in range(n_cases):
-        kind = rng.choice(["basic", "basic", "hard", "hard", "hard"])
-        gen = generate_paf if kind == "basic" else generate_hard_paf
+        kind = rng.choice(["basic", "basic", "hard", "hard", "hard",
+                           "boundary"])
+        gen = {"basic": generate_paf, "hard": generate_hard_paf,
+               "boundary": generate_boundary_paf}[kind]
         seed = rng.randrange(10_000, 1_000_000)
         mode = rng.choice(["alt_path", "alt_path", "alt_path",
                            "single_piece", "no_update"])

@@ -7,7 +7,9 @@ import sys
 
 import pytest
 
-from alignasm_tpu.testing.synth import generate_alt_paf, generate_hard_paf, generate_paf
+from alignasm_tpu.testing.synth import (
+    generate_alt_paf, generate_boundary_paf, generate_hard_paf, generate_paf,
+)
 from tests.conftest import run_oracle
 
 
@@ -54,6 +56,19 @@ def test_byte_identical_hard(oracle_bin, tmp_path, seed):
     oracle_outs = run_oracle(oracle_bin, paf, tmp_path)
     assert oracle_outs[1].stat().st_size > 0, "hard data must produce alt output"
     _assert_identical(oracle_outs, _run_engine(paf, tmp_path))
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+@pytest.mark.parametrize("engine", ["native", "exact"])
+def test_byte_identical_boundary(oracle_bin, tmp_path, engine, seed):
+    """Degenerate coordinate motifs (singletons, duplicates, 1-base gaps,
+    containment, mapq uint8 wrap, SV_BASELINE straddles, strand flips)."""
+    paf = tmp_path / f"boundary{seed}.paf"
+    paf.write_text(generate_boundary_paf(n_contigs=12, seed=seed))
+    _assert_identical(
+        run_oracle(oracle_bin, paf, tmp_path),
+        _run_engine(paf, tmp_path, extra=("--engine", engine)),
+    )
 
 
 def test_byte_identical_with_alt_merge(oracle_bin, tmp_path):
