@@ -93,12 +93,15 @@ def test_byte_identical_non_skip_linkable(oracle_bin, tmp_path):
     )
 
 
-@pytest.mark.parametrize("kind,seed", [("basic", 31), ("hard", 8)])
+@pytest.mark.parametrize(
+    "kind,seed", [("basic", 31), ("hard", 8), ("boundary", 2)]
+)
 def test_byte_identical_tpu_engine_cli(oracle_bin, tmp_path, kind, seed):
     """The tpu engine CLI path (device kernels + native host plane +
     native writers) vs oracle bytes ON DISK — incl. tie/alt-heavy data
     where every order-sensitive contig must route to the exact finish."""
-    gen = generate_paf if kind == "basic" else generate_hard_paf
+    gen = {"basic": generate_paf, "hard": generate_hard_paf,
+           "boundary": generate_boundary_paf}[kind]
     paf = tmp_path / f"tpu{kind}{seed}.paf"
     paf.write_text(gen(n_contigs=12, seed=seed))
     _assert_identical(
