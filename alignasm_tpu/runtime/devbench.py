@@ -101,7 +101,7 @@ def bench_end_to_end(n_contigs: int, seed: int = 2024, reps: int = 5):
     return round(n_contigs / best, 2), scheduler.solve_dataset_tpu.last_stats
 
 
-def _bench_one(launch, n_launch_sweeps, bytes_per_sweep, reps=5):
+def _bench_one(launch, n_launch_sweeps, bytes_per_sweep, reps=9):
     """Kernel COMPUTE roofline: inputs are device-resident (the
     end-to-end stats carry the transfer costs, which on tunneled
     backends are fixed-latency, not bandwidth)."""
@@ -197,10 +197,12 @@ def bench_kernels(B=256, V=64, E=256, n_sweeps=32, seed=0):
     # densified slab + the compact uint8 output).
     from alignasm_tpu.ops.dense import dense_solve_wire_topo_path8
 
-    # 64x batch so the compute signal (~1 us/contig x 16k contigs =
-    # ~16 ms) clears the multi-ms dispatch jitter of the tunnel
-    B_hi = 64 * B
-    wire_hi = jax.device_put(np.repeat(wire, 64, axis=0))
+    # 128x batch so the compute signal (~1.7 us/contig x ~32k extra
+    # contigs = ~55 ms) clears the tunnel's multi-ms dispatch jitter
+    # even on noisy days (the 64x delta measured 17.7 ms against a
+    # 22.5 ms jitter floor in one driver run — unresolvable)
+    B_hi = 128 * B
+    wire_hi = jax.device_put(np.repeat(wire, 128, axis=0))
     contig_bytes = V * (V + 1) * 4 + (V + 2)
     topo = _bench_one(
         lambda: dense_solve_wire_topo_path8(wire_d, V=V),
@@ -233,7 +235,8 @@ def bench_kernels(B=256, V=64, E=256, n_sweeps=32, seed=0):
     # marginal per-sweep cost: difference two sweep counts so the fixed
     # dispatch/round-trip latency (which dominates s_per_launch on
     # tunneled backends) cancels — this is the COMPUTE roofline
-    hi_sweeps = 8 * n_sweeps
+    # 32x sweep delta: ~1k extra sweeps x ~40 us ~= 40 ms of signal
+    hi_sweeps = 32 * n_sweeps
     hi = _bench_one(
         lambda: dense_solve_wire(wire_d, V=V, n_sweeps=hi_sweeps),
         n_launch_sweeps=hi_sweeps, bytes_per_sweep=B * V * V * 4,
