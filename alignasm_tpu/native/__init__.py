@@ -167,6 +167,12 @@ def get_lib():
             ctypes.c_char_p, ctypes.c_int,
         ]
         lib.aln_write_results.restype = ctypes.c_int
+        lib.aln_store_rows.argtypes = [
+            ctypes.c_void_p, ctypes.c_longlong, i64p, ctypes.c_longlong,
+            ctypes.c_longlong, i64p, ctypes.c_longlong,
+            ctypes.c_char_p, ctypes.c_int,
+        ]
+        lib.aln_store_rows.restype = ctypes.c_int
         lib.aln_results_counts.argtypes = [ctypes.c_void_p, i64p]
         lib.aln_results_counts.restype = ctypes.c_longlong
         lib.aln_results_group_sizes.argtypes = [ctypes.c_void_p, i64p]
@@ -319,6 +325,28 @@ class GraphExporter:
         err = ctypes.create_string_buffer(4096)
         rc = self._lib.aln_write_results(
             self._h, os.fsencode(out_prefix), threads, err, len(err),
+        )
+        if rc != 0:
+            raise NativeError(err.value.decode(errors="replace"))
+
+    def store_rows(self, contig_idx: int, outs, alts, max_groups) -> None:
+        """Store externally-computed results for one contig (e.g. the
+        mesh edge-sharded Python solve of an oversize contig), so
+        write_results serializes them and solve_remaining skips it.
+        ``outs``/``alts`` are PafOutput-like sequences; ``max_groups``
+        is a sequence of such sequences (the coverage-tie groups)."""
+        np = self._np
+        flat = list(outs) + list(alts) + [r for g in max_groups for r in g]
+        rows = np.empty((max(len(flat), 1), 6), np.int64)
+        for k, r in enumerate(flat):
+            rows[k] = (r.ctg_index, r.edited_qry_str, r.edited_qry_end,
+                       r.edited_ref_str, r.edited_ref_end,
+                       1 if r.is_alt_path else 0)
+        gsizes = np.asarray([len(g) for g in max_groups] or [0], np.int64)
+        err = ctypes.create_string_buffer(4096)
+        rc = self._lib.aln_store_rows(
+            self._h, contig_idx, rows.reshape(-1), len(outs), len(alts),
+            gsizes, len(max_groups), err, len(err),
         )
         if rc != 0:
             raise NativeError(err.value.decode(errors="replace"))

@@ -476,6 +476,47 @@ int aln_solve_subset(void *h, const int64_t *idx, long long n_idx,
     return 0;
 }
 
+int aln_store_rows(void *h, long long contig_idx, const int64_t *rows,
+                   long long n_out, long long n_alt, const int64_t *gsizes,
+                   long long n_groups, char *err, int errlen) {
+    // store externally-computed results for ONE contig (e.g. the mesh
+    // edge-sharded Python solve of a 512 GB-class contig) so
+    // write_results serializes them and solve_remaining skips the
+    // contig — the rest of the dataset keeps the native plane.
+    // rows: 6 x i64 [ctg_index, qs, qe, rs, re, alt] — n_out main
+    // rows, then n_alt alt rows, then sum(gsizes) max-group rows.
+    auto &ctx = *(ExportCtx *) h;
+    try {
+        ensure_results(ctx);
+        if (contig_idx < 0 || (size_t) contig_idx >= ctx.results.size())
+            throw std::runtime_error("store_rows: contig index out of range");
+        auto unpack = [&](long long lo, long long hi) {
+            std::vector<aln::OutRow> out;
+            out.reserve((size_t) (hi - lo));
+            for (long long k = lo; k < hi; k++) {
+                const int64_t *r = rows + k * 6;
+                out.push_back({(aln::i32) r[0], r[1], r[2], r[3], r[4],
+                               r[5] != 0});
+            }
+            return out;
+        };
+        auto &res = ctx.results[contig_idx];
+        res.out = unpack(0, n_out);
+        res.alt = unpack(n_out, n_out + n_alt);
+        res.max_out.clear();
+        long long x = n_out + n_alt;
+        for (long long g = 0; g < n_groups; g++) {
+            res.max_out.push_back(unpack(x, x + gsizes[g]));
+            x += gsizes[g];
+        }
+        ctx.done[contig_idx] = 1;
+        return 0;
+    } catch (const std::exception &e) {
+        set_err(err, errlen, e.what());
+        return 1;
+    }
+}
+
 int aln_write_results(void *h, const char *out_prefix, int threads,
                       char *err, int errlen) {
     // clip + format + write the three PAFs from the stored results

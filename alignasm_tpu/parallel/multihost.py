@@ -181,15 +181,25 @@ def run_multihost(
             parts = []
             for r in range(world):
                 path_r = f"{stem}.part{r}.npz"
+                # only reopen the archive when the file CHANGES: a stale
+                # partial (different input/world) must not be reloaded
+                # and decompressed 20x/s for up to the whole timeout
+                seen_stat = None
                 while True:
-                    if os.path.exists(path_r):
-                        z = np.load(path_r)
-                        meta = z["meta"] if "meta" in z.files else None
-                        if meta is not None and list(meta) == [
-                                digest, world, r, n]:
-                            parts.append((z["counts"], z["gsizes"],
-                                          z["main"], z["alt"], z["max"]))
-                            break
+                    try:
+                        st = os.stat(path_r)
+                        cur = (st.st_mtime_ns, st.st_size, st.st_ino)
+                    except FileNotFoundError:
+                        cur = None
+                    if cur is not None and cur != seen_stat:
+                        seen_stat = cur
+                        with np.load(path_r) as z:
+                            meta = z["meta"] if "meta" in z.files else None
+                            if meta is not None and list(meta) == [
+                                    digest, world, r, n]:
+                                parts.append((z["counts"], z["gsizes"],
+                                              z["main"], z["alt"], z["max"]))
+                                break
                     now = time.monotonic()
                     if now > deadline:
                         raise TimeoutError(

@@ -102,24 +102,6 @@ def solve_dataset_tpu(dataset, cfg: AlignasmConfig, batch_size: int = 256,
 
     _warm_transfer_async()
 
-    # 512 GB-class routing: a contig big enough for the edge-sharded
-    # graph axis must NOT go through the native plane (whose oversize
-    # sweep is a full single-host in-memory solve — the exact memory
-    # wall the mesh axis exists to break).  The Python plane below
-    # routes such contigs through parallel/mesh.py:solve_contig_sharded.
-    routed_for_graph_shard = False
-    if dataset is not None and src_paths is not None:
-        import jax
-
-        if jax.device_count() > 1 and any(
-            len(c) > cfg.max_device_records
-            and len(c) >= cfg.graph_shard_min_records
-            for c in dataset.contigs
-        ):
-            src_paths = None
-            write_prefix = None
-            routed_for_graph_shard = True
-
     if src_paths is not None:
         # production path: C++ host plane end to end (parse -> build ->
         # dense pack -> device DP -> finish -> write), no per-contig
@@ -146,8 +128,6 @@ def solve_dataset_tpu(dataset, cfg: AlignasmConfig, batch_size: int = 256,
     max_outs = [None] * n
     stats = {"device": 0, "fallback": 0, "singleton": 0, "oversize": 0,
              "host_plane": "python", "fallback_reasons": {}}
-    if routed_for_graph_shard:
-        stats["routed_for_graph_shard"] = True
 
     packed = []  # (contig index, PackedGraph)
     for i, contig in enumerate(dataset.contigs):
@@ -180,27 +160,22 @@ def solve_dataset_tpu(dataset, cfg: AlignasmConfig, batch_size: int = 256,
     from alignasm_tpu.ops.dense import (
         dense_solve_batch, pack_dense_bucket, unpack_dense,
     )
-    from alignasm_tpu.ops.relax32 import rerank_dense, sp_batch32, unpack_sp
+    from alignasm_tpu.ops.relax32 import sp_batch32, unpack_sp
 
     # int32 eligibility: every path sum is bounded by the sum over
     # vertices of their max outgoing edge score; guard well under the
     # int32 kernel's 2^30 sentinel (TPU v5e has no native int64).
-    # The f32 mapq-fraction tie-break is equality- and order-exact only
-    # for path denominators <= 2^10 (distinct fractions then differ by
-    # > 2^-20, far above f32 division rounding) — enforce that bound the
-    # same way instead of relying on max_device_records' default.
+    # (No mapq-fraction bound is needed any more: the int32 kernels
+    # track only the exact-integer (sum, anom) components — fraction
+    # tie-breaks never reach a device kernel.)
     def fits32(pg) -> bool:
         if len(pg.eu) == 0:
             return True
         seg_max = {}
-        seg_max_tot = {}
-        for u, s, t in zip(pg.eu.tolist(), pg.es.tolist(), pg.etot.tolist()):
+        for u, s in zip(pg.eu.tolist(), pg.es.tolist()):
             if s > seg_max.get(u, -1):
                 seg_max[u] = s
-            if t > seg_max_tot.get(u, -1):
-                seg_max_tot[u] = t
-        return (sum(seg_max.values()) < 2**29
-                and sum(seg_max_tot.values()) <= 2**10)
+        return sum(seg_max.values()) < 2**29
 
     stats["int32_buckets"] = 0
     stats["dense_buckets"] = 0
@@ -240,22 +215,26 @@ def solve_dataset_tpu(dataset, cfg: AlignasmConfig, batch_size: int = 256,
         ev = pad([pg.ev for _i, pg in chunk], np.int32, 0)
         es = pad([pg.es for _i, pg in chunk], idt, 0)
         ea = pad([pg.ea for _i, pg in chunk], np.int32, 0)
-        enz = pad([pg.enz for _i, pg in chunk], np.int32, 0)
-        etot = pad([pg.etot for _i, pg in chunk], np.int32, 0)
-        ranks = [
-            rerank_dense(pg.erank) if use32 else pg.erank for _i, pg in chunk
-        ]
-        erank = pad(ranks, idt, 0)
         evalid = np.zeros((B, E), bool)
         for b, (_i, pg) in enumerate(chunk):
             evalid[b, : len(pg.eu)] = True
         srcs = np.asarray([pg.g.src for _i, pg in chunk], np.int32)
         dests = np.asarray([pg.g.dest for _i, pg in chunk], np.int32)
 
+        if use32:
+            # the int32 kernel tracks only (sum, anom) — the finish
+            # never consumes fraction/rank state (ops/relax32.py)
+            args = (eu, ev, es, ea, evalid, srcs, dests)
+        else:
+            enz = pad([pg.enz for _i, pg in chunk], np.int32, 0)
+            etot = pad([pg.etot for _i, pg in chunk], np.int32, 0)
+            erank = pad([pg.erank for _i, pg in chunk], idt, 0)
+            args = (eu, ev, es, ea, enz, etot, erank, evalid, srcs, dests)
+
         bucket_inputs.append(dict(
             chunk=chunk, B=B, V=V, n_sweeps=n_sweeps,
             kind="sparse32" if use32 else "sparse64",
-            args=(eu, ev, es, ea, enz, etot, erank, evalid, srcs, dests),
+            args=args,
         ))
 
     # with more than one device, shard the bucket batch dim over a data
@@ -315,7 +294,7 @@ def solve_dataset_tpu(dataset, cfg: AlignasmConfig, batch_size: int = 256,
             pers = [unpack_dense(stacked[b]) for b in range(B)]
             inf = 2**30
         elif binp["kind"] == "sparse32":
-            stacked = np.asarray(binp["pending"])  # (B, 6, V): one transfer
+            stacked = np.asarray(binp["pending"])  # (B, 5, V): one transfer
             stacked = stacked[: binp["realB"]]     # drop mesh padding
             pers = [unpack_sp(stacked[b]) for b in range(B)]
             inf = 2**30
@@ -396,7 +375,7 @@ def _dense_buckets(order, n_v, dense_cells: int = 2**26,
 
 
 def _launch_buckets(buckets, n_edges, exporter, spec, n_dev, launches,
-                    stats, cfg):
+                    stats):
     """Export each bucket's sparse wire and dispatch its device program
     (async); appends (idxs, realB, V, pending) to ``launches``."""
     import jax
@@ -490,6 +469,25 @@ def _solve_tpu_native(dataset, cfg: AlignasmConfig, src_paths, write_prefix):
         # (a clamped d_a == clamped floor_a would skip a real alt scan).
         max_v = min(cfg.dense_max_v, 5461)
         eligible = built & (n_v <= max_v) & (bound < 2**27)
+
+        # 512 GB-class contigs: solve through the edge-sharded graph
+        # axis (parallel/mesh.py) on the device mesh and inject the
+        # rows into the exporter — the rest of the dataset keeps the
+        # native plane (a dataset-wide degrade to the Python plane here
+        # cost 30x on every OTHER contig).  Needs the parsed Python
+        # records; without them (resume chunks, devbench timed reps)
+        # the sparse-table native solve covers the contig instead.
+        import jax
+
+        if dataset is not None and jax.device_count() > 1:
+            from alignasm_tpu.parallel.mesh import solve_contig_sharded
+
+            for i in np.where(n_rec >= cfg.graph_shard_min_records)[0]:
+                o, a, m = solve_contig_sharded(dataset.contigs[i], cfg)
+                exporter.store_rows(int(i), o, a, m)
+                eligible[i] = False
+                stats["graph_sharded"] = stats.get("graph_sharded", 0) + 1
+
         idx_all = np.where(eligible)[0]
         stats["pack_s"] = round(time.perf_counter() - t_start, 4)
 
@@ -522,7 +520,7 @@ def _solve_tpu_native(dataset, cfg: AlignasmConfig, src_paths, write_prefix):
         # only throughput changes.
         try:
             _launch_buckets(buckets, n_edges, exporter, spec, n_dev,
-                            launches, stats, cfg)
+                            launches, stats)
         except Exception as exc:
             stats["device_error"] = f"launch: {exc!r}"[:500]
             launches = []

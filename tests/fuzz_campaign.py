@@ -90,3 +90,4 @@ for case in range(n_cases):
 print(f"DONE: {n_cases} cases, {len(fails)} failures in {time.time()-t0:.0f}s")
 for f in fails[:20]:
     print("FAIL:", f)
+sys.exit(1 if fails else 0)

@@ -198,11 +198,12 @@ def test_int64_kernel_path_for_large_coordinates(tmp_path):
     assert t == solve_dataset(ds2, DEFAULT_CONFIG)
 
 
-def test_native_plane_routes_giant_contigs_to_graph_axis(tmp_path):
+def test_native_plane_routes_giant_contigs_to_graph_axis(tmp_path, oracle_bin):
     """A 512 GB-class contig must reach the edge-sharded graph axis even
-    when the caller asked for the native host plane (src_paths given) —
-    the native plane's oversize sweep is a full single-host in-memory
-    solve, exactly the memory wall the mesh axis exists to break."""
+    when the caller asked for the native host plane (src_paths given),
+    and the rest of the dataset must KEEP the native plane — the sharded
+    solve's rows are injected into the native result store
+    (aln_store_rows) rather than degrading the whole run to Python."""
     import copy
     import dataclasses
 
@@ -229,9 +230,32 @@ def test_native_plane_routes_giant_contigs_to_graph_axis(tmp_path):
                               graph_shard_min_records=min(n_big, 48))
     t = solve_dataset_tpu(ds, cfg, src_paths=(str(p), None))
     stats = solve_dataset_tpu.last_stats
-    assert stats.get("routed_for_graph_shard"), stats
+    # the giant contig reaches the mesh axis WITHOUT degrading the rest
+    # of the dataset off the native host plane (its sharded rows are
+    # injected into the native result store)
+    assert stats.get("host_plane") == "native", stats
     assert stats.get("graph_sharded", 0) >= 1, stats
     assert t == solve_dataset(ds2, cfg)
+
+    # and through the production write boundary the injected sharded
+    # rows must serialize byte-identically to the oracle (default cfg:
+    # the oracle has no shard knobs, so re-solve with defaults)
+    from tests.conftest import run_oracle
+
+    oracle_outs = run_oracle(oracle_bin, p, tmp_path)
+    dev = tmp_path / "dev.paf"
+    dev.write_bytes(p.read_bytes())
+    n_big2 = max(len(c) for c in read_paf(dev).contigs)
+    cfg2 = dataclasses.replace(DEFAULT_CONFIG,
+                               max_device_records=max(16, n_big2 - 1),
+                               graph_shard_min_records=min(n_big2, 48))
+    solve_dataset_tpu(read_paf(dev), cfg2, src_paths=(str(dev), None),
+                      write_prefix=str(tmp_path / "dev"))
+    stats2 = solve_dataset_tpu.last_stats
+    assert stats2.get("graph_sharded", 0) >= 1, stats2
+    for o, suffix in zip(oracle_outs, ("", ".alt", ".all")):
+        got = (tmp_path / f"dev.aln{suffix}.paf").read_bytes()
+        assert got == o.read_bytes(), f"dev.aln{suffix}.paf differs"
 
 
 def test_device_failure_degrades_to_native_solve(tmp_path, oracle_bin,
