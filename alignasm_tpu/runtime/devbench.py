@@ -256,20 +256,20 @@ def bench_kernels(B=256, V=64, E=256, n_sweeps=32, seed=0):
     ev = (eu + 1 + rng.integers(0, 4, (B, E)) % (V - 1 - eu)).astype(np.int32)
     es = rng.integers(1, 1000, (B, E)).astype(np.int32)
     ea = rng.integers(0, 2, (B, E)).astype(np.int32)
-    enz = rng.integers(0, 2, (B, E)).astype(np.int32)
-    etot = np.ones((B, E), np.int32)
-    erank = np.arange(E, dtype=np.int32)[None].repeat(B, 0)
     evalid = np.ones((B, E), bool)
     srcs = np.zeros((B,), np.int32)
     dests = np.full((B,), V - 1, np.int32)
-    eu, ev, es, ea, enz, etot, erank, evalid, srcs, dests = (
+    eu, ev, es, ea, evalid, srcs, dests = (
         jax.device_put(a)
-        for a in (eu, ev, es, ea, enz, etot, erank, evalid, srcs, dests))
+        for a in (eu, ev, es, ea, evalid, srcs, dests))
     sparse = _bench_one(
-        lambda: sp_batch32(eu, ev, es, ea, enz, etot, erank, evalid,
+        lambda: sp_batch32(eu, ev, es, ea, evalid,
                            srcs, dests, V=V, n_sweeps=n_sweeps),
         n_launch_sweeps=n_sweeps,
-        bytes_per_sweep=B * (11 * E + 10 * V) * 4,
+        # HBM model: per sweep read 4 int32 edge arrays + bool valid
+        # (~17 B/edge) and read/update the (s, a) vertex state (~6
+        # passes x 4 B over V with the segment gathers/scatters)
+        bytes_per_sweep=B * (17 * E + 24 * V),
     )
     sparse.update(B=B, V=V, E=E, n_sweeps=n_sweeps)
     return {"topo": topo, "dense": dense, "sparse": sparse}
