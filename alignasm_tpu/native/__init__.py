@@ -264,9 +264,10 @@ class GraphExporter:
 
     def finish_bulk(self, idx, dp, V: int, threads: int = 0,
                     lazy_walks: bool = True):
-        """Finish contigs `idx` from their (B, V + 5) int16 device path
-        rows (ops/dense.py:dense_solve_wire_topo_path layout) —
-        device-assisted fast finish or full native solve, decided and
+        """Finish contigs `idx` from their (B, V + 5) int16 device nxt
+        rows (ops/dense.py:dense_solve_wire_topo_nxt layout) —
+        device-assisted fast finish (path chased from the achieving-
+        successor array in C++) or full native solve, decided and
         executed in C++.  Returns (n_fast, n_fallback)."""
         np = self._np
         idx = np.ascontiguousarray(idx, np.int64)
@@ -288,9 +289,9 @@ class GraphExporter:
     def finish_bulk8(self, idx, dp, V: int, threads: int = 0,
                      lazy_walks: bool = True):
         """Finish contigs `idx` from their (B, V + 2) uint8 device rows
-        (ops/dense.py:dense_solve_wire_topo_path8 layout — path + the
-        on-device order-insensitivity gate).  Returns
-        (n_fast, n_fallback)."""
+        (ops/dense.py:dense_solve_wire_topo_nxt8 layout — achieving-
+        successor array + the on-device order-insensitivity gate).
+        Returns (n_fast, n_fallback)."""
         np = self._np
         idx = np.ascontiguousarray(idx, np.int64)
         dp = np.ascontiguousarray(dp, np.uint8)

@@ -300,15 +300,16 @@ int aln_finish_bulk(void *h, const int64_t *idx, long long n_idx,
                     const int16_t *dp, long long V, int lazy_walks,
                     int threads, long long *n_fast, long long *n_fallback,
                     char *err, int errlen) {
-    // dp rows: (n_idx, V + 5) int16 [path (V, dest-padded), floor_a@src,
+    // dp rows: (n_idx, V + 5) int16 [nxt (V, dest-encoded), floor_a@src,
     // cnt_tot@src, cnt_min@src, d_a@src, src] from
-    // ops/dense.py:dense_solve_wire_topo_path — the device already
-    // chased the achieving-successor chain, so the row carries the
-    // min-walk PATH (unique whenever cnt_min == 1, the only case the
-    // fast finish accepts), not per-vertex DP values: ~3.8x fewer D2H
-    // bytes on a transport whose D2H bandwidth dominated the sync
-    // phase.  Entries are wire TOPO positions (pos(v) = V-1-kahn[v];
-    // see aln_export_wire), un-permuted here.  Non-order-insensitive
+    // ops/dense.py:dense_solve_wire_topo_nxt — the row carries the
+    // per-vertex lowest-index achieving SUCCESSOR (strictly increasing
+    // in topo numbering); the min-walk path (unique whenever
+    // cnt_min == 1, the only case the fast finish accepts) is chased
+    // from src HERE — a host chase is nanoseconds, while chasing on
+    // device was a second V-step sequential scan (~40% of the launch).
+    // Entries are wire TOPO positions (pos(v) = V-1-kahn[v]; see
+    // aln_export_wire), un-permuted here.  Non-order-insensitive
     // contigs get the full native solve on the already-built graph.
     auto &ctx = *(ExportCtx *) h;
     ensure_results(ctx);
@@ -337,12 +338,16 @@ int aln_finish_bulk(void *h, const int64_t *idx, long long n_idx,
             static thread_local std::vector<aln::i32> verts;
             verts.clear();
             const long long dpos = pos(pc.graph.dest);
+            long long cur = pos(src);
             for (long long k = 0; k < V; k++) {
-                int p = row[k];
-                if (p < 0 || p >= V || inv[p] < 0)
-                    throw std::runtime_error("device path entry out of range");
-                verts.push_back(inv[p]);
-                if (p == dpos) break;
+                if (cur < 0 || cur >= V || inv[cur] < 0)
+                    throw std::runtime_error("device nxt entry out of range");
+                verts.push_back(inv[cur]);
+                if (cur == dpos) break;
+                long long nx = row[cur];
+                if (nx <= cur)  // achieving successors strictly increase
+                    throw std::runtime_error("device nxt chain not increasing");
+                cur = nx;
             }
             if (verts.front() != src || verts.back() != pc.graph.dest)
                 throw std::runtime_error("device path endpoints mismatch");
@@ -368,12 +373,13 @@ int aln_finish_bulk8(void *h, const int64_t *idx, long long n_idx,
                      const uint8_t *dp, long long V, int lazy_walks,
                      int threads, long long *n_fast, long long *n_fallback,
                      char *err, int errlen) {
-    // dp rows: (n_idx, V + 2) uint8 [path (V, dest-padded), fast, src]
-    // from ops/dense.py:dense_solve_wire_topo_path8 — the device
+    // dp rows: (n_idx, V + 2) uint8 [nxt (V, dest-encoded), fast, src]
+    // from ops/dense.py:dense_solve_wire_topo_nxt8 — the device
     // evaluated the order-insensitivity gate ITSELF in exact int32
     //   fast = cnt_min == 1 && !(cnt_tot >= 2 && d_a != floor_a)
-    // (the same predicate the int16 path's host gate applies), so the
-    // host consumes only the path + one flag; path entries are wire
+    // (the same predicate the int16 row's host gate applies), so the
+    // host consumes only the achieving-successor array + one flag and
+    // chases the min-walk path from src here; nxt entries are wire
     // TOPO positions (< V <= 256, uint8-exact), un-permuted here.
     auto &ctx = *(ExportCtx *) h;
     ensure_results(ctx);
@@ -397,12 +403,16 @@ int aln_finish_bulk8(void *h, const int64_t *idx, long long n_idx,
             static thread_local std::vector<aln::i32> verts;
             verts.clear();
             const long long dpos = pos(pc.graph.dest);
+            long long cur = pos(src);
             for (long long k = 0; k < V; k++) {
-                int p = row[k];
-                if (p >= V || inv[p] < 0)
-                    throw std::runtime_error("device path entry out of range");
-                verts.push_back(inv[p]);
-                if (p == dpos) break;
+                if (cur >= V || inv[cur] < 0)
+                    throw std::runtime_error("device nxt entry out of range");
+                verts.push_back(inv[cur]);
+                if (cur == dpos) break;
+                long long nx = row[cur];
+                if (nx <= cur)  // achieving successors strictly increase
+                    throw std::runtime_error("device nxt chain not increasing");
+                cur = nx;
             }
             if (verts.front() != src || verts.back() != pc.graph.dest)
                 throw std::runtime_error("device path endpoints mismatch");

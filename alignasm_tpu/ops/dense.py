@@ -168,53 +168,53 @@ def _topo_scan(arr, V):
 
 def solve_slab_topo(arr, V):
     """Full-DP-row form of the topo scan (parity testing vs the sweep
-    kernels); production uses solve_slab_topo_path."""
+    kernels); production uses solve_slab_topo_nxt."""
     (s, a, fa, ct, cm, _nxt), dest, src = _topo_scan(arr, V)
     return jnp.concatenate([
         s, a, jnp.stack([fa[src], ct[src], cm[src], src]),
     ])
 
 
-def solve_slab_topo_path(arr, V):
-    """Production compact form: chase the achieving-successor chain
-    from src ON DEVICE and return an int16 row
+def solve_slab_topo_nxt(arr, V):
+    """Production compact form: ship the achieving-successor array
+    itself as an int16 row
 
-        [path (V entries, dest-padded), floor_a@src, cnt_tot@src,
+        [nxt (V entries, dest-encoded), floor_a@src, cnt_tot@src,
          cnt_min@src, d_a@src, src]                       (V + 5,)
 
-    so the host transfer shrinks from (2V+4) int32 to (V+5) int16
-    (~3.8x fewer D2H bytes — the tunnel's D2H bandwidth dominated the
-    sync phase).  All payloads fit int16: path entries < V <= 2048,
-    counts saturate at 10001, and anomaly sums are <= 3*(V-1) whenever
-    src reaches dest — which cnt_min == 1 (the only case the C++ fast
-    finish consumes the path/anomaly fields in) guarantees; infinities
-    are clamped to I16_INF."""
+    and let the C++ finish chase the min-walk path from src on host
+    (nanoseconds).  Chasing ON DEVICE was a second V-step sequential
+    scan — dropping it cut the measured production launch (B=2048,
+    V=64) from 48 ms to 34 ms on v5e, ~64% of the compute.  nxt[u] is
+    the lowest-index achieving successor (strictly > u in the topo
+    numbering, so a host chase always terminates in <= V steps); -1
+    ("no achieving edge") is encoded as dest — the host only follows
+    nxt along a path cnt_min == 1 proves achieving-complete, and the
+    dest encoding keeps entries unsigned-friendly.  All payloads fit
+    int16: nxt entries < V <= 2048, counts saturate at 10001, and
+    anomaly sums are <= 3*(V-1) whenever src reaches dest — which
+    cnt_min == 1 (the only case the C++ fast finish consumes the
+    nxt/anomaly fields in) guarantees; infinities are clamped to
+    I16_INF."""
     (s, a, fa, ct, cm, nxt), dest, src = _topo_scan(arr, V)
-
-    def chase(cur, _):
-        stop = (cur == dest) | (cur < 0)
-        out = jnp.where(stop, dest, cur)
-        cur2 = jnp.where(stop, dest, nxt[jnp.maximum(cur, 0)])
-        return cur2, out
-
-    _, path = jax.lax.scan(chase, src, None, length=V)
     clamp = jnp.int32(I16_INF)
     tail = jnp.stack([jnp.minimum(fa[src], clamp), ct[src],
                       jnp.minimum(cm[src], clamp),
                       jnp.minimum(a[src], clamp), src])
-    return jnp.concatenate([path, tail]).astype(jnp.int16)
+    return jnp.concatenate(
+        [jnp.where(nxt < 0, dest, nxt), tail]).astype(jnp.int16)
 
 
 @functools.partial(jax.jit, static_argnames=("V",))
-def dense_solve_wire_topo_path(wire, V):
-    """Batched production solve returning compact int16 path rows; see
-    dense_solve_wire_topo for the wire format and solve_slab_topo_path
+def dense_solve_wire_topo_nxt(wire, V):
+    """Batched production solve returning compact int16 nxt rows; see
+    dense_solve_wire_topo for the wire format and solve_slab_topo_nxt
     for the row layout."""
     packed = _densify_wire(wire, V)
-    return jax.vmap(lambda arr: solve_slab_topo_path(arr, V))(packed)
+    return jax.vmap(lambda arr: solve_slab_topo_nxt(arr, V))(packed)
 
 
-def solve_slab_topo_path8(arr, V):
+def solve_slab_topo_nxt8(arr, V):
     """uint8 production row for V <= 256: the host finish consumes
     floor_a/cnt_tot/cnt_min/d_a ONLY through the order-insensitivity
     gate
@@ -225,32 +225,25 @@ def solve_slab_topo_path8(arr, V):
     V — the int16 row's I16_INF clamps and their V-bound disappear) and
     ship just
 
-        [path (V entries, dest-padded), fast, src]        (V + 2,) uint8
+        [nxt (V entries, dest-encoded), fast, src]        (V + 2,) uint8
 
-    Path entries and src are topo positions < V <= 256, so they fit
-    uint8 exactly.  ~2.1x fewer D2H bytes than the int16 row on a
-    transport whose D2H bandwidth dominates the sync phase."""
+    nxt entries and src are topo positions < V <= 256, so they fit
+    uint8 exactly.  Same D2H size as shipping the chased path, but no
+    on-device chase scan (see solve_slab_topo_nxt)."""
     (s, a, fa, ct, cm, nxt), dest, src = _topo_scan(arr, V)
-
-    def chase(cur, _):
-        stop = (cur == dest) | (cur < 0)
-        out = jnp.where(stop, dest, cur)
-        cur2 = jnp.where(stop, dest, nxt[jnp.maximum(cur, 0)])
-        return cur2, out
-
-    _, path = jax.lax.scan(chase, src, None, length=V)
     fast = (cm[src] == 1) & ~((ct[src] >= 2) & (a[src] != fa[src]))
     tail = jnp.stack([fast.astype(jnp.int32), src])
-    return jnp.concatenate([path, tail]).astype(jnp.uint8)
+    return jnp.concatenate(
+        [jnp.where(nxt < 0, dest, nxt), tail]).astype(jnp.uint8)
 
 
 @functools.partial(jax.jit, static_argnames=("V",))
-def dense_solve_wire_topo_path8(wire, V):
+def dense_solve_wire_topo_nxt8(wire, V):
     """Batched production solve returning (B, V + 2) uint8 rows with the
-    on-device order-insensitivity gate; see solve_slab_topo_path8."""
-    assert V <= 256, "uint8 path entries require V <= 256"
+    on-device order-insensitivity gate; see solve_slab_topo_nxt8."""
+    assert V <= 256, "uint8 nxt entries require V <= 256"
     packed = _densify_wire(wire, V)
-    return jax.vmap(lambda arr: solve_slab_topo_path8(arr, V))(packed)
+    return jax.vmap(lambda arr: solve_slab_topo_nxt8(arr, V))(packed)
 
 
 @functools.partial(jax.jit, static_argnames=("n_sweeps",))

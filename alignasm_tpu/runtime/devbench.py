@@ -191,11 +191,11 @@ def bench_kernels(B=256, V=64, E=256, n_sweeps=32, seed=0):
 
     # production kernel: single reverse-topo scan + on-device path chase
     # + on-device order-insensitivity gate, uint8 rows
-    # (ops/dense.py:dense_solve_wire_topo_path8).  Marginal per-contig
+    # (ops/dense.py:dense_solve_wire_topo_nxt8).  Marginal per-contig
     # cost differences two batch sizes so the fixed dispatch round trip
     # cancels; model bytes = the minimal traffic (one pass over the
     # densified slab + the compact uint8 output).
-    from alignasm_tpu.ops.dense import dense_solve_wire_topo_path8
+    from alignasm_tpu.ops.dense import dense_solve_wire_topo_nxt8
 
     # 128x batch so the compute signal (~1.7 us/contig x ~32k extra
     # contigs = ~55 ms) clears the tunnel's multi-ms dispatch jitter
@@ -205,12 +205,12 @@ def bench_kernels(B=256, V=64, E=256, n_sweeps=32, seed=0):
     wire_hi = jax.device_put(np.repeat(wire, 128, axis=0))
     contig_bytes = V * (V + 1) * 4 + (V + 2)
     topo = _bench_one(
-        lambda: dense_solve_wire_topo_path8(wire_d, V=V),
+        lambda: dense_solve_wire_topo_nxt8(wire_d, V=V),
         n_launch_sweeps=B,  # "sweeps" = contig solves for this kernel
         bytes_per_sweep=contig_bytes,
     )
     hi = _bench_one(
-        lambda: dense_solve_wire_topo_path8(wire_hi, V=V),
+        lambda: dense_solve_wire_topo_nxt8(wire_hi, V=V),
         n_launch_sweeps=B_hi,
         bytes_per_sweep=contig_bytes,
     )

@@ -382,7 +382,7 @@ def _launch_buckets(buckets, n_edges, exporter, spec, n_dev, launches,
     import numpy as np
 
     from alignasm_tpu.ops.dense import (
-        dense_solve_wire_topo_path, dense_solve_wire_topo_path8,
+        dense_solve_wire_topo_nxt, dense_solve_wire_topo_nxt8,
     )
 
     for V, idxs in buckets:
@@ -405,17 +405,19 @@ def _launch_buckets(buckets, n_edges, exporter, spec, n_dev, launches,
                 [wire, np.repeat(wire[-1:], padB - realB, 0)])
         if spec is not None:
             wire = jax.device_put(wire, spec)
-        # topo-relabeled wire -> single reverse-scan kernel that
-        # chases the min-walk path on device; compiled variants are
-        # bounded by the (padB, V, W) bucket shapes alone.  V <= 256
+        # topo-relabeled wire -> single reverse-scan kernel shipping
+        # the achieving-successor array (the C++ finish chases the
+        # min-walk path on host — a second on-device chase scan cost
+        # ~40% of the launch); compiled variants are bounded by the
+        # (padB, V, W) bucket shapes alone.  V <= 256
         # buckets (all of them at the default dense_max_v) get uint8
         # rows with the order-insensitivity gate evaluated ON DEVICE
         # in exact int32 — ~2.1x fewer D2H bytes than the int16 rows
         # on a transport whose D2H bandwidth dominates sync
         if V <= 256:
-            pending = dense_solve_wire_topo_path8(wire, V=V)
+            pending = dense_solve_wire_topo_nxt8(wire, V=V)
         else:
-            pending = dense_solve_wire_topo_path(wire, V=V)
+            pending = dense_solve_wire_topo_nxt(wire, V=V)
         launches.append((idxs, realB, V, pending))
         stats["dense_buckets"] += 1
 

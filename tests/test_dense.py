@@ -136,14 +136,15 @@ def test_topo_scan_matches_sweeps():
     np.testing.assert_array_equal(a, c)
 
 
-def test_topo_path_rows_match_dp(tmp_path):
-    """dense_solve_wire_topo_path (production compact int16 rows) must
+def test_topo_nxt_rows_match_dp(tmp_path):
+    """dense_solve_wire_topo_nxt (production compact int16 rows) must
     agree with the full-DP kernel: same scalars (int16-clamped) and,
-    whenever cnt_min == 1, a path that walks achieving edges src->dest
-    (the unique min walk)."""
+    whenever cnt_min == 1, an achieving-successor array whose host
+    chase from src walks achieving edges src->dest (the unique min
+    walk — the chase the C++ finish performs)."""
     from alignasm_tpu.ops.dense import (
         ANOM_SHIFT, I16_INF, INF32, dense_solve_wire_topo,
-        dense_solve_wire_topo_path,
+        dense_solve_wire_topo_nxt,
     )
 
     rng = np.random.default_rng(5)
@@ -169,7 +170,7 @@ def test_topo_path_rows_match_dp(tmp_path):
         wire[b, 0, k + 1] = V * V + 1
         wire[b, 1, k + 1] = srcs[b]
     full = np.asarray(dense_solve_wire_topo(wire, V=V))
-    rows = np.asarray(dense_solve_wire_topo_path(wire, V=V))
+    rows = np.asarray(dense_solve_wire_topo_nxt(wire, V=V))
     assert rows.dtype == np.int16 and rows.shape == (B, V + 5)
     ws = np.where(mask, ws, INF32)
     n_unique = 0
@@ -184,28 +185,30 @@ def test_topo_path_rows_match_dp(tmp_path):
         if cm != 1:
             continue
         n_unique += 1
-        path = rows[b, :V]
-        assert path[0] == src
-        k = 0
-        while path[k] != dests[b]:
-            u, v = int(path[k]), int(path[k + 1])
-            assert mask[b, u, v], "path step is not an edge"
+        nxt = rows[b, :V]
+        u = int(src)
+        for _ in range(V):  # chase as the C++ finish does
+            if u == dests[b]:
+                break
+            v = int(nxt[u])
+            assert v > u, "achieving successors must increase"
+            assert mask[b, u, v], "chase step is not an edge"
             assert ws[b, u, v] + d_s[v] == d_s[u]
             assert wa[b, u, v] + d_a[v] == d_a[u]
-            k += 1
-        assert (path[k:] == dests[b]).all(), "dest-padded tail"
+            u = v
+        assert u == dests[b], "chase must reach dest"
     assert n_unique > 0
 
 
-def test_topo_path8_rows_match_int16(tmp_path):
-    """dense_solve_wire_topo_path8 (uint8 rows, gate evaluated on
-    device) must agree with the int16 rows: identical path, identical
-    src, and a fast flag equal to the host gate
+def test_topo_nxt8_rows_match_int16(tmp_path):
+    """dense_solve_wire_topo_nxt8 (uint8 rows, gate evaluated on
+    device) must agree with the int16 rows: identical nxt array,
+    identical src, and a fast flag equal to the host gate
     cnt_min == 1 and not (cnt_tot >= 2 and d_a != floor_a) evaluated on
     the UNclamped DP values."""
     from alignasm_tpu.ops.dense import (
         ANOM_SHIFT, INF32, dense_solve_wire_topo,
-        dense_solve_wire_topo_path, dense_solve_wire_topo_path8,
+        dense_solve_wire_topo_nxt, dense_solve_wire_topo_nxt8,
     )
 
     rng = np.random.default_rng(13)
@@ -231,8 +234,8 @@ def test_topo_path8_rows_match_int16(tmp_path):
         wire[b, 0, k + 1] = V * V + 1
         wire[b, 1, k + 1] = srcs[b]
     full = np.asarray(dense_solve_wire_topo(wire, V=V))
-    r16 = np.asarray(dense_solve_wire_topo_path(wire, V=V))
-    r8 = np.asarray(dense_solve_wire_topo_path8(wire, V=V))
+    r16 = np.asarray(dense_solve_wire_topo_nxt(wire, V=V))
+    r8 = np.asarray(dense_solve_wire_topo_nxt8(wire, V=V))
     assert r8.dtype == np.uint8 and r8.shape == (B, V + 2)
     n_fast = 0
     for b in range(B):
@@ -242,7 +245,7 @@ def test_topo_path8_rows_match_int16(tmp_path):
         assert bool(r8[b, V]) == want_fast, b
         assert r8[b, V + 1] == src
         np.testing.assert_array_equal(
-            r8[b, :V].astype(np.int16), r16[b, :V], err_msg=f"path b={b}")
+            r8[b, :V].astype(np.int16), r16[b, :V], err_msg=f"nxt b={b}")
         n_fast += want_fast
     assert 0 < n_fast  # the corpus exercises both gate outcomes
     assert n_fast < B
