@@ -80,7 +80,13 @@ def bench_end_to_end(n_contigs: int, seed: int = 2024, reps: int = 5):
     scheduler._warmed = True  # no background warm thread in the bench
     np.asarray(jax.jit(lambda x: x + 1)(np.zeros(8, np.int32)))
 
-    work = pathlib.Path(tempfile.mkdtemp(prefix="alignasm_devbench_"))
+    import os
+
+    # memory-backed work dir when available (the VM disk throttles to
+    # ~13 MB/s at times; a 10k-contig run once spent 3.7 s of its 5.2 s
+    # in write() against a 0.19 s tmpfs write)
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    work = pathlib.Path(tempfile.mkdtemp(prefix="alignasm_devbench_", dir=shm))
     paf = work / "bench_tpu.paf"
     paf.write_text(generate_paf(n_contigs=n_contigs, seed=seed,
                                 max_records_per_contig=24))

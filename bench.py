@@ -41,7 +41,12 @@ def main() -> None:
     from alignasm_tpu import native
     from alignasm_tpu.testing.synth import generate_paf
 
-    work = pathlib.Path(tempfile.mkdtemp(prefix="alignasm_bench_"))
+    # memory-backed work dir when available: the VM's disk gets
+    # throttled to ~13 MB/s at times, which would swamp the signal —
+    # reference and native engines both read/write the same dir, so
+    # the comparison stays fair either way
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    work = pathlib.Path(tempfile.mkdtemp(prefix="alignasm_bench_", dir=shm))
     paf = work / "bench.paf"
     paf.write_text(generate_paf(n_contigs=N_CONTIGS, seed=SEED,
                                 max_records_per_contig=24))
