@@ -420,6 +420,7 @@ def _launch_buckets(buckets, n_edges, exporter, spec, n_dev, launches,
             pending = dense_solve_wire_topo_nxt(wire, V=V)
         launches.append((idxs, realB, V, pending))
         stats["dense_buckets"] += 1
+        stats.setdefault("bucket_vs", []).append(int(V))
 
 
 def _solve_tpu_native(dataset, cfg: AlignasmConfig, src_paths, write_prefix):

@@ -317,3 +317,42 @@ def test_device_engine_shards_over_data_mesh(tmp_path):
     t = solve_dataset_tpu(ds, DEFAULT_CONFIG, src_paths=(str(p), None))
     assert solve_dataset_tpu.last_stats.get("data_mesh_devices") == jax.device_count()
     assert t == solve_dataset(ds2, DEFAULT_CONFIG)
+
+
+def test_int16_bucket_path_byte_identical(tmp_path, oracle_bin):
+    """With dense_max_v raised past the 256 default, contigs whose
+    graphs exceed V = 256 route through the int16 nxt rows
+    (dense_solve_wire_topo_nxt + the C++ finish's host gate and
+    successor chase) instead of the uint8 fast path — the only
+    consumer of aln_finish_bulk.  Byte-check that path against the
+    oracle through the full write boundary and assert the bucket
+    actually ran at V > 256 with at least one device-fast finish
+    (otherwise this test silently stops covering the chase)."""
+    import dataclasses
+
+    from tests.conftest import run_oracle
+
+    from alignasm_tpu.io.paf import read_paf
+    from alignasm_tpu.runtime.scheduler import solve_dataset_tpu
+
+    # a long same-chromosome chain keeps edge scores small (the packed
+    # wire's 28-bit envelope caps bound < 2^27 — translocation-rich
+    # corpora overflow it and route native) while V grows past 256
+    from tests.test_scale import _chain_contig
+
+    txt = _chain_contig(220, seed=9)
+    p = tmp_path / "big.paf"
+    p.write_text(txt)
+
+    oracle_outs = run_oracle(oracle_bin, p, tmp_path)
+
+    ds = read_paf(p)
+    cfg = dataclasses.replace(DEFAULT_CONFIG, dense_max_v=1024)
+    solve_dataset_tpu(ds, cfg, src_paths=(str(p), None),
+                      write_prefix=str(tmp_path / "big"))
+    stats = solve_dataset_tpu.last_stats
+    assert any(v > 256 for v in stats.get("bucket_vs", [])), stats
+    assert stats["device"] >= 1, stats
+    for o, suffix in zip(oracle_outs, ("", ".alt", ".all")):
+        got = (tmp_path / f"big.aln{suffix}.paf").read_bytes()
+        assert got == o.read_bytes(), f"big.aln{suffix}.paf differs"
