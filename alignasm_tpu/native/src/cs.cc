@@ -12,9 +12,18 @@ static bool alpha(char c) {
 }
 
 CsOps parse_cs(std::string_view cs) {
+    CsOps ops;
+    parse_cs_into(cs, ops);
+    return ops;
+}
+
+void parse_cs_into(std::string_view cs, CsOps &ops) {
     if (cs.substr(0, 5) != "cs:Z:")
         throw std::runtime_error("record lacks a short-form cs:Z tag");
-    CsOps ops;
+    ops.op.clear();
+    ops.len.clear();
+    ops.beg.clear();
+    ops.end.clear();
     size_t pos = 5, n = cs.size();
     while (pos < n) {
         size_t beg = pos;
@@ -43,7 +52,6 @@ CsOps parse_cs(std::string_view cs) {
         ops.beg.push_back((i32) beg);
         ops.end.push_back((i32) pos);
     }
-    return ops;
 }
 
 // iterate ops in query orientation (file order reversed for '-' strand)
@@ -57,11 +65,19 @@ static void for_query_oriented(const CsOps &ops, bool fwd, F fn) {
 }
 
 void build_runs(Record &rec) {
-    CsOps ops = parse_cs(rec.cs);
+    // the parse scratch is reused across records per thread — the
+    // per-record CsOps allocations were a measurable share of the
+    // parallel parse pass
+    static thread_local CsOps ops;
+    parse_cs_into(rec.cs, ops);
     i64 step = rec.fwd ? 1 : -1;
     i64 ri = rec.ref_str, qi = rec.qry_str;
     rec.qry_runs.clear();
     rec.ref_runs.clear();
+    size_t n_match = 0;
+    for (char t : ops.op) n_match += t == ':';
+    rec.qry_runs.reserve(n_match);
+    rec.ref_runs.reserve(n_match);
     for_query_oriented(ops, rec.fwd, [&](char t, i64 len, i64) {
         if (t == ':') {
             rec.ref_runs.emplace_back(ri, ri + (len - 1) * step);

@@ -19,6 +19,8 @@ struct CsOps {
 
 // throws std::runtime_error on malformed tags (reference throws too)
 CsOps parse_cs(std::string_view cs);
+// same, reusing the caller's CsOps capacity (hot parse path)
+void parse_cs_into(std::string_view cs, CsOps &ops);
 
 // fills rec.qry_runs / rec.ref_runs and validates consumption against
 // the record's (closed, strand-swapped) coordinates

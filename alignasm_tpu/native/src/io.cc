@@ -65,9 +65,9 @@ Record parse_record(const std::vector<std::string_view> &f, Dataset &ds,
     r.ref_str = to_i64(f[7]);
     r.ref_end = to_i64(f[8]) - 1;
     if (r.ref_str > r.ref_end) throw std::runtime_error("ref start > end");
-    std::string ref_chr(f[5]);
-    auto it = ds.chr_ids.find(ref_chr);
+    auto it = ds.chr_ids.find(f[5]);  // heterogeneous: no key alloc
     if (it == ds.chr_ids.end()) {
+        std::string ref_chr(f[5]);
         it = ds.chr_ids.emplace(ref_chr, (i32) ds.chr_names.size()).first;
         ds.chr_names.push_back(ref_chr);
     }
@@ -103,26 +103,41 @@ Dataset read_paf(const std::string &path, int threads) {
     ds.buffer = slurp(path);
 
     // pass 1 (serial): line spans + chromosome interning in
-    // first-appearance order (ids must match the reference's)
+    // first-appearance order (ids must match the reference's); also
+    // capture each line's query-name span so pass 3 need not rescan.
+    // Names repeat run-length-wise (rows are grouped by contig, refs
+    // cluster by chromosome), so a last-seen cache skips nearly every
+    // hash lookup, and the heterogeneous map skips the key alloc on
+    // the rest.
     std::vector<std::string_view> lines;
     for_lines(ds.buffer, [&](std::string_view line) { lines.push_back(line); });
     if (lines.empty()) throw std::runtime_error("empty PAF input");
+    std::vector<std::string_view> qry_names(lines.size());
     {
-        std::vector<std::string_view> f;
-        for (auto line : lines) {
+        std::string_view last_chr;
+        for (size_t i = 0; i < lines.size(); i++) {
+            std::string_view line = lines[i];
+            size_t q_end = line.find('\t');
+            if (q_end == std::string_view::npos)
+                throw std::runtime_error("short PAF row");
+            qry_names[i] = line.substr(0, q_end);
             // scan to field 5 (ref chr) cheaply
-            size_t pos = 0;
-            for (int k = 0; k < 5; k++) {
+            size_t pos = q_end + 1;
+            for (int k = 0; k < 4; k++) {
                 pos = line.find('\t', pos);
                 if (pos == std::string_view::npos)
                     throw std::runtime_error("short PAF row");
                 pos++;
             }
             size_t end = line.find('\t', pos);
-            std::string name(line.substr(pos, end - pos));
-            if (!ds.chr_ids.count(name)) {
-                ds.chr_ids.emplace(name, (i32) ds.chr_names.size());
-                ds.chr_names.push_back(name);
+            std::string_view name = line.substr(pos, end - pos);
+            if (name != last_chr) {
+                last_chr = name;
+                if (!ds.chr_ids.count(name)) {
+                    ds.chr_ids.emplace(std::string(name),
+                                       (i32) ds.chr_names.size());
+                    ds.chr_names.emplace_back(name);
+                }
             }
         }
     }
@@ -161,29 +176,33 @@ Dataset read_paf(const std::string &path, int threads) {
             if (!msg.empty()) throw std::runtime_error(msg);
     }
 
-    // pass 3 (serial): group into contigs on query-name change
-    std::vector<std::string_view> f;
-    std::string cur_name;
-    bool have = false;
+    // pass 3 (serial): group into contigs on query-name change; the
+    // name spans were captured in pass 1, the map entry (reference
+    // semantics: last same-named group wins) is written once per group
+    std::string_view cur_name = qry_names[0];
     i32 paf_index = 0;
     std::vector<Record> cur;
+    auto open_group = [&](std::string_view name) {
+        auto it = ds.paf_map.find(name);
+        if (it != ds.paf_map.end()) it->second = paf_index;
+        else ds.paf_map.emplace(std::string(name), paf_index);
+    };
+    open_group(cur_name);
     for (size_t i = 0; i < lines.size(); i++) {
-        size_t tab = lines[i].find('\t');
-        std::string qry(lines[i].substr(0, tab));
-        if (!have) { cur_name = qry; have = true; }
+        std::string_view qry = qry_names[i];
         if (qry != cur_name) {
             ds.contigs.push_back(std::move(cur));
-            ds.ctg_names.push_back(cur_name);
+            ds.ctg_names.emplace_back(cur_name);
             cur = {};
             cur_name = qry;
             paf_index++;
+            open_group(cur_name);
         }
-        ds.paf_map[qry] = paf_index;
         recs[i].ctg_index = (i32) cur.size();
         cur.push_back(std::move(recs[i]));
     }
     ds.contigs.push_back(std::move(cur));
-    ds.ctg_names.push_back(cur_name);
+    ds.ctg_names.emplace_back(cur_name);
     return ds;
 }
 

@@ -4,11 +4,30 @@
 #pragma once
 
 #include <string>
+#include <string_view>
 #include <unordered_map>
 
 #include "types.h"
 
 namespace aln {
+
+// heterogeneous string_view lookup: the parse loops run one lookup per
+// line, and materializing a std::string key per line was the dominant
+// serial cost of read_paf
+struct SvHash {
+    using is_transparent = void;
+    size_t operator()(std::string_view s) const {
+        return std::hash<std::string_view>{}(s);
+    }
+};
+struct SvEq {
+    using is_transparent = void;
+    bool operator()(std::string_view a, std::string_view b) const {
+        return a == b;
+    }
+};
+template <typename V>
+using StrMap = std::unordered_map<std::string, V, SvHash, SvEq>;
 
 struct Dataset {
     std::string buffer;       // whole main PAF file (records view into it)
@@ -16,8 +35,8 @@ struct Dataset {
     std::vector<std::vector<Record>> contigs;
     std::vector<std::string> ctg_names;
     std::vector<std::string> chr_names;               // id -> name
-    std::unordered_map<std::string, i32> chr_ids;     // name -> id
-    std::unordered_map<std::string, i32> paf_map;     // qry name -> contig
+    StrMap<i32> chr_ids;                              // name -> id
+    StrMap<i32> paf_map;                              // qry name -> contig
 };
 
 Dataset read_paf(const std::string &path, int threads = 1);
