@@ -87,6 +87,10 @@ def bench_end_to_end(n_contigs: int, seed: int = 2024, reps: int = 5):
     # in write() against a 0.19 s tmpfs write)
     shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
     work = pathlib.Path(tempfile.mkdtemp(prefix="alignasm_devbench_", dir=shm))
+    import atexit
+    import shutil
+
+    atexit.register(shutil.rmtree, work, True)  # tmpfs pins RAM, not disk
     paf = work / "bench_tpu.paf"
     paf.write_text(generate_paf(n_contigs=n_contigs, seed=seed,
                                 max_records_per_contig=24))

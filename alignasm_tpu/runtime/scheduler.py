@@ -472,27 +472,38 @@ def _solve_tpu_native(dataset, cfg: AlignasmConfig, src_paths, write_prefix):
         # (a clamped d_a == clamped floor_a would skip a real alt scan).
         max_v = min(cfg.dense_max_v, 5461)
         eligible = built & (n_v <= max_v) & (bound < 2**27)
+        idx_all = np.where(eligible)[0]
+        stats["pack_s"] = round(time.perf_counter() - t_start, 4)
 
-        # 512 GB-class contigs: solve through the edge-sharded graph
-        # axis (parallel/mesh.py) on the device mesh and inject the
-        # rows into the exporter — the rest of the dataset keeps the
-        # native plane (a dataset-wide degrade to the Python plane here
-        # cost 30x on every OTHER contig).  Needs the parsed Python
-        # records; without them (resume chunks, devbench timed reps)
-        # the sparse-table native solve covers the contig instead.
+        # 512 GB-class contigs (over BOTH device-record and shard
+        # thresholds): solve through the edge-sharded graph axis
+        # (parallel/mesh.py) on the device mesh and inject the rows
+        # into the exporter — the rest of the dataset keeps the native
+        # plane (a dataset-wide degrade to the Python plane here cost
+        # 30x on every OTHER contig).  Needs the parsed Python records;
+        # without them (resume chunks, devbench timed reps) the
+        # sparse-table native solve covers the contig instead.  Like
+        # every other device interaction, a failure degrades to the
+        # native solve (store_rows never ran, so solve_remaining covers
+        # the contig) instead of sinking the run.
         import jax
 
         if dataset is not None and jax.device_count() > 1:
-            from alignasm_tpu.parallel.mesh import solve_contig_sharded
+            big = np.where((n_rec > cfg.max_device_records)
+                           & (n_rec >= cfg.graph_shard_min_records))[0]
+            if len(big):
+                from alignasm_tpu.parallel.mesh import solve_contig_sharded
 
-            for i in np.where(n_rec >= cfg.graph_shard_min_records)[0]:
-                o, a, m = solve_contig_sharded(dataset.contigs[i], cfg)
-                exporter.store_rows(int(i), o, a, m)
-                eligible[i] = False
-                stats["graph_sharded"] = stats.get("graph_sharded", 0) + 1
-
-        idx_all = np.where(eligible)[0]
-        stats["pack_s"] = round(time.perf_counter() - t_start, 4)
+                t0 = time.perf_counter()
+                for i in big:
+                    try:
+                        o, a, m = solve_contig_sharded(dataset.contigs[i], cfg)
+                        exporter.store_rows(int(i), o, a, m)
+                    except Exception as exc:
+                        stats["device_error"] = f"shard: {exc!r}"[:500]
+                        break  # device plane is sick; native covers the rest
+                    stats["graph_sharded"] = stats.get("graph_sharded", 0) + 1
+                stats["shard_s"] = round(time.perf_counter() - t0, 4)
 
         # bucket by padded V; cap the per-bucket dense footprint and pad
         # B to pow2 so compiled shapes stay bounded

@@ -47,6 +47,10 @@ def main() -> None:
     # the comparison stays fair either way
     shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
     work = pathlib.Path(tempfile.mkdtemp(prefix="alignasm_bench_", dir=shm))
+    import atexit
+    import shutil
+
+    atexit.register(shutil.rmtree, work, True)  # tmpfs pins RAM, not disk
     paf = work / "bench.paf"
     paf.write_text(generate_paf(n_contigs=N_CONTIGS, seed=SEED,
                                 max_records_per_contig=24))

@@ -344,7 +344,10 @@ def test_int16_bucket_path_byte_identical(tmp_path, oracle_bin):
     p = tmp_path / "big.paf"
     p.write_text(txt)
 
-    oracle_outs = run_oracle(oracle_bin, p, tmp_path)
+    # capture the oracle bytes BEFORE the engine run: the engine writes
+    # to the same prefix, so comparing paths afterwards would compare
+    # the engine output with itself
+    gold = [o.read_bytes() for o in run_oracle(oracle_bin, p, tmp_path)]
 
     ds = read_paf(p)
     cfg = dataclasses.replace(DEFAULT_CONFIG, dense_max_v=1024)
@@ -353,6 +356,6 @@ def test_int16_bucket_path_byte_identical(tmp_path, oracle_bin):
     stats = solve_dataset_tpu.last_stats
     assert any(v > 256 for v in stats.get("bucket_vs", [])), stats
     assert stats["device"] >= 1, stats
-    for o, suffix in zip(oracle_outs, ("", ".alt", ".all")):
+    for g, suffix in zip(gold, ("", ".alt", ".all")):
         got = (tmp_path / f"big.aln{suffix}.paf").read_bytes()
-        assert got == o.read_bytes(), f"big.aln{suffix}.paf differs"
+        assert got == g, f"big.aln{suffix}.paf differs"
