@@ -265,8 +265,15 @@ def dense_solve_batch(ws, wa, dest, n_sweeps):
 
 
 def _solve_one(ws, wa, edge, dest, V, n_sweeps):
+    # dest-anchored init vectors via iota compare, not .at[].set: the
+    # scatter that a dynamic-index set lowers to has no Mosaic rule, and
+    # the select compiles identically on the XLA path (2D iota + squeeze
+    # per the TPU 1D-iota restriction)
+    vidx = jax.lax.broadcasted_iota(jnp.int32, (V, 1), 0)[:, 0]
+    on_dest = vidx == dest
     # --- (sum, anom) lexicographic min to dest -------------------
-    s0 = jnp.full((V,), INF32, jnp.int32).at[dest].set(0)
+    s0 = jnp.where(on_dest, jnp.zeros((V,), jnp.int32),
+                   jnp.full((V,), INF32, jnp.int32))
     a0 = jnp.zeros((V,), jnp.int32)
 
     def sweep(_, st):
@@ -292,8 +299,10 @@ def _solve_one(ws, wa, edge, dest, V, n_sweeps):
     fa = jax.lax.fori_loop(0, n_sweeps, fsweep, s0)
 
     # --- walk counts (saturating adjacency powers) ---------------
-    base = jnp.zeros((V,), jnp.int32).at[dest].set(1)
-    adj = edge.astype(jnp.int32)
+    base = jnp.where(on_dest, jnp.full((V,), 1, jnp.int32),
+                     jnp.zeros((V,), jnp.int32))
+    adj = jnp.where(edge, jnp.full((V, V), 1, jnp.int32),
+                    jnp.zeros((V, V), jnp.int32))
 
     def csweep(_, c):
         return jnp.minimum(
@@ -323,48 +332,66 @@ def _solve_one(ws, wa, edge, dest, V, n_sweeps):
 def solve_slab(arr, V, n_sweeps):
     """The per-contig production math on one densified (V+1, V) slab —
     shared verbatim by the XLA path (dense_solve_wire) and the Pallas
-    kernel below, so both compile identical arithmetic."""
+    kernel below, so both compile identical arithmetic.
+
+    dest/src are read through static slices, not integer indices: an
+    integer index embeds an int64 literal in the gather, and this jax
+    build's Mosaic lowering loops forever on int64->int32 converts
+    (ops/pallas_topo.py found the same bug)."""
     wsa = arr[:V]
-    dest = arr[V, 0]
-    src = arr[V, 1]
+    dest = jnp.reshape(arr[V : V + 1, 0:1], ())
+    src = jnp.reshape(arr[V : V + 1, 1:2], ())
     edge = wsa != INF32
     ws = wsa & jnp.int32((1 << ANOM_SHIFT) - 1)
     wa = jax.lax.shift_right_logical(wsa, jnp.int32(ANOM_SHIFT))
     out5 = _solve_one(ws, wa, edge, dest, V, n_sweeps)
+    # masked-sum pick instead of vec[src]: a dynamic scalar gather has
+    # no Mosaic lowering under the Pallas twin's in-kernel vmap
+    vidx = jax.lax.broadcasted_iota(jnp.int32, (V, 1), 0)[:, 0]
+    at_src = vidx == src
+    pick = lambda v: jnp.sum(jnp.where(at_src, v, 0), dtype=jnp.int32)
     return jnp.concatenate([
         out5[0], out5[1],
-        jnp.stack([out5[2][src], out5[3][src], out5[4][src], src]),
+        jnp.stack([pick(out5[2]), pick(out5[3]), pick(out5[4]), src]),
     ])
 
 
 @functools.partial(jax.jit, static_argnames=("n_sweeps", "interpret"))
 def dense_solve_slabs_pallas(packed, n_sweeps, interpret=False):
-    """Pallas twin of the production solve: one grid step per contig,
-    the (V+1, V) slab resident in VMEM across the whole sweep loop with
-    the compare cascade fused — the speed-of-light shape for this op
-    (the XLA path re-reads intermediates between the ~8 elementwise
-    passes of each sweep; see BENCH_RESULTS.md roofline).  Takes the
-    already-densified slabs (the wire scatter stays an XLA op).
-
-    Mosaic compilation is blocked in this container (BENCH_RESULTS.md
-    "Known infra limits"), so this kernel is validated in interpret
-    mode against dense_solve_wire and the XLA twin serves the hardware.
-    """
+    """Pallas twin of the legacy sweep solve: a grid step holds G slabs
+    resident in VMEM across the whole sweep loop with the compare
+    cascade fused (the XLA path re-reads intermediates between the ~8
+    elementwise passes of each sweep; see BENCH_RESULTS.md roofline).
+    Takes the already-densified slabs (the wire scatter stays an XLA
+    op).  Compiles and runs on hardware since round 2 (the 'Mosaic
+    blocked' symptoms were two jax lowering bugs with known workarounds
+    — int64 index literals and i64 index-map literals, see
+    ops/pallas_topo.py); B must be a multiple of 8."""
     from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
 
     B, V1, V = packed.shape
+    G = 8
+    padB = ((B + G - 1) // G) * G
+    if padB != B:  # grid blocks are G slabs; replicate the last slab
+        packed = jnp.concatenate(
+            [packed, jnp.repeat(packed[-1:], padB - B, 0)])
 
     def kernel(arr_ref, out_ref):
-        out_ref[0] = solve_slab(arr_ref[0], V, n_sweeps)
+        out_ref[:, :] = jax.vmap(
+            lambda a: solve_slab(a, V, n_sweeps))(arr_ref[:, :, :])
 
-    return pl.pallas_call(
+    rows = pl.pallas_call(
         kernel,
-        grid=(B,),
-        in_specs=[pl.BlockSpec((1, V + 1, V), lambda b: (b, 0, 0))],
-        out_specs=pl.BlockSpec((1, 2 * V + 4), lambda b: (b, 0)),
-        out_shape=jax.ShapeDtypeStruct((B, 2 * V + 4), jnp.int32),
+        grid=(padB // G,),
+        in_specs=[pl.BlockSpec((G, V + 1, V), lambda b: (b, b * 0, b * 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((G, 2 * V + 4), lambda b: (b, b * 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((padB, 2 * V + 4), jnp.int32),
         interpret=interpret,
     )(packed)
+    return rows[:B]
 
 
 def unpack_dense(stacked_row):

@@ -233,6 +233,27 @@ def bench_kernels(B=256, V=64, E=256, n_sweeps=32, seed=0):
         topo["marginal_s_per_contig"] = round(marg, 9)
         topo["marginal_contigs_per_s"] = round(1.0 / marg, 1)
     topo.update(mfields)
+
+    # chained-launch timing: queue N launches back to back and sync
+    # once, so the ~26 ms dispatch RTT amortizes across the chain — a
+    # far tighter compute measurement than size-differencing on this
+    # jittery tunnel (it resolved 1.19 us/contig against a day when the
+    # differenced marginal carried a 40 ms noise floor)
+    B_ch = 8 * B
+    wire_ch = jax.device_put(np.repeat(wire, 8, axis=0))
+    jax.block_until_ready(dense_solve_wire_topo_nxt8(wire_ch, V=V))
+    n_chain = 30
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        outs = [dense_solve_wire_topo_nxt8(wire_ch, V=V)
+                for _ in range(n_chain)]
+        jax.block_until_ready(outs)
+        best = min(best, (time.perf_counter() - t0) / n_chain)
+    topo["chained_s_per_launch"] = round(best, 6)
+    topo["chained_s_per_contig"] = round(best / B_ch, 9)
+    topo["chained_contigs_per_s"] = round(B_ch / best, 1)
+    topo["chained_B"] = B_ch
     topo.update(B=B, V=V, wire_bytes=int(wire.nbytes))
 
     dense = _bench_one(
