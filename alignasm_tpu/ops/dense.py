@@ -363,10 +363,13 @@ def dense_solve_slabs_pallas(packed, n_sweeps, interpret=False):
     cascade fused (the XLA path re-reads intermediates between the ~8
     elementwise passes of each sweep; see BENCH_RESULTS.md roofline).
     Takes the already-densified slabs (the wire scatter stays an XLA
-    op).  Compiles and runs on hardware since round 2 (the 'Mosaic
-    blocked' symptoms were two jax lowering bugs with known workarounds
-    — int64 index literals and i64 index-map literals, see
-    ops/pallas_topo.py); B must be a multiple of 8."""
+    op).  Any B (padded internally by replicating the last slab).
+    Block specs and init/pick forms are hardware-legal since round 2
+    (the 'Mosaic blocked' symptoms were two jax lowering bugs with
+    known workarounds — int64 index literals and i64 index-map
+    literals, see ops/pallas_topo.py), but a further lowering bug still
+    trips compilation of THIS kernel, so it remains interpret-validated
+    while ops/pallas_topo.py carries the compiled-on-chip claim."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 

@@ -14,10 +14,15 @@ successor extraction, and on-device order-insensitivity gate; see
 ops/dense.py for the reference-semantics citations).  The output row
 contract matches dense_solve_wire_topo_nxt8: (B, V + 2) uint8
 [nxt (dest-encoded), fast, src] — bit-equality is enforced by
-tests/test_pallas_topo.py and the on-chip fuzz campaign.
+tests/test_pallas_topo.py (interpret mode in CI; compiled on the real
+chip in the round-2 hardware validation, bit-equal at B=2048, V=64).
 
-Used by the scheduler for single-device TPU buckets with V <= 256;
-every failure (or a non-TPU backend) falls back to the XLA twin.
+NOT wired into the scheduler: chained-launch timing measured the XLA
+scan FASTER at production shapes (1.19 vs 2.23 us/contig — XLA fuses
+this op's tiny sequential steps better than the hand-written VMEM
+kernel), so this module guards the compiled-Pallas capability claim
+rather than the production throughput.  See BENCH_RESULTS.md
+"Mosaic/Pallas status".
 """
 
 from __future__ import annotations
@@ -43,7 +48,6 @@ def _scan_kernel(arr_ref, out_ref, *, V: int, OW: int):
     zs = jnp.zeros((G, V), jnp.int32)
     infs = zs + INF32
     ones = zs + jnp.int32(1)
-    sat = zs + COUNT_SAT
     zc = jnp.zeros((G, 1), jnp.int32)
     vvec = zs + jnp.int32(V)
 
@@ -121,16 +125,23 @@ def pl_ds(u):
 @functools.partial(jax.jit, static_argnames=("V", "interpret"))
 def dense_solve_wire_topo_nxt8_pallas(wire, V, interpret=False):
     """Pallas twin of dense_solve_wire_topo_nxt8: same sparse wire in,
-    same (B, V + 2) uint8 rows out.  B must be a multiple of 8 (the
-    scheduler's pow2 padding guarantees it)."""
+    same (B, V + 2) uint8 rows out.  Any B (padded internally by
+    replicating the last contig's wire, like dense_solve_slabs_pallas)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     assert V <= 256, "uint8 nxt entries require V <= 256"
     packed = _densify_wire(wire, V)
     B = packed.shape[0]
-    G = 64 if B % 64 == 0 else 8
-    assert B % G == 0, f"batch {B} not divisible by {G}"
+    # block size: ~1 MB of slab VMEM per grid step (the hardware-
+    # validated budget at the production shape G=64, V=64), capped at
+    # 64 and floored at 8 — V=256 slabs get G=8 (~2 MB), not G=64
+    slab_bytes = (V + 1) * V * 4
+    G = max(8, min(64, ((1 << 20) // slab_bytes) // 8 * 8))
+    padB = ((B + G - 1) // G) * G
+    if padB != B:
+        packed = jnp.concatenate(
+            [packed, jnp.repeat(packed[-1:], padB - B, 0)])
     OW = max(128, ((V + 2 + 127) // 128) * 128)
 
     # index maps derive their zero block-coords from the (int32)
@@ -138,12 +149,12 @@ def dense_solve_wire_topo_nxt8_pallas(wire, V, interpret=False):
     # Mosaic fails to legalize the index-map function's return
     rows = pl.pallas_call(
         functools.partial(_scan_kernel, V=V, OW=OW),
-        grid=(B // G,),
+        grid=(padB // G,),
         in_specs=[pl.BlockSpec((G, V + 1, V), lambda b: (b, b * 0, b * 0),
                                memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((G, OW), lambda b: (b, b * 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, OW), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((padB, OW), jnp.int32),
         interpret=interpret,
     )(packed)
-    return rows[:, : V + 2].astype(jnp.uint8)
+    return rows[:B, : V + 2].astype(jnp.uint8)
