@@ -359,3 +359,48 @@ def test_int16_bucket_path_byte_identical(tmp_path, oracle_bin):
     for g, suffix in zip(gold, ("", ".alt", ".all")):
         got = (tmp_path / f"big.aln{suffix}.paf").read_bytes()
         assert got == g, f"big.aln{suffix}.paf differs"
+
+
+def test_graph_shard_failure_degrades_to_native(tmp_path, oracle_bin,
+                                                monkeypatch):
+    """A failure inside the edge-sharded mesh solve must degrade to the
+    native solve for the affected contig (store_rows never ran, so
+    solve_remaining covers it) with the reason recorded — never sink
+    the run.  Outputs stay byte-identical to the oracle."""
+    import dataclasses
+    import pathlib
+
+    from alignasm_tpu.io.paf import read_paf
+    from alignasm_tpu.parallel import mesh
+    from alignasm_tpu.runtime import scheduler
+    from tests.conftest import run_oracle
+
+    p = tmp_path / "shardfail.paf"
+    small = generate_paf(n_contigs=4, seed=11, max_records_per_contig=12)
+    big = generate_paf(n_contigs=1, seed=6, max_records_per_contig=60,
+                       mean_segment=250)
+    big = "\n".join(
+        "\t".join(["bigctg"] + line.split("\t")[1:])
+        for line in big.splitlines() if line
+    ) + "\n"
+    p.write_text(small + big)
+    gold = [o.read_bytes() for o in run_oracle(oracle_bin, p, tmp_path)]
+
+    def boom(*a, **k):
+        raise RuntimeError("simulated mesh failure")
+
+    monkeypatch.setattr(mesh, "solve_contig_sharded", boom)
+    ds = read_paf(p)
+    n_big = max(len(c) for c in ds.contigs)
+    cfg = dataclasses.replace(DEFAULT_CONFIG,
+                              max_device_records=max(16, n_big - 1),
+                              graph_shard_min_records=min(n_big, 48))
+    scheduler.solve_dataset_tpu(ds, cfg, src_paths=(str(p), None),
+                                write_prefix=str(p)[:-4])
+    stats = scheduler.solve_dataset_tpu.last_stats
+    assert "simulated mesh failure" in stats.get("device_error", ""), stats
+    assert stats.get("graph_sharded", 0) == 0, stats
+    assert stats["native_direct"] >= 1, stats  # big contig solved natively
+    for g, suffix in zip(gold, ("", ".alt", ".all")):
+        got = pathlib.Path(str(p)[:-4] + f".aln{suffix}.paf")
+        assert g == got.read_bytes(), f"aln{suffix}"
