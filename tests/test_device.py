@@ -395,8 +395,12 @@ def test_graph_shard_failure_degrades_to_native(tmp_path, oracle_bin,
     cfg = dataclasses.replace(DEFAULT_CONFIG,
                               max_device_records=max(16, n_big - 1),
                               graph_shard_min_records=min(n_big, 48))
-    scheduler.solve_dataset_tpu(ds, cfg, src_paths=(str(p), None),
-                                write_prefix=str(p)[:-4])
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", RuntimeWarning)  # degrade notice
+        scheduler.solve_dataset_tpu(ds, cfg, src_paths=(str(p), None),
+                                    write_prefix=str(p)[:-4])
     stats = scheduler.solve_dataset_tpu.last_stats
     assert "simulated mesh failure" in stats.get("device_error", ""), stats
     assert stats.get("graph_sharded", 0) == 0, stats
