@@ -56,28 +56,45 @@ def main() -> None:
                                 max_records_per_contig=24))
     ncpu = os.cpu_count() or 1
 
-    reps = int(os.environ.get("BENCH_REPS", "3"))
+    reps = int(os.environ.get("BENCH_REPS", "5"))
 
-    def best_of(fn):
-        best = float("inf")
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            fn()
-            best = min(best, time.perf_counter() - t0)
-        return best
-
-    # --- reference baseline (all cores) --------------------------------
+    # --- reference vs native, INTERLEAVED ------------------------------
+    # the shared VM has minutes-long CPU-steal windows; running all
+    # reference reps then all native reps lets a window hit one side
+    # only and skew the ratio (one driver run recorded 2.6x against a
+    # steady-state ~5-7x).  Each rep times both back to back, so the
+    # within-rep ratio is window-consistent; the reported ratio is the
+    # median of the per-rep ratios and the throughputs are best-of.
     fast = ensure_fast_bin()
-    ref_elapsed = best_of(lambda: subprocess.run(
-        [str(fast), str(paf), "-t", str(ncpu)], check=True, capture_output=True))
-    ref_cps = N_CONTIGS / ref_elapsed
-    ref_main = (work / "bench.aln.paf").read_bytes()
-
-    # --- native engine (same cores) ------------------------------------
     native.build()
-    native_elapsed = best_of(lambda: native.run(str(paf), threads=ncpu))
-    native_cps = N_CONTIGS / native_elapsed
+
+    def time_one(fn):
+        t0 = time.perf_counter()
+        fn()
+        return time.perf_counter() - t0
+
+    run_ref = lambda: subprocess.run(
+        [str(fast), str(paf), "-t", str(ncpu)], check=True,
+        capture_output=True)
+    run_native = lambda: native.run(str(paf), threads=ncpu)
+
+    run_ref()  # warm (page cache, binary load)
+    ref_main = (work / "bench.aln.paf").read_bytes()
+    run_native()
     identical = ref_main == (work / "bench.aln.paf").read_bytes()
+
+    ratios = []
+    ref_elapsed = native_elapsed = float("inf")
+    for _ in range(reps):
+        r = time_one(run_ref)
+        n = time_one(run_native)
+        ratios.append(r / n)
+        ref_elapsed = min(ref_elapsed, r)
+        native_elapsed = min(native_elapsed, n)
+    ratios.sort()
+    ratio = ratios[len(ratios) // 2]
+    ref_cps = N_CONTIGS / ref_elapsed
+    native_cps = N_CONTIGS / native_elapsed
 
     # --- batched TPU engine + kernel roofline (subprocess) --------------
     # the device section runs in its OWN process (runtime/devbench.py):
@@ -121,7 +138,8 @@ def main() -> None:
         "metric": "contigs_per_s",
         "value": round(native_cps, 2),
         "unit": "contigs/s",
-        "vs_baseline": round(native_cps / ref_cps, 4),
+        "vs_baseline": round(ratio, 4),
+        "vs_baseline_best_of": round(native_cps / ref_cps, 4),
         "baseline_contigs_per_s": round(ref_cps, 2),
         "records_per_s": round(n_records / native_elapsed, 2),
         "output_identical": identical,
