@@ -9,6 +9,7 @@
 // (u -> v), rank = kahn_pos_of_v_in_rev_topo << 26 | index_within_
 // rev_adjacency, unique per edge.
 #include <atomic>
+#include <malloc.h>
 #include <cstring>
 #include <deque>
 #include <functional>
@@ -125,6 +126,18 @@ void *aln_open2(const char *paf_path, const char *alt_path, double alt_baseline,
                 int non_skip_linkable, int threads, long long max_records,
                 char *err, int errlen, const AlnScoring *scoring) {
     try {
+        // keep freed parse/graph memory mapped instead of munmapping it
+        // back to the OS: in processes holding the TPU tunnel, fresh
+        // pages fault through its tracking layer at ~9 MB/s, so a
+        // repeated open (bench reps, resume chunks) re-faulting its
+        // ~300 MB working set cost 8+ s of pack time that page reuse
+        // reduces to ~0.7 s.  Scoped here (not the plain CLI path,
+        // which has no tunnel in-process).
+        static std::once_flag tuned;
+        std::call_once(tuned, [] {
+            mallopt(M_MMAP_THRESHOLD, 1 << 30);
+            mallopt(M_TRIM_THRESHOLD, 1 << 30);
+        });
         auto ctx = std::make_unique<ExportCtx>();
         ctx->cfg.alt_baseline = alt_baseline;
         ctx->cfg.non_skip_linkable = non_skip_linkable != 0;

@@ -312,11 +312,28 @@ void flush_file(const std::string &path, const std::string &content) {
     o.write(content.data(), (std::streamsize) content.size());
 }
 
+// stream many part strings to the file WITHOUT concatenating them into
+// one giant buffer first: this process's large fresh allocations fault
+// through the TPU tunnel's page-tracking layer at ~9 MB/s (a 109 MB
+// concat measured 12 s against a 0.05 s plain memcpy), so never
+// materialize the total
+void flush_parts(const std::string &path,
+                 const std::vector<std::string> &parts) {
+    std::ofstream o(path, std::ios::binary);
+    if (!o) throw std::runtime_error("cannot write " + path);
+    for (const auto &p : parts)
+        if (!p.empty()) o.write(p.data(), (std::streamsize) p.size());
+}
+
 }  // namespace
 
 void write_rows(const Dataset &ds, const std::vector<std::vector<OutRow>> &rows,
                 const std::string &path, int threads) {
-    int nt = std::max(1, threads);
+    // threads == 0 means "auto", like run_pool: the exporter's
+    // write_results passed 0 and silently formatted ~800k rows on ONE
+    // thread (a 50k-contig corpus spent 10-50 s here vs 0.5 s threaded)
+    int nt = threads > 0 ? threads
+                         : (int) std::thread::hardware_concurrency();
     if (nt == 1 || rows.size() < 64) {
         std::string out;
         out.reserve(1 << 20);
@@ -341,12 +358,7 @@ void write_rows(const Dataset &ds, const std::vector<std::vector<OutRow>> &rows,
         });
     }
     for (auto &th : pool) th.join();
-    std::string out;
-    size_t total = 0;
-    for (const auto &p : parts) total += p.size();
-    out.reserve(total);
-    for (const auto &p : parts) out += p;
-    flush_file(path, out);
+    flush_parts(path, parts);
 }
 
 void write_max_rows(const Dataset &ds,

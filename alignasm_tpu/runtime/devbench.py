@@ -99,8 +99,9 @@ def bench_end_to_end(n_contigs: int, seed: int = 2024, reps: int = 5):
     # fetch-to-Python-objects API path is a test/debug surface
     paths = (str(paf), None)
     prefix = str(paf)[: -len(".paf")]
-    ds = read_paf(paf)
-    scheduler.solve_dataset_tpu(ds, DEFAULT_CONFIG, src_paths=paths,
+    # dataset=None: the native plane parses the file itself; a Python
+    # read_paf here only slowed the warm pass (minutes at 50k contigs)
+    scheduler.solve_dataset_tpu(None, DEFAULT_CONFIG, src_paths=paths,
                                 write_prefix=prefix)  # warm
     best = float("inf")
     for _ in range(reps):
