@@ -116,6 +116,8 @@ def get_lib():
             ctypes.c_char_p, ctypes.c_int, ctypes.POINTER(ScoringParams),
         ]
         lib.aln_open2.restype = ctypes.c_void_p
+        lib.aln_tune_heap.argtypes = []
+        lib.aln_tune_heap.restype = None
         lib.aln_close.argtypes = [ctypes.c_void_p]
         lib.aln_num_contigs.argtypes = [ctypes.c_void_p]
         lib.aln_num_contigs.restype = ctypes.c_longlong
@@ -193,6 +195,14 @@ def get_lib():
         lib.aln_results_fill_subset.restype = ctypes.c_int
         _lib = lib
     return _lib
+
+
+def tune_heap() -> None:
+    """Raise glibc's mmap/trim thresholds so freed parse/graph memory
+    stays mapped (idempotent).  Call ONLY in processes that hold the
+    TPU tunnel, where fresh pages fault through its tracking layer at
+    ~9 MB/s — see export.cc:aln_tune_heap."""
+    get_lib().aln_tune_heap()
 
 
 class GraphExporter:

@@ -102,7 +102,7 @@ int aln_run_stats2(const char *paf_path, const char *alt_path, double alt_baseli
         }
         aln::write_rows(ds, outs, prefix + ".aln.paf", io_threads);
         aln::write_rows(ds, alts, prefix + ".aln.alt.paf", io_threads);
-        aln::write_max_rows(ds, maxes, prefix + ".aln.all.paf");
+        aln::write_max_rows(ds, maxes, prefix + ".aln.all.paf", io_threads);
         auto t3 = clk::now();
         if (stats) {
             stats->read_s = secs(t0, t1);

@@ -126,18 +126,6 @@ void *aln_open2(const char *paf_path, const char *alt_path, double alt_baseline,
                 int non_skip_linkable, int threads, long long max_records,
                 char *err, int errlen, const AlnScoring *scoring) {
     try {
-        // keep freed parse/graph memory mapped instead of munmapping it
-        // back to the OS: in processes holding the TPU tunnel, fresh
-        // pages fault through its tracking layer at ~9 MB/s, so a
-        // repeated open (bench reps, resume chunks) re-faulting its
-        // ~300 MB working set cost 8+ s of pack time that page reuse
-        // reduces to ~0.7 s.  Scoped here (not the plain CLI path,
-        // which has no tunnel in-process).
-        static std::once_flag tuned;
-        std::call_once(tuned, [] {
-            mallopt(M_MMAP_THRESHOLD, 1 << 30);
-            mallopt(M_TRIM_THRESHOLD, 1 << 30);
-        });
         auto ctx = std::make_unique<ExportCtx>();
         ctx->cfg.alt_baseline = alt_baseline;
         ctx->cfg.non_skip_linkable = non_skip_linkable != 0;
@@ -180,6 +168,23 @@ void *aln_open2(const char *paf_path, const char *alt_path, double alt_baseline,
         set_err(err, errlen, e.what());
         return nullptr;
     }
+}
+
+void aln_tune_heap(void) {
+    // keep freed parse/graph memory mapped instead of munmapping it
+    // back to the OS: in processes holding the TPU tunnel, fresh pages
+    // fault through its tracking layer at ~9 MB/s, so a repeated open
+    // (bench reps, resume chunks) re-faulting its ~300 MB working set
+    // cost 8+ s of pack time that page reuse reduces to ~0.7 s.
+    // Called by the Python scheduler ONLY on the tunnel-holding device
+    // path — multihost ranks and resume runs without a tunnel keep
+    // default trim behavior (retention there would just pin W x peak
+    // RSS per host with nothing to show for it).
+    static std::once_flag tuned;
+    std::call_once(tuned, [] {
+        mallopt(M_MMAP_THRESHOLD, 1 << 30);
+        mallopt(M_TRIM_THRESHOLD, 1 << 30);
+    });
 }
 
 void aln_close(void *h) { delete (ExportCtx *) h; }
@@ -557,7 +562,7 @@ int aln_write_results(void *h, const char *out_prefix, int threads,
         std::string prefix(out_prefix);
         aln::write_rows(ctx.ds, mains, prefix + ".aln.paf", threads);
         aln::write_rows(ctx.ds, alts, prefix + ".aln.alt.paf", threads);
-        aln::write_max_rows(ctx.ds, maxes, prefix + ".aln.all.paf");
+        aln::write_max_rows(ctx.ds, maxes, prefix + ".aln.all.paf", threads);
         return 0;
     } catch (const std::exception &e) {
         set_err(err, errlen, e.what());
@@ -692,7 +697,7 @@ int aln_write_outputs(void *h, const char *out_prefix,
         std::string prefix(out_prefix);
         aln::write_rows(ctx.ds, mains, prefix + ".aln.paf", threads);
         aln::write_rows(ctx.ds, alts, prefix + ".aln.alt.paf", threads);
-        aln::write_max_rows(ctx.ds, maxes, prefix + ".aln.all.paf");
+        aln::write_max_rows(ctx.ds, maxes, prefix + ".aln.all.paf", threads);
         return 0;
     } catch (const std::exception &e) {
         set_err(err, errlen, e.what());

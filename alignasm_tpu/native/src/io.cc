@@ -331,9 +331,11 @@ void write_rows(const Dataset &ds, const std::vector<std::vector<OutRow>> &rows,
                 const std::string &path, int threads) {
     // threads == 0 means "auto", like run_pool: the exporter's
     // write_results passed 0 and silently formatted ~800k rows on ONE
-    // thread (a 50k-contig corpus spent 10-50 s here vs 0.5 s threaded)
-    int nt = threads > 0 ? threads
-                         : (int) std::thread::hardware_concurrency();
+    // thread (a 50k-contig corpus spent 10-50 s here vs 0.5 s threaded).
+    // hardware_concurrency() may itself return 0 — clamp to 1 so the
+    // parallel branch can never spawn zero workers.
+    int nt = std::max(
+        1, threads > 0 ? threads : (int) std::thread::hardware_concurrency());
     if (nt == 1 || rows.size() < 64) {
         std::string out;
         out.reserve(1 << 20);
@@ -363,10 +365,12 @@ void write_rows(const Dataset &ds, const std::vector<std::vector<OutRow>> &rows,
 
 void write_max_rows(const Dataset &ds,
                     const std::vector<std::vector<std::vector<OutRow>>> &rows,
-                    const std::string &path) {
-    std::string out;
-    out.reserve(1 << 20);
-    for (size_t i = 0; i < rows.size(); i++) {
+                    const std::string &path, int threads) {
+    // same shape as write_rows: per-contig parallel formatting (the
+    // ".N" name suffix counts are contig-local) + streamed flush, so
+    // .all-heavy corpora don't reintroduce the serial-format and
+    // giant-concat cliffs fixed there
+    auto fmt_one = [&](std::string &out, size_t i) {
         i32 cnt = 0;
         for (const auto &group : rows[i]) {
             ++cnt;
@@ -374,8 +378,30 @@ void write_max_rows(const Dataset &ds,
             for (const auto &row : group)
                 write_one(out, ds, name, ds.contigs[i], row);
         }
+    };
+    int nt = std::max(
+        1, threads > 0 ? threads : (int) std::thread::hardware_concurrency());
+    if (nt == 1 || rows.size() < 64) {
+        std::string out;
+        out.reserve(1 << 20);
+        for (size_t i = 0; i < rows.size(); i++) fmt_one(out, i);
+        flush_file(path, out);
+        return;
     }
-    flush_file(path, out);
+    std::vector<std::string> parts(rows.size());
+    std::atomic<size_t> next{0};
+    std::vector<std::thread> pool;
+    for (int t = 0; t < nt; t++) {
+        pool.emplace_back([&] {
+            while (true) {
+                size_t i = next.fetch_add(1);
+                if (i >= rows.size()) break;
+                fmt_one(parts[i], i);
+            }
+        });
+    }
+    for (auto &th : pool) th.join();
+    flush_parts(path, parts);
 }
 
 }  // namespace aln

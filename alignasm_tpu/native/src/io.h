@@ -48,6 +48,6 @@ void write_rows(const Dataset &ds, const std::vector<std::vector<OutRow>> &rows,
                 const std::string &path, int threads = 1);
 void write_max_rows(const Dataset &ds,
                     const std::vector<std::vector<std::vector<OutRow>>> &rows,
-                    const std::string &path);
+                    const std::string &path, int threads = 1);
 
 }  // namespace aln

@@ -73,7 +73,6 @@ def bench_end_to_end(n_contigs: int, seed: int = 2024, reps: int = 5):
     import numpy as np
 
     from alignasm_tpu.config import DEFAULT_CONFIG
-    from alignasm_tpu.io.paf import read_paf
     from alignasm_tpu.runtime import scheduler
     from alignasm_tpu.testing.synth import generate_paf
 

@@ -444,6 +444,10 @@ def _solve_tpu_native(dataset, cfg: AlignasmConfig, src_paths, write_prefix):
     from alignasm_tpu import native
 
     t_start = time.perf_counter()
+    # this process holds (or will hold) the TPU tunnel: keep freed
+    # parse/graph pages mapped so repeated opens don't re-fault the
+    # working set through the tunnel's ~9 MB/s page-tracking layer
+    native.tune_heap()
     stats = {"device": 0, "fallback": 0, "singleton": 0, "oversize": 0,
              "host_plane": "native", "dense_buckets": 0, "native_direct": 0}
     exporter = native.GraphExporter(

@@ -91,8 +91,9 @@ def main() -> None:
         ratios.append(r / n)
         ref_elapsed = min(ref_elapsed, r)
         native_elapsed = min(native_elapsed, n)
-    ratios.sort()
-    ratio = ratios[len(ratios) // 2]
+    import statistics
+
+    ratio = statistics.median(ratios)
     ref_cps = N_CONTIGS / ref_elapsed
     native_cps = N_CONTIGS / native_elapsed
 
