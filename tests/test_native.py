@@ -87,3 +87,27 @@ def test_native_custom_scoring_matches_exact(tmp_path):
         write_outputs(ds, rows, buf, name_suffix_counts=maxmode)
         got = pathlib.Path(str(paf)[:-4] + f".aln{suffix}.paf").read_text()
         assert buf.getvalue() == got, f"aln{suffix}"
+
+
+def test_parallel_writer_branches_byte_identical(tmp_path, oracle_bin):
+    """The threaded writer paths (write_rows / write_max_rows switch to
+    per-contig parallel formatting at >= 64 contigs) must serialize
+    byte-identically to the oracle — every other oracle-byte test in CI
+    uses < 64 contigs and only exercises the serial branch.  The hard
+    generator populates .aln.all.paf groups, covering the .N-suffix
+    parallel path too."""
+    import pathlib
+
+    from alignasm_tpu import native
+    from tests.conftest import run_oracle
+
+    paf = tmp_path / "wide.paf"
+    paf.write_text(generate_hard_paf(n_contigs=100, seed=17))
+    gold = [o.read_bytes() for o in run_oracle(oracle_bin, paf, tmp_path)]
+
+    eng = tmp_path / "eng.paf"
+    eng.write_bytes(paf.read_bytes())
+    native.run(str(eng), threads=4)
+    for g, suffix in zip(gold, ("", ".alt", ".all")):
+        got = pathlib.Path(str(eng)[:-4] + f".aln{suffix}.paf").read_bytes()
+        assert g == got, f"aln{suffix} differs (parallel writer branch)"
