@@ -96,18 +96,13 @@ def test_parallel_writer_branches_byte_identical(tmp_path, oracle_bin):
     uses < 64 contigs and only exercises the serial branch.  The hard
     generator populates .aln.all.paf groups, covering the .N-suffix
     parallel path too."""
-    import pathlib
-
-    from alignasm_tpu import native
     from tests.conftest import run_oracle
 
     paf = tmp_path / "wide.paf"
     paf.write_text(generate_hard_paf(n_contigs=100, seed=17))
-    gold = [o.read_bytes() for o in run_oracle(oracle_bin, paf, tmp_path)]
+    oracle_outs = run_oracle(oracle_bin, paf, tmp_path)
 
     eng = tmp_path / "eng.paf"
     eng.write_bytes(paf.read_bytes())
     native.run(str(eng), threads=4)
-    for g, suffix in zip(gold, ("", ".alt", ".all")):
-        got = pathlib.Path(str(eng)[:-4] + f".aln{suffix}.paf").read_bytes()
-        assert g == got, f"aln{suffix} differs (parallel writer branch)"
+    _assert_match(oracle_outs, str(eng)[:-4])
