@@ -136,8 +136,8 @@ def finish_contig(pg: PackedGraph, dev, cfg: AlignasmConfig, inf=int(_INF)):
 
       * a UNIQUE best (sum, anom) walk (cnt_min == 1) — the coverage
         tie sweep (paf_data.cpp:1595-1611) then sees exactly one path,
-        which the d_eid backtrack reproduces (the lex-min tree path is
-        Eppstein's first emission); and
+        which the achieving-edge backtrack reproduces (the lex-min tree
+        path is Eppstein's first emission); and
       * NO alt scan (cnt_tot < 2 or the best path meets the anomaly
         floor), so the slope scan (paf_data.cpp:1613-1649) never runs.
 
