@@ -256,6 +256,36 @@ def bench_kernels(B=256, V=64, E=256, n_sweeps=32, seed=0):
     topo["chained_B"] = B_ch
     topo.update(B=B, V=V, wire_bytes=int(wire.nbytes))
 
+    # compiled Pallas twin of the production scan: record that it
+    # compiles + runs bit-equal on this hardware and its chained cost
+    # (XLA stays production — it measures faster; see BENCH_RESULTS.md
+    # "Mosaic/Pallas status").  Never sinks the bench: compile flakes
+    # (the remote helper 500s sporadically) become a recorded note.
+    try:
+        from alignasm_tpu.ops.pallas_topo import (
+            dense_solve_wire_topo_nxt8_pallas,
+        )
+
+        outP = np.asarray(dense_solve_wire_topo_nxt8_pallas(wire_ch, V=V))
+        outX = np.asarray(dense_solve_wire_topo_nxt8(wire_ch, V=V))
+        bit_equal = bool((outP == outX).all())
+        bestP = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            outs = [dense_solve_wire_topo_nxt8_pallas(wire_ch, V=V)
+                    for _ in range(n_chain)]
+            jax.block_until_ready(outs)
+            bestP = min(bestP, (time.perf_counter() - t0) / n_chain)
+        topo["pallas_twin"] = {
+            "compiled": True,
+            "bit_equal": bit_equal,
+            "chained_s_per_launch": round(bestP, 6),
+            "chained_s_per_contig": round(bestP / B_ch, 9),
+        }
+    except Exception as exc:
+        topo["pallas_twin"] = {"compiled": False,
+                               "error": repr(exc)[:300]}
+
     dense = _bench_one(
         lambda: dense_solve_wire(wire_d, V=V, n_sweeps=n_sweeps),
         n_launch_sweeps=n_sweeps,
