@@ -59,8 +59,13 @@ int aln_run_stats2(const char *paf_path, const char *alt_path, double alt_baseli
         auto t1 = clk::now();
 
         size_t n = ds.contigs.size();
-        std::vector<aln::ContigResult> results(n);
         int nthreads = threads > 0 ? threads : (int) std::thread::hardware_concurrency();
+        // solve + format fused: each worker formats the contig's three
+        // output parts right after solving it (same pool, no phase
+        // barrier between "solve" and "format"), so the write phase
+        // below is only the ordered file flushes.  solve_s therefore
+        // includes output formatting; write_s is flush I/O alone.
+        std::vector<std::string> parts_out(n), parts_alt(n), parts_max(n);
         std::atomic<size_t> next{0};
         std::atomic<bool> failed{false};
         std::string fail_msg;
@@ -70,7 +75,10 @@ int aln_run_stats2(const char *paf_path, const char *alt_path, double alt_baseli
                 size_t i = next.fetch_add(1);
                 if (i >= n || failed.load(std::memory_order_relaxed)) break;
                 try {
-                    results[i] = aln::solve_contig(ds.contigs[i], cfg);
+                    aln::ContigResult res = aln::solve_contig(ds.contigs[i], cfg);
+                    aln::format_rows_one(parts_out[i], ds, i, res.out);
+                    aln::format_rows_one(parts_alt[i], ds, i, res.alt);
+                    aln::format_max_rows_one(parts_max[i], ds, i, res.max_out);
                 } catch (const std::exception &e) {
                     std::lock_guard<std::mutex> lk(fail_mu);
                     failed = true;
@@ -93,25 +101,53 @@ int aln_run_stats2(const char *paf_path, const char *alt_path, double alt_baseli
             std::string p(paf_path);
             prefix = p.substr(0, p.size() - 4);  // strip ".paf"
         }
-        std::vector<std::vector<aln::OutRow>> outs(n), alts(n);
-        std::vector<std::vector<std::vector<aln::OutRow>>> maxes(n);
-        for (size_t i = 0; i < n; i++) {
-            outs[i] = std::move(results[i].out);
-            alts[i] = std::move(results[i].alt);
-            maxes[i] = std::move(results[i].max_out);
+        std::string fail_flush[3];
+        auto flush_one = [&](int which) {
+            static const char *sfx[] = {".aln.paf", ".aln.alt.paf",
+                                        ".aln.all.paf"};
+            const std::vector<std::string> *parts[] = {&parts_out, &parts_alt,
+                                                       &parts_max};
+            try {
+                aln::flush_parts_file(prefix + sfx[which], *parts[which]);
+            } catch (const std::exception &e) {
+                fail_flush[which] = e.what();
+            }
+        };
+        if (nthreads <= 1) {
+            for (int w = 0; w < 3; w++) flush_one(w);
+        } else {
+            std::vector<std::thread> fpool;
+            for (int w = 0; w < 3; w++) fpool.emplace_back(flush_one, w);
+            for (auto &t : fpool) t.join();
         }
-        aln::write_rows(ds, outs, prefix + ".aln.paf", io_threads);
-        aln::write_rows(ds, alts, prefix + ".aln.alt.paf", io_threads);
-        aln::write_max_rows(ds, maxes, prefix + ".aln.all.paf", io_threads);
+        for (int w = 0; w < 3; w++)
+            if (!fail_flush[w].empty()) {
+                set_err(err, errlen, fail_flush[w]);
+                return 1;
+            }
         auto t3 = clk::now();
+        if (stats) {
+            long long recs = 0;
+            for (const auto &c : ds.contigs) recs += (long long) c.size();
+            stats->records = recs;
+        }
+        // teardown off the timed path: the dataset + formatted parts are
+        // ~10^5 small heap blocks (multiple ms of free()); the caller
+        // only needs the files, so a detached thread releases them
+        {
+            struct Garbage {
+                aln::Dataset ds;
+                std::vector<std::string> a, b, c;
+            };
+            auto *g = new Garbage{std::move(ds), std::move(parts_out),
+                                  std::move(parts_alt), std::move(parts_max)};
+            std::thread([g] { delete g; }).detach();
+        }
         if (stats) {
             stats->read_s = secs(t0, t1);
             stats->solve_s = secs(t1, t2);
             stats->write_s = secs(t2, t3);
             stats->contigs = (long long) n;
-            long long recs = 0;
-            for (const auto &c : ds.contigs) recs += (long long) c.size();
-            stats->records = recs;
         }
         return 0;
     } catch (const std::exception &e) {

@@ -101,42 +101,103 @@ void for_lines(std::string_view buf, F fn) {
 Dataset read_paf(const std::string &path, int threads) {
     Dataset ds;
     ds.buffer = slurp(path);
+    int nt = std::max(1, threads);
 
-    // pass 1 (serial): line spans + chromosome interning in
-    // first-appearance order (ids must match the reference's); also
-    // capture each line's query-name span so pass 3 need not rescan.
-    // Names repeat run-length-wise (rows are grouped by contig, refs
-    // cluster by chromosome), so a last-seen cache skips nearly every
-    // hash lookup, and the heterogeneous map skips the key alloc on
-    // the rest.
-    std::vector<std::string_view> lines;
-    for_lines(ds.buffer, [&](std::string_view line) { lines.push_back(line); });
-    if (lines.empty()) throw std::runtime_error("empty PAF input");
-    std::vector<std::string_view> qry_names(lines.size());
+    // pass 0 (parallel): chunk the buffer at line boundaries; per chunk
+    // collect line spans plus each line's query-name (field 0) and
+    // ref-chromosome (field 5) views, so the serial interning pass below
+    // touches no raw bytes.  (This scan was the dominant serial cost of
+    // read_paf at bench scale.)
+    struct Scanned {
+        std::vector<std::string_view> lines, qrys, chrs;
+        std::string fail;
+    };
+    std::string_view buf(ds.buffer);
+    size_t n_chunks = (size_t) nt;
+    if (buf.size() < (size_t) (64 << 10)) n_chunks = 1;
+    std::vector<Scanned> chunks(n_chunks);
+    {
+        std::vector<size_t> bounds(n_chunks + 1, buf.size());
+        bounds[0] = 0;
+        for (size_t c = 1; c < n_chunks; c++) {
+            size_t pos = buf.size() / n_chunks * c;
+            pos = buf.find('\n', pos);
+            bounds[c] = pos == std::string_view::npos ? buf.size() : pos + 1;
+        }
+        auto scan_chunk = [&](size_t c) {
+            Scanned &sc = chunks[c];
+            size_t approx = (bounds[c + 1] - bounds[c]) / 64 + 16;
+            sc.lines.reserve(approx);
+            sc.qrys.reserve(approx);
+            sc.chrs.reserve(approx);
+            size_t start = bounds[c];
+            while (start < bounds[c + 1]) {
+                size_t pos = buf.find('\n', start);
+                if (pos == std::string_view::npos) pos = buf.size();
+                std::string_view line = buf.substr(start, pos - start);
+                start = pos + 1;
+                if (!line.empty() && line.back() == '\r')
+                    line.remove_suffix(1);
+                if (line.empty()) continue;
+                size_t q_end = line.find('\t');
+                if (q_end == std::string_view::npos) {
+                    sc.fail = "short PAF row";
+                    return;
+                }
+                // scan to field 5 (ref chr) cheaply
+                size_t fpos = q_end + 1;
+                for (int k = 0; k < 4; k++) {
+                    fpos = line.find('\t', fpos);
+                    if (fpos == std::string_view::npos) {
+                        sc.fail = "short PAF row";
+                        return;
+                    }
+                    fpos++;
+                }
+                size_t fend = line.find('\t', fpos);
+                sc.lines.push_back(line);
+                sc.qrys.push_back(line.substr(0, q_end));
+                sc.chrs.push_back(line.substr(fpos, fend - fpos));
+            }
+        };
+        if (n_chunks == 1) {
+            scan_chunk(0);
+        } else {
+            std::vector<std::thread> pool;
+            for (size_t c = 0; c < n_chunks; c++)
+                pool.emplace_back(scan_chunk, c);
+            for (auto &th : pool) th.join();
+        }
+        for (auto &sc : chunks)
+            if (!sc.fail.empty()) throw std::runtime_error(sc.fail);
+    }
+    size_t n_lines = 0;
+    for (auto &sc : chunks) n_lines += sc.lines.size();
+    if (n_lines == 0) throw std::runtime_error("empty PAF input");
+    std::vector<std::string_view> lines, qry_names;
+    lines.reserve(n_lines);
+    qry_names.reserve(n_lines);
+    for (auto &sc : chunks) {
+        lines.insert(lines.end(), sc.lines.begin(), sc.lines.end());
+        qry_names.insert(qry_names.end(), sc.qrys.begin(), sc.qrys.end());
+    }
+
+    // pass 1 (serial): chromosome interning in first-appearance order
+    // (ids must match the reference's) over the pre-extracted views.
+    // Names repeat run-length-wise (refs cluster by chromosome), so a
+    // last-seen cache skips nearly every hash lookup, and the
+    // heterogeneous map skips the key alloc on the rest.
     {
         std::string_view last_chr;
-        for (size_t i = 0; i < lines.size(); i++) {
-            std::string_view line = lines[i];
-            size_t q_end = line.find('\t');
-            if (q_end == std::string_view::npos)
-                throw std::runtime_error("short PAF row");
-            qry_names[i] = line.substr(0, q_end);
-            // scan to field 5 (ref chr) cheaply
-            size_t pos = q_end + 1;
-            for (int k = 0; k < 4; k++) {
-                pos = line.find('\t', pos);
-                if (pos == std::string_view::npos)
-                    throw std::runtime_error("short PAF row");
-                pos++;
-            }
-            size_t end = line.find('\t', pos);
-            std::string_view name = line.substr(pos, end - pos);
-            if (name != last_chr) {
-                last_chr = name;
-                if (!ds.chr_ids.count(name)) {
-                    ds.chr_ids.emplace(std::string(name),
-                                       (i32) ds.chr_names.size());
-                    ds.chr_names.emplace_back(name);
+        for (auto &sc : chunks) {
+            for (std::string_view name : sc.chrs) {
+                if (name != last_chr) {
+                    last_chr = name;
+                    if (!ds.chr_ids.count(name)) {
+                        ds.chr_ids.emplace(std::string(name),
+                                           (i32) ds.chr_names.size());
+                        ds.chr_names.emplace_back(name);
+                    }
                 }
             }
         }
@@ -157,7 +218,6 @@ Dataset read_paf(const std::string &path, int threads) {
             *fail = e.what();
         }
     };
-    int nt = std::max(1, threads);
     if (nt == 1 || lines.size() < 256) {
         std::string fail;
         parse_range(0, lines.size(), &fail);
@@ -176,33 +236,50 @@ Dataset read_paf(const std::string &path, int threads) {
             if (!msg.empty()) throw std::runtime_error(msg);
     }
 
-    // pass 3 (serial): group into contigs on query-name change; the
-    // name spans were captured in pass 1, the map entry (reference
-    // semantics: last same-named group wins) is written once per group
-    std::string_view cur_name = qry_names[0];
-    i32 paf_index = 0;
-    std::vector<Record> cur;
-    auto open_group = [&](std::string_view name) {
+    // pass 3: group into contigs on query-name change.  Serial part:
+    // boundary detection + map entries (reference semantics: last
+    // same-named group wins) — view compares only.  The record moves
+    // into per-contig vectors then run group-parallel.
+    std::vector<size_t> starts;  // group g spans [starts[g], starts[g+1])
+    starts.push_back(0);
+    for (size_t i = 1; i < n_lines; i++)
+        if (qry_names[i] != qry_names[i - 1]) starts.push_back(i);
+    starts.push_back(n_lines);
+    size_t n_groups = starts.size() - 1;
+    ds.contigs.resize(n_groups);
+    ds.ctg_names.resize(n_groups);
+    for (size_t g = 0; g < n_groups; g++) {
+        std::string_view name = qry_names[starts[g]];
+        ds.ctg_names[g] = std::string(name);
         auto it = ds.paf_map.find(name);
-        if (it != ds.paf_map.end()) it->second = paf_index;
-        else ds.paf_map.emplace(std::string(name), paf_index);
-    };
-    open_group(cur_name);
-    for (size_t i = 0; i < lines.size(); i++) {
-        std::string_view qry = qry_names[i];
-        if (qry != cur_name) {
-            ds.contigs.push_back(std::move(cur));
-            ds.ctg_names.emplace_back(cur_name);
-            cur = {};
-            cur_name = qry;
-            paf_index++;
-            open_group(cur_name);
-        }
-        recs[i].ctg_index = (i32) cur.size();
-        cur.push_back(std::move(recs[i]));
+        if (it != ds.paf_map.end()) it->second = (i32) g;
+        else ds.paf_map.emplace(std::string(name), (i32) g);
     }
-    ds.contigs.push_back(std::move(cur));
-    ds.ctg_names.emplace_back(cur_name);
+    auto fill_group = [&](size_t g) {
+        auto &ctg = ds.contigs[g];
+        size_t lo = starts[g], hi = starts[g + 1];
+        ctg.reserve(hi - lo);
+        for (size_t i = lo; i < hi; i++) {
+            recs[i].ctg_index = (i32) (i - lo);
+            ctg.push_back(std::move(recs[i]));
+        }
+    };
+    if (nt == 1 || n_groups < 64) {
+        for (size_t g = 0; g < n_groups; g++) fill_group(g);
+    } else {
+        std::atomic<size_t> next_g{0};
+        std::vector<std::thread> pool;
+        for (int t = 0; t < nt; t++) {
+            pool.emplace_back([&] {
+                while (true) {
+                    size_t g = next_g.fetch_add(1);
+                    if (g >= n_groups) break;
+                    fill_group(g);
+                }
+            });
+        }
+        for (auto &th : pool) th.join();
+    }
     return ds;
 }
 
@@ -327,6 +404,28 @@ void flush_parts(const std::string &path,
 
 }  // namespace
 
+void format_rows_one(std::string &out, const Dataset &ds, size_t i,
+                     const std::vector<OutRow> &rows) {
+    for (const auto &row : rows)
+        write_one(out, ds, ds.ctg_names[i], ds.contigs[i], row);
+}
+
+void format_max_rows_one(std::string &out, const Dataset &ds, size_t i,
+                         const std::vector<std::vector<OutRow>> &groups) {
+    i32 cnt = 0;
+    for (const auto &group : groups) {
+        ++cnt;
+        std::string name = ds.ctg_names[i] + "." + std::to_string(cnt);
+        for (const auto &row : group)
+            write_one(out, ds, name, ds.contigs[i], row);
+    }
+}
+
+void flush_parts_file(const std::string &path,
+                      const std::vector<std::string> &parts) {
+    flush_parts(path, parts);
+}
+
 void write_rows(const Dataset &ds, const std::vector<std::vector<OutRow>> &rows,
                 const std::string &path, int threads) {
     // threads == 0 means "auto", like run_pool: the exporter's
@@ -340,8 +439,7 @@ void write_rows(const Dataset &ds, const std::vector<std::vector<OutRow>> &rows,
         std::string out;
         out.reserve(1 << 20);
         for (size_t i = 0; i < rows.size(); i++)
-            for (const auto &row : rows[i])
-                write_one(out, ds, ds.ctg_names[i], ds.contigs[i], row);
+            format_rows_one(out, ds, i, rows[i]);
         flush_file(path, out);
         return;
     }
@@ -354,8 +452,7 @@ void write_rows(const Dataset &ds, const std::vector<std::vector<OutRow>> &rows,
             while (true) {
                 size_t i = next.fetch_add(1);
                 if (i >= rows.size()) break;
-                for (const auto &row : rows[i])
-                    write_one(parts[i], ds, ds.ctg_names[i], ds.contigs[i], row);
+                format_rows_one(parts[i], ds, i, rows[i]);
             }
         });
     }
@@ -371,13 +468,7 @@ void write_max_rows(const Dataset &ds,
     // .all-heavy corpora don't reintroduce the serial-format and
     // giant-concat cliffs fixed there
     auto fmt_one = [&](std::string &out, size_t i) {
-        i32 cnt = 0;
-        for (const auto &group : rows[i]) {
-            ++cnt;
-            std::string name = ds.ctg_names[i] + "." + std::to_string(cnt);
-            for (const auto &row : group)
-                write_one(out, ds, name, ds.contigs[i], row);
-        }
+        format_max_rows_one(out, ds, i, rows[i]);
     };
     int nt = std::max(
         1, threads > 0 ? threads : (int) std::thread::hardware_concurrency());

@@ -50,4 +50,15 @@ void write_max_rows(const Dataset &ds,
                     const std::vector<std::vector<std::vector<OutRow>>> &rows,
                     const std::string &path, int threads = 1);
 
+// per-contig formatting pieces of the writers above, for callers that
+// fuse output formatting into their own worker pool (api.cc: the solve
+// workers format each contig's rows right after solving it, so the
+// write phase is just the ordered flush)
+void format_rows_one(std::string &out, const Dataset &ds, size_t i,
+                     const std::vector<OutRow> &rows);
+void format_max_rows_one(std::string &out, const Dataset &ds, size_t i,
+                         const std::vector<std::vector<OutRow>> &groups);
+void flush_parts_file(const std::string &path,
+                      const std::vector<std::string> &parts);
+
 }  // namespace aln
