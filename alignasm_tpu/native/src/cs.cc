@@ -98,12 +98,32 @@ void build_runs(Record &rec) {
 }
 
 Clip clip_cs(const Record &rec, i64 eqs, i64 eqe, i64 ers, i64 ere) {
+    Clip out;
+    std::string scratch;
+    std::string_view cs =
+        clip_cs_view(rec, eqs, eqe, ers, ere, scratch, out.mat_num, out.aln_len);
+    out.cs = std::string(cs);
+    out.cut = cs.data() == scratch.data();
+    return out;
+}
+
+std::string_view clip_cs_view(const Record &rec, i64 eqs, i64 eqe, i64 ers,
+                              i64 ere, std::string &scratch, i32 &mat_num,
+                              i32 &aln_len) {
     if (eqs == rec.qry_str && eqe == rec.qry_end) {
-        return {std::string(rec.cs), rec.mat_num, rec.aln_len, false};
+        mat_num = rec.mat_num;
+        aln_len = rec.aln_len;
+        return rec.cs;
     }
-    CsOps ops = parse_cs(rec.cs);
+    // scratch-backed cut path: the op decode and kept-op list reuse
+    // thread-local capacity — this runs once per CUT output row inside
+    // the parallel format workers, and per-row vector allocations were
+    // a measurable share of that phase
+    static thread_local CsOps ops;
+    parse_cs_into(rec.cs, ops);
     struct Kept { char t; i64 len; i32 beg, end; };
-    std::vector<Kept> kept;
+    static thread_local std::vector<Kept> kept;
+    kept.clear();
     i64 qi = rec.qry_str;
     for_query_oriented(ops, rec.fwd, [&](char t, i64 len, i64 i) {
         if (t == ':') {
@@ -130,23 +150,24 @@ Clip clip_cs(const Record &rec, i64 eqs, i64 eqe, i64 ers, i64 ere) {
     });
     if (!rec.fwd) std::reverse(kept.begin(), kept.end());
 
-    Clip out;
-    out.cut = true;
-    out.cs = "cs:Z:";
+    mat_num = 0;
+    aln_len = 0;
+    scratch.clear();
+    scratch += "cs:Z:";
     i64 qbases = 0, rbases = 0;
     char buf[24];
     for (const auto &k : kept) {
         if (k.t == ':') {
-            out.cs += ':';
+            scratch += ':';
             auto r = std::to_chars(buf, buf + sizeof(buf), k.len);
-            out.cs.append(buf, r.ptr);
-            out.mat_num += (i32) k.len;
-            out.aln_len += (i32) k.len;
+            scratch.append(buf, r.ptr);
+            mat_num += (i32) k.len;
+            aln_len += (i32) k.len;
             qbases += k.len;
             rbases += k.len;
         } else {
-            out.cs.append(rec.cs.substr(k.beg, k.end - k.beg));
-            out.aln_len += (i32) k.len;
+            scratch.append(rec.cs.substr(k.beg, k.end - k.beg));
+            aln_len += (i32) k.len;
             if (k.t == '+') qbases += k.len;
             else if (k.t == '-') rbases += k.len;
             else { qbases += 1; rbases += 1; }
@@ -154,7 +175,7 @@ Clip clip_cs(const Record &rec, i64 eqs, i64 eqe, i64 ers, i64 ere) {
     }
     if (qbases != eqe - eqs + 1 || rbases != std::abs(ere - ers) + 1)
         throw std::runtime_error("edited cs does not match edited coords");
-    return out;
+    return scratch;
 }
 
 }  // namespace aln

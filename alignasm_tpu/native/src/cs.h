@@ -35,4 +35,11 @@ struct Clip {
 
 Clip clip_cs(const Record &rec, i64 eqs, i64 eqe, i64 ers, i64 ere);
 
+// allocation-free form for the hot format path: returns the edited cs
+// text as a view into rec.cs (uncut row) or into `scratch` (cut row —
+// cleared and refilled); mat_num/aln_len are written out-params
+std::string_view clip_cs_view(const Record &rec, i64 eqs, i64 eqe, i64 ers,
+                              i64 ere, std::string &scratch, i32 &mat_num,
+                              i32 &aln_len);
+
 }  // namespace aln

@@ -362,7 +362,10 @@ void append_i64(std::string &out, i64 v) {
 void write_one(std::string &out, const Dataset &ds, const std::string &name,
                const std::vector<Record> &ctg, const OutRow &row) {
     const Record &rec = ctg[row.ctg_index];
-    Clip clip = clip_cs(rec, row.qs, row.qe, row.rs, row.re);
+    static thread_local std::string cs_scratch;
+    i32 mat_num, aln_len;
+    std::string_view cs = clip_cs_view(rec, row.qs, row.qe, row.rs, row.re,
+                                       cs_scratch, mat_num, aln_len);
     out += name;
     out += '\t'; append_i64(out, rec.qry_total);
     out += '\t'; append_i64(out, row.qs);
@@ -372,14 +375,14 @@ void write_one(std::string &out, const Dataset &ds, const std::string &name,
     out += '\t'; append_i64(out, rec.ref_total);
     out += '\t'; append_i64(out, rec.fwd ? row.rs : row.re);
     out += '\t'; append_i64(out, (rec.fwd ? row.re : row.rs) + 1);
-    out += '\t'; append_i64(out, clip.mat_num);
-    out += '\t'; append_i64(out, clip.aln_len);
+    out += '\t'; append_i64(out, mat_num);
+    out += '\t'; append_i64(out, aln_len);
     out += '\t'; append_i64(out, rec.map_qul);
     out += '\t'; out += row.alt_flag ? "tp:A:S" : "tp:A:P";
     out += '\t'; out += "xi:Z:";
     out += rec.cord_type == 0 ? "P_" : "A_";
     append_i64(out, rec.cord_row);
-    out += '\t'; out += clip.cs;
+    out += '\t'; out += cs;
     out += '\n';
 }
 
