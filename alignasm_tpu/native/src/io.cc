@@ -99,8 +99,17 @@ void for_lines(std::string_view buf, F fn) {
 }  // namespace
 
 Dataset read_paf(const std::string &path, int threads) {
+    auto prof_t0 = std::chrono::steady_clock::now();
+    auto prof = [&](const char *tag) {
+        if (!getenv("ALN_READ_PROF")) return;
+        auto now = std::chrono::steady_clock::now();
+        fprintf(stderr, "read_paf %s %.2f ms\n", tag,
+                std::chrono::duration<double, std::milli>(now - prof_t0).count());
+        prof_t0 = now;
+    };
     Dataset ds;
     ds.buffer = slurp(path);
+    prof("slurp");
     int nt = std::max(1, threads);
 
     // pass 0 (parallel): chunk the buffer at line boundaries; per chunk
@@ -174,6 +183,7 @@ Dataset read_paf(const std::string &path, int threads) {
     size_t n_lines = 0;
     for (auto &sc : chunks) n_lines += sc.lines.size();
     if (n_lines == 0) throw std::runtime_error("empty PAF input");
+    prof("pass0_scan");
     std::vector<std::string_view> lines, qry_names;
     lines.reserve(n_lines);
     qry_names.reserve(n_lines);
@@ -203,43 +213,13 @@ Dataset read_paf(const std::string &path, int threads) {
         }
     }
 
-    // pass 2 (parallel): full record parse per line
-    std::vector<Record> recs(lines.size());
-    auto parse_range = [&](size_t lo, size_t hi, std::string *fail) {
-        std::vector<std::string_view> f;
-        try {
-            for (size_t i = lo; i < hi; i++) {
-                split_fields(lines[i], f);
-                recs[i] = parse_record(f, ds);
-                recs[i].cord_type = 0;
-                recs[i].cord_row = (i32) i;
-            }
-        } catch (const std::exception &e) {
-            *fail = e.what();
-        }
-    };
-    if (nt == 1 || lines.size() < 256) {
-        std::string fail;
-        parse_range(0, lines.size(), &fail);
-        if (!fail.empty()) throw std::runtime_error(fail);
-    } else {
-        std::vector<std::thread> pool;
-        std::vector<std::string> fails(nt);
-        size_t chunk = (lines.size() + nt - 1) / nt;
-        for (int t = 0; t < nt; t++) {
-            size_t lo = t * chunk, hi = std::min(lines.size(), lo + chunk);
-            if (lo >= hi) break;
-            pool.emplace_back(parse_range, lo, hi, &fails[t]);
-        }
-        for (auto &th : pool) th.join();
-        for (auto &msg : fails)
-            if (!msg.empty()) throw std::runtime_error(msg);
-    }
+    prof("pass1_intern_concat");
 
-    // pass 3: group into contigs on query-name change.  Serial part:
-    // boundary detection + map entries (reference semantics: last
-    // same-named group wins) — view compares only.  The record moves
-    // into per-contig vectors then run group-parallel.
+    // pass 2+3 fused: group boundaries come straight from the qry-name
+    // views (serial view compares), per-contig vectors get their final
+    // sizes, and the parallel parse writes each record directly into
+    // its contig slot — no intermediate record array, no second pass of
+    // 10^4-10^6 Record moves.
     std::vector<size_t> starts;  // group g spans [starts[g], starts[g+1])
     starts.push_back(0);
     for (size_t i = 1; i < n_lines; i++)
@@ -248,6 +228,7 @@ Dataset read_paf(const std::string &path, int threads) {
     size_t n_groups = starts.size() - 1;
     ds.contigs.resize(n_groups);
     ds.ctg_names.resize(n_groups);
+    // map entries keep reference semantics: last same-named group wins
     for (size_t g = 0; g < n_groups; g++) {
         std::string_view name = qry_names[starts[g]];
         ds.ctg_names[g] = std::string(name);
@@ -255,31 +236,45 @@ Dataset read_paf(const std::string &path, int threads) {
         if (it != ds.paf_map.end()) it->second = (i32) g;
         else ds.paf_map.emplace(std::string(name), (i32) g);
     }
-    auto fill_group = [&](size_t g) {
+    auto parse_group = [&](size_t g, std::vector<std::string_view> &f) {
         auto &ctg = ds.contigs[g];
         size_t lo = starts[g], hi = starts[g + 1];
-        ctg.reserve(hi - lo);
+        ctg.resize(hi - lo);
         for (size_t i = lo; i < hi; i++) {
-            recs[i].ctg_index = (i32) (i - lo);
-            ctg.push_back(std::move(recs[i]));
+            split_fields(lines[i], f);
+            Record &r = ctg[i - lo];
+            r = parse_record(f, ds);
+            r.cord_type = 0;
+            r.cord_row = (i32) i;
+            r.ctg_index = (i32) (i - lo);
         }
     };
-    if (nt == 1 || n_groups < 64) {
-        for (size_t g = 0; g < n_groups; g++) fill_group(g);
+    if (nt == 1 || n_lines < 256) {
+        std::vector<std::string_view> f;
+        for (size_t g = 0; g < n_groups; g++) parse_group(g, f);
     } else {
         std::atomic<size_t> next_g{0};
+        std::vector<std::string> fails(nt);
         std::vector<std::thread> pool;
         for (int t = 0; t < nt; t++) {
-            pool.emplace_back([&] {
-                while (true) {
-                    size_t g = next_g.fetch_add(1);
-                    if (g >= n_groups) break;
-                    fill_group(g);
+            pool.emplace_back([&, t] {
+                std::vector<std::string_view> f;
+                try {
+                    while (true) {
+                        size_t g = next_g.fetch_add(1);
+                        if (g >= n_groups) break;
+                        parse_group(g, f);
+                    }
+                } catch (const std::exception &e) {
+                    fails[t] = e.what();
                 }
             });
         }
         for (auto &th : pool) th.join();
+        for (auto &msg : fails)
+            if (!msg.empty()) throw std::runtime_error(msg);
     }
+    prof("pass23_parse_group");
     return ds;
 }
 
