@@ -53,45 +53,68 @@ int aln_run_stats2(const char *paf_path, const char *alt_path, double alt_baseli
         aln::apply_scoring(cfg, scoring);
 
         int io_threads = threads > 0 ? threads : (int) std::thread::hardware_concurrency();
+        int nthreads = io_threads;
         auto t0 = clk::now();
-        aln::Dataset ds = aln::read_paf(paf_path, io_threads);
-        if (alt_path && alt_path[0]) aln::merge_alt(ds, alt_path, alt_baseline);
-        auto t1 = clk::now();
 
-        size_t n = ds.contigs.size();
-        int nthreads = threads > 0 ? threads : (int) std::thread::hardware_concurrency();
-        // solve + format fused: each worker formats the contig's three
-        // output parts right after solving it (same pool, no phase
-        // barrier between "solve" and "format"), so the write phase
-        // below is only the ordered file flushes.  solve_s therefore
-        // includes output formatting; write_s is flush I/O alone.
-        std::vector<std::string> parts_out(n), parts_alt(n), parts_max(n);
-        std::atomic<size_t> next{0};
+        // solve + format fused with the parse: an alt merge appends
+        // records to already-parsed contigs, so with no alt file each
+        // contig can be solved and its three output parts formatted by
+        // the parse worker the moment its records are complete (one
+        // parallel phase, no barriers); with an alt file the solve
+        // waits for the merge and runs as its own parallel phase.
+        // solve_s includes output formatting; write_s is flush I/O.
+        std::vector<std::string> parts_out, parts_alt, parts_max;
         std::atomic<bool> failed{false};
         std::string fail_msg;
         std::mutex fail_mu;
-        auto worker = [&] {
-            while (true) {
-                size_t i = next.fetch_add(1);
-                if (i >= n || failed.load(std::memory_order_relaxed)) break;
-                try {
-                    aln::ContigResult res = aln::solve_contig(ds.contigs[i], cfg);
-                    aln::format_rows_one(parts_out[i], ds, i, res.out);
-                    aln::format_rows_one(parts_alt[i], ds, i, res.alt);
-                    aln::format_max_rows_one(parts_max[i], ds, i, res.max_out);
-                } catch (const std::exception &e) {
-                    std::lock_guard<std::mutex> lk(fail_mu);
-                    failed = true;
-                    fail_msg = std::string("contig ") + ds.ctg_names[i] + ": " + e.what();
-                }
+        auto do_one = [&](aln::Dataset &dset, size_t i) {
+            if (failed.load(std::memory_order_relaxed)) return;
+            try {
+                aln::ContigResult res = aln::solve_contig(dset.contigs[i], cfg);
+                aln::format_rows_one(parts_out[i], dset, i, res.out);
+                aln::format_rows_one(parts_alt[i], dset, i, res.alt);
+                aln::format_max_rows_one(parts_max[i], dset, i, res.max_out);
+            } catch (const std::exception &e) {
+                std::lock_guard<std::mutex> lk(fail_mu);
+                failed = true;
+                fail_msg = std::string("contig ") + dset.ctg_names[i] + ": " + e.what();
             }
         };
-        if (nthreads <= 1 || n <= 1) {
-            worker();
-        } else {
-            std::vector<std::thread> pool;
-            for (int t = 0; t < nthreads; t++) pool.emplace_back(worker);
-            for (auto &t : pool) t.join();
+
+        bool fused = !(alt_path && alt_path[0]);
+        aln::GroupSink sink;
+        sink.start = [&](aln::Dataset &, size_t n_groups) {
+            parts_out.resize(n_groups);
+            parts_alt.resize(n_groups);
+            parts_max.resize(n_groups);
+        };
+        sink.group = do_one;
+        aln::Dataset ds = aln::read_paf(paf_path, io_threads,
+                                        fused ? &sink : nullptr);
+        size_t n = ds.contigs.size();
+        if (!fused) aln::merge_alt(ds, alt_path, alt_baseline);
+        auto t1 = clk::now();
+        double read_secs = fused ? sink.scan_s : secs(t0, t1);
+
+        if (!fused) {
+            parts_out.resize(n);
+            parts_alt.resize(n);
+            parts_max.resize(n);
+            std::atomic<size_t> next{0};
+            auto worker = [&] {
+                while (true) {
+                    size_t i = next.fetch_add(1);
+                    if (i >= n || failed.load(std::memory_order_relaxed)) break;
+                    do_one(ds, i);
+                }
+            };
+            if (nthreads <= 1 || n <= 1) {
+                worker();
+            } else {
+                std::vector<std::thread> pool;
+                for (int t = 0; t < nthreads; t++) pool.emplace_back(worker);
+                for (auto &t : pool) t.join();
+            }
         }
         if (failed) { set_err(err, errlen, fail_msg); return 2; }
         auto t2 = clk::now();
@@ -144,8 +167,8 @@ int aln_run_stats2(const char *paf_path, const char *alt_path, double alt_baseli
             std::thread([g] { delete g; }).detach();
         }
         if (stats) {
-            stats->read_s = secs(t0, t1);
-            stats->solve_s = secs(t1, t2);
+            stats->read_s = read_secs;
+            stats->solve_s = secs(t0, t2) - read_secs;
             stats->write_s = secs(t2, t3);
             stats->contigs = (long long) n;
         }

@@ -98,7 +98,7 @@ void for_lines(std::string_view buf, F fn) {
 
 }  // namespace
 
-Dataset read_paf(const std::string &path, int threads) {
+Dataset read_paf(const std::string &path, int threads, GroupSink *sink) {
     auto prof_t0 = std::chrono::steady_clock::now();
     auto prof = [&](const char *tag) {
         if (!getenv("ALN_READ_PROF")) return;
@@ -107,6 +107,7 @@ Dataset read_paf(const std::string &path, int threads) {
                 std::chrono::duration<double, std::milli>(now - prof_t0).count());
         prof_t0 = now;
     };
+    auto scan_t0 = std::chrono::steady_clock::now();
     Dataset ds;
     ds.buffer = slurp(path);
     prof("slurp");
@@ -236,6 +237,11 @@ Dataset read_paf(const std::string &path, int threads) {
         if (it != ds.paf_map.end()) it->second = (i32) g;
         else ds.paf_map.emplace(std::string(name), (i32) g);
     }
+    if (sink) {
+        if (sink->start) sink->start(ds, n_groups);
+        sink->scan_s = std::chrono::duration<double>(
+            std::chrono::steady_clock::now() - scan_t0).count();
+    }
     auto parse_group = [&](size_t g, std::vector<std::string_view> &f) {
         auto &ctg = ds.contigs[g];
         size_t lo = starts[g], hi = starts[g + 1];
@@ -248,6 +254,7 @@ Dataset read_paf(const std::string &path, int threads) {
             r.cord_row = (i32) i;
             r.ctg_index = (i32) (i - lo);
         }
+        if (sink && sink->group) sink->group(ds, g);
     };
     if (nt == 1 || n_lines < 256) {
         std::vector<std::string_view> f;

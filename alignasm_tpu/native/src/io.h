@@ -3,6 +3,7 @@
 // validated Python engine (alignasm_tpu/io/paf.py).
 #pragma once
 
+#include <functional>
 #include <string>
 #include <string_view>
 #include <unordered_map>
@@ -39,7 +40,22 @@ struct Dataset {
     StrMap<i32> paf_map;                              // qry name -> contig
 };
 
-Dataset read_paf(const std::string &path, int threads = 1);
+// Optional fused-pipeline hook for read_paf: when given, `start` runs
+// once (serially) after the contig count is known, then `group` is
+// called from the parse workers as each contig group's records become
+// complete — the caller can solve + format a contig while later groups
+// are still parsing.  Only ds.contigs[g], ds.ctg_names, ds.chr_names
+// and ds.paf_map may be read from `group` (all complete by then);
+// other contigs are still being written concurrently.  `scan_s` is
+// filled with the time spent before the parallel parse began.
+struct GroupSink {
+    std::function<void(Dataset &, size_t)> start;
+    std::function<void(Dataset &, size_t)> group;
+    double scan_s = 0;
+};
+
+Dataset read_paf(const std::string &path, int threads = 1,
+                 GroupSink *sink = nullptr);
 void merge_alt(Dataset &ds, const std::string &alt_path, double alt_baseline);
 
 // writes one output stream; rows_per_ctg[i] aligns with ds.contigs[i].
