@@ -43,13 +43,34 @@ struct ExportCtx {
     // bulk device-finish result store (aln_finish_bulk / aln_solve_remaining)
     std::vector<aln::ContigResult> results;
     std::vector<char> done;
+    // pre-formatted output parts per contig: the finish workers format
+    // rows the moment a contig's result lands (overlapping the device
+    // sync of later buckets), so aln_write_results is flush-only
+    std::vector<std::string> pout, palt, pmax;
+    std::vector<char> formatted;
 };
 
 void ensure_results(ExportCtx &ctx) {
     if (ctx.results.size() != ctx.ds.contigs.size()) {
-        ctx.results.resize(ctx.ds.contigs.size());
-        ctx.done.assign(ctx.ds.contigs.size(), 0);
+        size_t n = ctx.ds.contigs.size();
+        ctx.results.resize(n);
+        ctx.done.assign(n, 0);
+        ctx.pout.resize(n);
+        ctx.palt.resize(n);
+        ctx.pmax.resize(n);
+        ctx.formatted.assign(n, 0);
     }
+}
+
+void format_result(ExportCtx &ctx, long long i) {
+    const auto &r = ctx.results[i];
+    ctx.pout[i].clear();
+    ctx.palt[i].clear();
+    ctx.pmax[i].clear();
+    aln::format_rows_one(ctx.pout[i], ctx.ds, (size_t) i, r.out);
+    aln::format_rows_one(ctx.palt[i], ctx.ds, (size_t) i, r.alt);
+    aln::format_max_rows_one(ctx.pmax[i], ctx.ds, (size_t) i, r.max_out);
+    ctx.formatted[i] = 1;
 }
 
 void run_pool(int threads, long long n, const std::function<void(long long)> &body,
@@ -131,37 +152,53 @@ void *aln_open2(const char *paf_path, const char *alt_path, double alt_baseline,
         ctx->cfg.non_skip_linkable = non_skip_linkable != 0;
         aln::apply_scoring(ctx->cfg, scoring);
         int nt = threads > 0 ? threads : (int) std::thread::hardware_concurrency();
-        ctx->ds = aln::read_paf(paf_path, nt);
-        if (alt_path && alt_path[0])
-            aln::merge_alt(ctx->ds, alt_path, alt_baseline);
-
-        size_t n = ctx->ds.contigs.size();
-        ctx->packed.resize(n);
-        std::atomic<size_t> next{0};
-        auto worker = [&] {
-            while (true) {
-                size_t i = next.fetch_add(1);
-                if (i >= n) break;
-                auto &contig = ctx->ds.contigs[i];
-                if ((long long) contig.size() < 2 ||
-                    (long long) contig.size() > max_records)
-                    continue;
-                auto &pc = ctx->packed[i];
-                try {
-                    pc.graph = aln::build_graph(contig, ctx->cfg);
-                    compute_ranks(pc);
-                    pc.built = true;
-                } catch (const std::exception &e) {
-                    pc.error = e.what();
-                }
+        ExportCtx *c = ctx.get();
+        auto build_one = [c, max_records](aln::Dataset &ds, size_t i) {
+            auto &contig = ds.contigs[i];
+            if ((long long) contig.size() < 2 ||
+                (long long) contig.size() > max_records)
+                return;
+            auto &pc = c->packed[i];
+            try {
+                pc.graph = aln::build_graph(contig, c->cfg);
+                compute_ranks(pc);
+                pc.built = true;
+            } catch (const std::exception &e) {
+                pc.error = e.what();
             }
         };
-        if (nt <= 1 || n <= 1) {
-            worker();
+        if (!(alt_path && alt_path[0])) {
+            // no alt merge: build each contig's DAG from the parse
+            // worker the moment its records are complete — parse and
+            // graph build are one parallel phase (cf. api.cc)
+            aln::GroupSink sink;
+            sink.start = [c](aln::Dataset &, size_t n_groups) {
+                c->packed.resize(n_groups);
+            };
+            sink.group = build_one;
+            ctx->ds = aln::read_paf(paf_path, nt, &sink);
         } else {
-            std::vector<std::thread> pool;
-            for (int t = 0; t < nt; t++) pool.emplace_back(worker);
-            for (auto &t : pool) t.join();
+            // the alt merge appends records to parsed contigs, so the
+            // build must wait for it
+            ctx->ds = aln::read_paf(paf_path, nt);
+            aln::merge_alt(ctx->ds, alt_path, alt_baseline);
+            size_t n = ctx->ds.contigs.size();
+            ctx->packed.resize(n);
+            std::atomic<size_t> next{0};
+            auto worker = [&] {
+                while (true) {
+                    size_t i = next.fetch_add(1);
+                    if (i >= n) break;
+                    build_one(ctx->ds, i);
+                }
+            };
+            if (nt <= 1 || n <= 1) {
+                worker();
+            } else {
+                std::vector<std::thread> pool;
+                for (int t = 0; t < nt; t++) pool.emplace_back(worker);
+                for (auto &t : pool) t.join();
+            }
         }
         return ctx.release();
     } catch (const std::exception &e) {
@@ -376,6 +413,7 @@ int aln_finish_bulk(void *h, const int64_t *idx, long long n_idx,
             ctx.results[i] = aln::solve_from_graph(pc.graph, cfg);
             fb.fetch_add(1);
         }
+        format_result(ctx, i);
         ctx.done[i] = 1;
     }, werr);
     *n_fast = fast.load();
@@ -441,6 +479,7 @@ int aln_finish_bulk8(void *h, const int64_t *idx, long long n_idx,
             ctx.results[i] = aln::solve_from_graph(pc.graph, cfg);
             fb.fetch_add(1);
         }
+        format_result(ctx, i);
         ctx.done[i] = 1;
     }, werr);
     *n_fast = fast.load();
@@ -470,6 +509,7 @@ int aln_solve_remaining(void *h, int lazy_walks, int threads,
             ctx.results[i] = aln::solve_from_graph(ctx.packed[i].graph, cfg);
         else
             ctx.results[i] = aln::solve_contig(ctx.ds.contigs[i], cfg);
+        format_result(ctx, i);
         ctx.done[i] = 1;
     }, werr);
     *n_solved = (long long) todo.size();
@@ -537,6 +577,7 @@ int aln_store_rows(void *h, long long contig_idx, const int64_t *rows,
             res.max_out.push_back(unpack(x, x + gsizes[g]));
             x += gsizes[g];
         }
+        format_result(ctx, contig_idx);
         ctx.done[contig_idx] = 1;
         return 0;
     } catch (const std::exception &e) {
@@ -547,22 +588,38 @@ int aln_store_rows(void *h, long long contig_idx, const int64_t *rows,
 
 int aln_write_results(void *h, const char *out_prefix, int threads,
                       char *err, int errlen) {
-    // clip + format + write the three PAFs from the stored results
+    // the finish workers already formatted each contig's output parts;
+    // format any stragglers (e.g. results stored through paths that
+    // skip formatting), then the write is just three ordered flushes
     auto &ctx = *(ExportCtx *) h;
     try {
         ensure_results(ctx);
         size_t n = ctx.ds.contigs.size();
-        std::vector<std::vector<aln::OutRow>> mains(n), alts(n);
-        std::vector<std::vector<std::vector<aln::OutRow>>> maxes(n);
-        for (size_t i = 0; i < n; i++) {
-            mains[i] = ctx.results[i].out;
-            alts[i] = ctx.results[i].alt;
-            maxes[i] = ctx.results[i].max_out;
-        }
+        std::vector<long long> todo;
+        for (size_t i = 0; i < n; i++)
+            if (ctx.done[i] && !ctx.formatted[i]) todo.push_back((long long) i);
+        std::string werr;
+        run_pool(threads, (long long) todo.size(),
+                 [&](long long k) { format_result(ctx, todo[k]); }, werr);
+        if (!werr.empty()) throw std::runtime_error(werr);
         std::string prefix(out_prefix);
-        aln::write_rows(ctx.ds, mains, prefix + ".aln.paf", threads);
-        aln::write_rows(ctx.ds, alts, prefix + ".aln.alt.paf", threads);
-        aln::write_max_rows(ctx.ds, maxes, prefix + ".aln.all.paf", threads);
+        std::string ferr[3];
+        auto flush_one = [&](int w) {
+            static const char *sfx[] = {".aln.paf", ".aln.alt.paf",
+                                        ".aln.all.paf"};
+            const std::vector<std::string> *parts[] = {&ctx.pout, &ctx.palt,
+                                                       &ctx.pmax};
+            try {
+                aln::flush_parts_file(prefix + sfx[w], *parts[w]);
+            } catch (const std::exception &e) {
+                ferr[w] = e.what();
+            }
+        };
+        std::vector<std::thread> fpool;
+        for (int w = 0; w < 3; w++) fpool.emplace_back(flush_one, w);
+        for (auto &t : fpool) t.join();
+        for (int w = 0; w < 3; w++)
+            if (!ferr[w].empty()) throw std::runtime_error(ferr[w]);
         return 0;
     } catch (const std::exception &e) {
         set_err(err, errlen, e.what());
