@@ -124,30 +124,8 @@ int aln_run_stats2(const char *paf_path, const char *alt_path, double alt_baseli
             std::string p(paf_path);
             prefix = p.substr(0, p.size() - 4);  // strip ".paf"
         }
-        std::string fail_flush[3];
-        auto flush_one = [&](int which) {
-            static const char *sfx[] = {".aln.paf", ".aln.alt.paf",
-                                        ".aln.all.paf"};
-            const std::vector<std::string> *parts[] = {&parts_out, &parts_alt,
-                                                       &parts_max};
-            try {
-                aln::flush_parts_file(prefix + sfx[which], *parts[which]);
-            } catch (const std::exception &e) {
-                fail_flush[which] = e.what();
-            }
-        };
-        if (nthreads <= 1) {
-            for (int w = 0; w < 3; w++) flush_one(w);
-        } else {
-            std::vector<std::thread> fpool;
-            for (int w = 0; w < 3; w++) fpool.emplace_back(flush_one, w);
-            for (auto &t : fpool) t.join();
-        }
-        for (int w = 0; w < 3; w++)
-            if (!fail_flush[w].empty()) {
-                set_err(err, errlen, fail_flush[w]);
-                return 1;
-            }
+        aln::flush_three(prefix, parts_out, parts_alt, parts_max,
+                         nthreads <= 1 ? 1 : 3);
         auto t3 = clk::now();
         if (stats) {
             long long recs = 0;
@@ -156,7 +134,11 @@ int aln_run_stats2(const char *paf_path, const char *alt_path, double alt_baseli
         }
         // teardown off the timed path: the dataset + formatted parts are
         // ~10^5 small heap blocks (multiple ms of free()); the caller
-        // only needs the files, so a detached thread releases them
+        // only needs the files, so a detached thread releases them.
+        // Constraint: the library must stay loaded for the thread's
+        // lifetime — fine for the ctypes embedding (never dlclosed);
+        // process exit mid-free is benign (threads die with the process
+        // before any unmapping)
         {
             struct Garbage {
                 aln::Dataset ds;

@@ -97,16 +97,6 @@ void build_runs(Record &rec) {
         throw std::runtime_error("cs consumption does not match PAF coords");
 }
 
-Clip clip_cs(const Record &rec, i64 eqs, i64 eqe, i64 ers, i64 ere) {
-    Clip out;
-    std::string scratch;
-    std::string_view cs =
-        clip_cs_view(rec, eqs, eqe, ers, ere, scratch, out.mat_num, out.aln_len);
-    out.cs = std::string(cs);
-    out.cut = cs.data() == scratch.data();
-    return out;
-}
-
 std::string_view clip_cs_view(const Record &rec, i64 eqs, i64 eqe, i64 ers,
                               i64 ere, std::string &scratch, i32 &mat_num,
                               i32 &aln_len) {

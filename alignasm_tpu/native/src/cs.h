@@ -26,15 +26,6 @@ void parse_cs_into(std::string_view cs, CsOps &ops);
 // the record's (closed, strand-swapped) coordinates
 void build_runs(Record &rec);
 
-struct Clip {
-    std::string cs;
-    i32 mat_num = 0;
-    i32 aln_len = 0;
-    bool cut = false;
-};
-
-Clip clip_cs(const Record &rec, i64 eqs, i64 eqe, i64 ers, i64 ere);
-
 // allocation-free form for the hot format path: returns the edited cs
 // text as a view into rec.cs (uncut row) or into `scratch` (cut row —
 // cleared and refilled); mat_num/aln_len are written out-params

@@ -535,6 +535,11 @@ int aln_solve_subset(void *h, const int64_t *idx, long long n_idx,
             ctx.results[i] = aln::solve_from_graph(ctx.packed[i].graph, cfg);
         else
             ctx.results[i] = aln::solve_contig(ctx.ds.contigs[i], cfg);
+        // rows-only consumers (multihost) never flush parts, so skip
+        // the formatting cost here — but a re-solve must invalidate any
+        // previously formatted parts or write_results would flush
+        // output stale against the stored result
+        ctx.formatted[i] = 0;
         ctx.done[i] = 1;
     }, werr);
     if (!werr.empty()) {
@@ -603,23 +608,8 @@ int aln_write_results(void *h, const char *out_prefix, int threads,
                  [&](long long k) { format_result(ctx, todo[k]); }, werr);
         if (!werr.empty()) throw std::runtime_error(werr);
         std::string prefix(out_prefix);
-        std::string ferr[3];
-        auto flush_one = [&](int w) {
-            static const char *sfx[] = {".aln.paf", ".aln.alt.paf",
-                                        ".aln.all.paf"};
-            const std::vector<std::string> *parts[] = {&ctx.pout, &ctx.palt,
-                                                       &ctx.pmax};
-            try {
-                aln::flush_parts_file(prefix + sfx[w], *parts[w]);
-            } catch (const std::exception &e) {
-                ferr[w] = e.what();
-            }
-        };
-        std::vector<std::thread> fpool;
-        for (int w = 0; w < 3; w++) fpool.emplace_back(flush_one, w);
-        for (auto &t : fpool) t.join();
-        for (int w = 0; w < 3; w++)
-            if (!ferr[w].empty()) throw std::runtime_error(ferr[w]);
+        aln::flush_three(prefix, ctx.pout, ctx.palt, ctx.pmax,
+                         threads == 1 ? 1 : 3);
         return 0;
     } catch (const std::exception &e) {
         set_err(err, errlen, e.what());

@@ -431,6 +431,31 @@ void flush_parts_file(const std::string &path,
     flush_parts(path, parts);
 }
 
+void flush_three(const std::string &prefix,
+                 const std::vector<std::string> &out,
+                 const std::vector<std::string> &alt,
+                 const std::vector<std::string> &max, int threads) {
+    static const char *sfx[] = {".aln.paf", ".aln.alt.paf", ".aln.all.paf"};
+    const std::vector<std::string> *parts[] = {&out, &alt, &max};
+    std::string fail[3];
+    auto flush_one = [&](int w) {
+        try {
+            flush_parts(prefix + sfx[w], *parts[w]);
+        } catch (const std::exception &e) {
+            fail[w] = e.what();
+        }
+    };
+    if (threads == 1) {
+        for (int w = 0; w < 3; w++) flush_one(w);
+    } else {
+        std::vector<std::thread> pool;
+        for (int w = 0; w < 3; w++) pool.emplace_back(flush_one, w);
+        for (auto &t : pool) t.join();
+    }
+    for (int w = 0; w < 3; w++)
+        if (!fail[w].empty()) throw std::runtime_error(fail[w]);
+}
+
 void write_rows(const Dataset &ds, const std::vector<std::vector<OutRow>> &rows,
                 const std::string &path, int threads) {
     // threads == 0 means "auto", like run_pool: the exporter's

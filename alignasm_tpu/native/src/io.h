@@ -77,4 +77,12 @@ void format_max_rows_one(std::string &out, const Dataset &ds, size_t i,
 void flush_parts_file(const std::string &path,
                       const std::vector<std::string> &parts);
 
+// flush the three output PAFs (<prefix>.aln[.alt|.all].paf) from
+// per-contig parts, concurrently unless threads == 1; throws on the
+// first file error
+void flush_three(const std::string &prefix,
+                 const std::vector<std::string> &out,
+                 const std::vector<std::string> &alt,
+                 const std::vector<std::string> &max, int threads);
+
 }  // namespace aln
