@@ -546,6 +546,16 @@ def _solve_tpu_native(dataset, cfg: AlignasmConfig, src_paths, write_prefix):
 
         t0 = time.perf_counter()
         sync_s = cfinish_s = 0.0
+        # request every bucket's D2H up front: transfers then progress
+        # while earlier buckets run the threaded C++ finish, instead of
+        # serializing transfer -> finish -> transfer per bucket (matters
+        # on multi-bucket corpora; the tunnel's D2H bandwidth is the
+        # sync floor).  Best-effort — np.asarray below is authoritative.
+        for _idxs, _realB, _V, pending in launches:
+            try:
+                pending.copy_to_host_async()
+            except Exception:
+                pass
         for idxs, realB, V, pending in launches:
             t1 = time.perf_counter()
             try:
