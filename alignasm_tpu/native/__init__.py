@@ -140,6 +140,12 @@ def get_lib():
             ctypes.c_longlong, i32p, i8p, ctypes.c_int,
         ]
         lib.aln_export_wire.restype = ctypes.c_int
+        lib.aln_export_wire_ragged.argtypes = [
+            ctypes.c_void_p, i64p, ctypes.c_longlong, ctypes.c_longlong,
+            i64p, ctypes.c_longlong, ctypes.c_longlong, i32p, i8p,
+            ctypes.c_int,
+        ]
+        lib.aln_export_wire_ragged.restype = ctypes.c_int
         i16p = npc.ndpointer(dtype="int16", flags="C_CONTIGUOUS")
         lib.aln_finish_bulk.argtypes = [
             ctypes.c_void_p, i64p, ctypes.c_longlong, i16p,
@@ -271,6 +277,50 @@ class GraphExporter:
         if rc != 0:
             raise NativeError("wire export failed")
         return wire, status == 0
+
+    def export_wire_ragged(self, idx, V: int, n_edges, pad_b: int,
+                           threads: int = 0):
+        """RAGGED device wire (ops/dense.py:_densify_wire_ragged): one
+        (2, capN) int32 stream for the whole bucket — global flat cell
+        indices b*V*(V+1)+cell and packed score|anom values, contig b's
+        entries at [offs[b], offs[b+1]) with offs from ``n_edges`` + 2.
+        No per-contig W padding: the transport carries only real edges
+        (~2-3x fewer H2D bytes at 50k-contig scale than export_wire's
+        (B, 2, W) slabs).  ``pad_b`` (>= len(idx)) is the batch size the
+        device program was compiled for; the tail [offs[-1], capN) is
+        trash-filled and seeds the padding contigs' dest/src cells so
+        their slabs decode as empty well-formed graphs.  Returns
+        (wire, ok_mask, capN_used) — contigs with ok_mask False must be
+        dropped (rows filtered) before the finish."""
+        np = self._np
+        idx = np.ascontiguousarray(idx, np.int64)
+        B = len(idx)
+        assert pad_b >= B
+        M = V * (V + 1)
+        trash = pad_b * M
+        assert trash + M < 2**31, "global flat index exceeds int32"
+        offs = np.zeros(B + 1, np.int64)
+        np.cumsum(np.asarray(n_edges, np.int64) + 2, out=offs[1:])
+        n_real = int(offs[-1])
+        # pow2-padded stream length; reserve 2 slots per padding contig
+        # for its dest/src seeds
+        need = n_real + 2 * (pad_b - B)
+        cap = 1 << max(3, (need - 1).bit_length())
+        wire = np.empty((2, cap), np.int32)
+        status = np.empty((B,), np.int8)
+        rc = self._lib.aln_export_wire_ragged(
+            self._h, idx, B, V, offs, cap, trash, wire.reshape(-1),
+            status, threads,
+        )
+        if rc != 0:
+            raise NativeError("ragged wire export failed")
+        wire[0, n_real:] = trash
+        wire[1, n_real:] = 0
+        if pad_b > B:
+            k = np.arange(pad_b - B, dtype=np.int64)
+            wire[0, n_real + 2 * k] = (B + k) * M + V * V       # dest -> 0
+            wire[0, n_real + 2 * k + 1] = (B + k) * M + V * V + 1  # src -> 0
+        return wire, status == 0, cap
 
     def finish_bulk(self, idx, dp, V: int, threads: int = 0,
                     lazy_walks: bool = True):

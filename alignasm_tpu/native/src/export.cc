@@ -351,6 +351,83 @@ int aln_export_wire(void *h, const int64_t *idx, long long n_idx, long long V,
     return err.empty() ? 0 : 1;
 }
 
+int aln_export_wire_ragged(void *h, const int64_t *idx, long long n_idx,
+                           long long V, const int64_t *offs, long long capN,
+                           long long trash, int32_t *wire, int8_t *status,
+                           int threads) {
+    // RAGGED wire (ops/dense.py:_densify_wire_ragged): ONE (2, capN)
+    // int32 stream for the whole bucket — row 0 global flat indices
+    // b * V*(V+1) + pos(u)*V + pos(v) (same per-contig cell layout as
+    // aln_export_wire), row 1 packed score|anom<<28 values.  Contig b
+    // owns span [offs[b], offs[b+1]) = its edge count + 2 (dest, src
+    // entries); no per-contig W padding, so the transport carries only
+    // real entries (~2-3x fewer H2D bytes than the (B, 2, W) form at
+    // 50k-contig scale, where the wire dominates device-engine sync).
+    // ``trash`` is the caller's scatter sink (padB * V*(V+1)); bad
+    // contigs (same status codes as aln_export_wire) get their span
+    // trash-filled except dest/src entries pointing at vertex 0 (an
+    // empty well-formed slab) and are filtered out by the caller
+    // before the finish.
+    auto &ctx = *(ExportCtx *) h;
+    const long long M = V * (V + 1);
+    std::string err;
+    run_pool(threads, n_idx, [&](long long b) {
+        const long long lo = offs[b], hi = offs[b + 1];
+        int32_t *ib = wire + lo;
+        int32_t *vb = wire + capN + lo;
+        const long long span = hi - lo;
+        auto fail = [&](int8_t code) {
+            status[b] = code;
+            std::fill(ib, ib + span, (int32_t) trash);
+            std::fill(vb, vb + span, 0);
+            if (span >= 2) {
+                ib[0] = (int32_t) (b * M + V * V);      // dest -> vertex 0
+                ib[1] = (int32_t) (b * M + V * V + 1);  // src  -> vertex 0
+            }
+        };
+        status[b] = 0;
+        const auto &pc = ctx.packed[idx[b]];
+        if (!pc.built) return fail(2);
+        const auto &g = pc.graph;
+        long long n_e = 0;
+        for (const auto &a : g.adj) n_e += (long long) a.size();
+        if ((long long) g.adj.size() > V || n_e + 2 != span) return fail(3);
+        static thread_local std::vector<char> seen;
+        if ((long long) seen.size() < V * V) seen.assign((size_t) (V * V), 0);
+        const auto &kahn = pc.kahn;
+        auto pos = [&](long long v) { return V - 1 - (long long) kahn[v]; };
+        const long long base = b * M;
+        long long k = 0;
+        int8_t bad = 0;
+        for (size_t u = 0; u < g.adj.size() && !bad; u++) {
+            for (const auto &e : g.adj[u]) {
+                int64_t s = e.w.sum();
+                int64_t a = e.w.a;
+                if (s < 0 || s >= (1 << 28) || a < 0 || a > 3) {
+                    bad = 4;
+                    break;
+                }
+                long long cell = pos((long long) u) * V + pos(e.to);
+                if (seen[cell]) {
+                    bad = 1;
+                    break;
+                }
+                seen[cell] = 1;
+                ib[k] = (int32_t) (base + cell);
+                vb[k] = (int32_t) (s | (a << 28));
+                k++;
+            }
+        }
+        for (long long j = 0; j < k; j++) seen[ib[j] - base] = 0;
+        if (bad) return fail(bad);
+        ib[k] = (int32_t) (base + V * V);
+        vb[k] = (int32_t) pos(g.dest);
+        ib[k + 1] = (int32_t) (base + V * V + 1);
+        vb[k + 1] = (int32_t) pos(g.src);
+    }, err);
+    return err.empty() ? 0 : 1;
+}
+
 int aln_finish_bulk(void *h, const int64_t *idx, long long n_idx,
                     const int16_t *dp, long long V, int lazy_walks,
                     int threads, long long *n_fast, long long *n_fallback,

@@ -246,6 +246,37 @@ def dense_solve_wire_topo_nxt8(wire, V):
     return jax.vmap(lambda arr: solve_slab_topo_nxt8(arr, V))(packed)
 
 
+def _densify_wire_ragged(wire, B, V):
+    """Scatter the RAGGED wire into (B, V+1, V) slabs on device — the
+    layout contract with export.cc:aln_export_wire_ragged: one (2, capN)
+    int32 stream, row 0 global flat indices b*V*(V+1) + cell (cell as in
+    _densify_wire), row 1 packed values; padding points at the trash
+    cell B*V*(V+1).  ONE batched scatter for the whole bucket, and the
+    transport carries no per-contig W padding (~2-3x fewer H2D bytes at
+    scale than the (B, 2, W) form)."""
+    M = V * (V + 1)
+    flat = jnp.full((B * M + 1,), INF32, jnp.int32).at[wire[0]].set(wire[1])
+    return flat[: B * M].reshape(B, V + 1, V)
+
+
+@functools.partial(jax.jit, static_argnames=("B", "V"))
+def dense_solve_wire_topo_nxt_ragged(wire, B, V):
+    """Batched production solve from the ragged wire returning compact
+    int16 nxt rows (solve_slab_topo_nxt layout)."""
+    packed = _densify_wire_ragged(wire, B, V)
+    return jax.vmap(lambda arr: solve_slab_topo_nxt(arr, V))(packed)
+
+
+@functools.partial(jax.jit, static_argnames=("B", "V"))
+def dense_solve_wire_topo_nxt8_ragged(wire, B, V):
+    """Batched production solve from the ragged wire returning
+    (B, V + 2) uint8 rows with the on-device order-insensitivity gate
+    (solve_slab_topo_nxt8)."""
+    assert V <= 256, "uint8 nxt entries require V <= 256"
+    packed = _densify_wire_ragged(wire, B, V)
+    return jax.vmap(lambda arr: solve_slab_topo_nxt8(arr, V))(packed)
+
+
 @functools.partial(jax.jit, static_argnames=("n_sweeps",))
 def dense_solve_batch(ws, wa, dest, n_sweeps):
     """Batched (B, V, V) dense solve; returns (B, 5, V) int32 stacked

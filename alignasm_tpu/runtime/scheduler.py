@@ -383,10 +383,33 @@ def _launch_buckets(buckets, n_edges, exporter, spec, n_dev, launches,
 
     from alignasm_tpu.ops.dense import (
         dense_solve_wire_topo_nxt, dense_solve_wire_topo_nxt8,
+        dense_solve_wire_topo_nxt_ragged, dense_solve_wire_topo_nxt8_ragged,
     )
 
     for V, idxs in buckets:
-        # sparse wire: W = pow2-padded max edge count + dest/src slots
+        realB = len(idxs)
+        padB = _next_pow2(realB)
+        if spec is None:
+            # single-device production transport: RAGGED wire — one
+            # (2, capN) int32 stream carrying only real edge entries
+            # (no per-contig W padding; ~2-3x fewer H2D bytes at
+            # 50k-contig scale, where the wire dominates sync).  Bad
+            # contigs (parallel edges / envelope) decode to empty slabs
+            # and their result rows are dropped before the finish.
+            wire, ok, _cap = exporter.export_wire_ragged(
+                idxs, V, n_edges[idxs], padB)
+            if V <= 256:
+                pending = dense_solve_wire_topo_nxt8_ragged(wire, B=padB, V=V)
+            else:
+                pending = dense_solve_wire_topo_nxt_ragged(wire, B=padB, V=V)
+            launches.append((idxs, realB, V, pending,
+                             None if ok.all() else ok))
+            stats["dense_buckets"] += 1
+            stats.setdefault("bucket_vs", []).append(int(V))
+            continue
+        # multi-device: (B, 2, W) wire whose dim 0 shards over the data
+        # mesh — contigs are independent, so XLA runs shards with zero
+        # communication
         W = _next_pow2(int(n_edges[idxs].max()) + 2)
         wire, ok = exporter.export_wire(idxs, V, W)
         if not ok.all():
@@ -396,15 +419,13 @@ def _launch_buckets(buckets, n_edges, exporter, spec, n_dev, launches,
                 continue
         realB = len(idxs)
         padB = _next_pow2(realB)
-        if spec is not None:
-            # the data-mesh axis shards dim 0: pad to a multiple of
-            # the device count (pow2 alone fails on e.g. 6 devices)
-            padB = ((padB + n_dev - 1) // n_dev) * n_dev
+        # the data-mesh axis shards dim 0: pad to a multiple of
+        # the device count (pow2 alone fails on e.g. 6 devices)
+        padB = ((padB + n_dev - 1) // n_dev) * n_dev
         if padB != realB:
             wire = np.concatenate(
                 [wire, np.repeat(wire[-1:], padB - realB, 0)])
-        if spec is not None:
-            wire = jax.device_put(wire, spec)
+        wire = jax.device_put(wire, spec)
         # topo-relabeled wire -> single reverse-scan kernel shipping
         # the achieving-successor array (the C++ finish chases the
         # min-walk path on host — a second on-device chase scan cost
@@ -418,7 +439,7 @@ def _launch_buckets(buckets, n_edges, exporter, spec, n_dev, launches,
             pending = dense_solve_wire_topo_nxt8(wire, V=V)
         else:
             pending = dense_solve_wire_topo_nxt(wire, V=V)
-        launches.append((idxs, realB, V, pending))
+        launches.append((idxs, realB, V, pending, None))
         stats["dense_buckets"] += 1
         stats.setdefault("bucket_vs", []).append(int(V))
 
@@ -551,12 +572,12 @@ def _solve_tpu_native(dataset, cfg: AlignasmConfig, src_paths, write_prefix):
         # serializing transfer -> finish -> transfer per bucket (matters
         # on multi-bucket corpora; the tunnel's D2H bandwidth is the
         # sync floor).  Best-effort — np.asarray below is authoritative.
-        for _idxs, _realB, _V, pending in launches:
+        for *_rest, pending, _ok in launches:
             try:
                 pending.copy_to_host_async()
             except Exception:
                 pass
-        for idxs, realB, V, pending in launches:
+        for idxs, realB, V, pending, ok in launches:
             t1 = time.perf_counter()
             try:
                 dp = np.asarray(pending)[:realB]
@@ -564,6 +585,13 @@ def _solve_tpu_native(dataset, cfg: AlignasmConfig, src_paths, write_prefix):
                 stats["device_error"] = f"sync: {exc!r}"[:500]
                 sync_s += time.perf_counter() - t1
                 continue  # these contigs fall to solve_remaining
+            if ok is not None:
+                # ragged-wire bucket with export-rejected contigs: drop
+                # their (empty-slab) rows; they fall to solve_remaining
+                dp = dp[ok]
+                idxs = idxs[ok]
+                if not len(idxs):
+                    continue
             t2 = time.perf_counter()
             sync_s += t2 - t1
             try:
