@@ -154,7 +154,9 @@ def solve_dataset_resumable(dataset, cfg, journal_path: str, solve_contig=None,
                 part = missing[lo:lo + chunk]
                 # records are handed to the solver uncopied, exactly as
                 # the exact branch and the non-resume scheduler do —
-                # solvers do not mutate input records
+                # solvers never mutate digest-relevant record fields
+                # (they do refresh the derived ctg_sorted_index scratch
+                # field, which contig_digest deliberately excludes)
                 sub = PafDataset(
                     contigs=[dataset.contigs[i] for i in part],
                     ctg_names=[dataset.ctg_names[i] for i in part],

@@ -89,6 +89,13 @@ def solve_dataset_tpu(dataset, cfg: AlignasmConfig, batch_size: int = 256,
     finishes each contig on host.  Contigs whose outcome is
     walk-order-sensitive (Fallback) or oversized run through the exact
     host engine — results are always byte-identical to the reference.
+
+    The Python host plane (no ``src_paths``) is TEST/FALLBACK-ONLY: it
+    exists so kernel tests and datasets without a source file can drive
+    the device kernels, and as the visible degrade target when the
+    native plane fails.  It is ~30x slower than the C++ plane and is
+    NOT the production wire format (the native plane's ragged wire is);
+    production callers always pass ``src_paths``.
     """
     import numpy as np
 
@@ -97,7 +104,6 @@ def solve_dataset_tpu(dataset, cfg: AlignasmConfig, batch_size: int = 256,
     )
     from alignasm_tpu.engine.exact import solve_contig
     from alignasm_tpu.engine.graph import build_graph
-    from alignasm_tpu.model.records import PafOutput
     from alignasm_tpu.ops.relax import solve_graph_batch
 
     _warm_transfer_async()
@@ -132,10 +138,9 @@ def solve_dataset_tpu(dataset, cfg: AlignasmConfig, batch_size: int = 256,
     packed = []  # (contig index, PackedGraph)
     for i, contig in enumerate(dataset.contigs):
         if len(contig) == 1:
-            contig[0].ctg_sorted_index = 0
-            outs[i] = [PafOutput.from_record(contig[0])]
-            alt_outs[i] = []
-            max_outs[i] = []
+            # single source of truth for the singleton passthrough
+            # (incl. its ctg_sorted_index bookkeeping): the exact solver
+            outs[i], alt_outs[i], max_outs[i] = solve_contig(contig, cfg)
             stats["singleton"] += 1
             continue
         if len(contig) > cfg.max_device_records:
@@ -377,7 +382,9 @@ def _dense_buckets(order, n_v, dense_cells: int = 2**26,
 def _launch_buckets(buckets, n_edges, exporter, spec, n_dev, launches,
                     stats):
     """Export each bucket's sparse wire and dispatch its device program
-    (async); appends (idxs, realB, V, pending) to ``launches``."""
+    (async); appends 5-tuples ``(idxs, realB, V, pending, ok)`` to
+    ``launches`` — ``ok`` is the per-contig export-accept mask when any
+    contig was rejected (ragged wire), else None."""
     import jax
     import numpy as np
 

@@ -412,3 +412,74 @@ def test_device_engine_uses_dense_kernel(tmp_path):
     stats = solve_dataset_tpu.last_stats
     assert stats["dense_buckets"] > 0, stats
     assert got == solve_dataset(ds2, DEFAULT_CONFIG)
+
+
+def test_ragged_wire_parity_with_slab_wire(tmp_path):
+    """The ragged wire (export_wire_ragged + _densify_wire_ragged) and
+    the slab wire (export_wire + _densify_wire) are two encodings of ONE
+    layout contract; this pins them together end to end: identical
+    densified slabs and bit-identical nxt/nxt8 production rows for the
+    same bucket — including a rejected contig (empty well-formed slab in
+    the ragged stream, dropped via the ok mask) and padB > B padding
+    rows."""
+    from alignasm_tpu import native
+    from alignasm_tpu.config import DEFAULT_CONFIG as cfg
+    from alignasm_tpu.ops.dense import (
+        _densify_wire, _densify_wire_ragged, dense_solve_wire_topo_nxt,
+        dense_solve_wire_topo_nxt8, dense_solve_wire_topo_nxt8_ragged,
+        dense_solve_wire_topo_nxt_ragged, INF32,
+    )
+
+    p = tmp_path / "rp.paf"
+    p.write_text(generate_hard_paf(n_contigs=8, seed=21))
+    native.build()
+    exp = native.GraphExporter(str(p), config=cfg)
+    try:
+        meta = exp.meta_bulk()
+        idx = np.where((meta[:, 0] == 1) & (meta[:, 1] >= 2))[0]
+        assert len(idx) >= 4
+        V = 1 << int(meta[idx, 2].max() - 1).bit_length()
+        n_edges = meta[idx, 3]
+        W = 1 << int(n_edges.max() + 2 - 1).bit_length()
+        padB = 1 << (len(idx) - 1).bit_length()
+        if padB == len(idx):
+            padB *= 2  # force real padding rows
+
+        slab_wire, ok_s = exp.export_wire(idx, V, W)
+        rag_wire, ok_r, _cap = exp.export_wire_ragged(idx, V, n_edges, padB)
+        assert ok_s.all() and ok_r.all()
+
+        slabs_s = np.asarray(_densify_wire(slab_wire, V))
+        slabs_r = np.asarray(_densify_wire_ragged(rag_wire, padB, V))
+        np.testing.assert_array_equal(slabs_s, slabs_r[: len(idx)])
+        # padding rows decode to empty well-formed slabs: no edges, and
+        # dest/src seeded at vertex 0
+        for b in range(len(idx), padB):
+            assert (slabs_r[b, :V] == INF32).all()
+            assert slabs_r[b, V, 0] == 0 and slabs_r[b, V, 1] == 0
+
+        r16_s = np.asarray(dense_solve_wire_topo_nxt(slab_wire, V=V))
+        r16_r = np.asarray(dense_solve_wire_topo_nxt_ragged(
+            rag_wire, B=padB, V=V))
+        np.testing.assert_array_equal(r16_s, r16_r[: len(idx)])
+        if V <= 256:
+            r8_s = np.asarray(dense_solve_wire_topo_nxt8(slab_wire, V=V))
+            r8_r = np.asarray(dense_solve_wire_topo_nxt8_ragged(
+                rag_wire, B=padB, V=V))
+            np.testing.assert_array_equal(r8_s, r8_r[: len(idx)])
+
+        # a rejected contig: lie about one contig's edge count so the
+        # ragged exporter fails it (status 3) — its span must decode to
+        # an empty well-formed slab and its ok flag must drop it
+        bad_edges = n_edges.copy()
+        bad_edges[1] += 1
+        rag_bad, ok_bad, _cap2 = exp.export_wire_ragged(
+            idx, V, bad_edges, padB)
+        assert not ok_bad[1] and ok_bad[0]
+        slabs_bad = np.asarray(_densify_wire_ragged(rag_bad, padB, V))
+        assert (slabs_bad[1, :V] == INF32).all()
+        assert slabs_bad[1, V, 0] == 0 and slabs_bad[1, V, 1] == 0
+        keep = np.where(ok_bad)[0]
+        np.testing.assert_array_equal(slabs_bad[keep], slabs_s[keep])
+    finally:
+        exp.close()
