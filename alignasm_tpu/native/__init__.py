@@ -167,9 +167,11 @@ def get_lib():
         lib.aln_solve_remaining.restype = ctypes.c_int
         lib.aln_solve_subset.argtypes = [
             ctypes.c_void_p, i64p, ctypes.c_longlong, ctypes.c_int,
-            ctypes.c_int, ctypes.c_char_p, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_char_p, ctypes.c_int,
         ]
         lib.aln_solve_subset.restype = ctypes.c_int
+        lib.aln_prepare_results.argtypes = [ctypes.c_void_p]
+        lib.aln_prepare_results.restype = ctypes.c_int
         lib.aln_write_results.argtypes = [
             ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int,
             ctypes.c_char_p, ctypes.c_int,
@@ -412,18 +414,27 @@ class GraphExporter:
         if rc != 0:
             raise NativeError(err.value.decode(errors="replace"))
 
-    def solve_subset(self, idx, threads: int = 0, lazy_walks: bool = True):
+    def solve_subset(self, idx, threads: int = 0, lazy_walks: bool = True,
+                     format_out: bool = False):
         """Full native solve for an explicit contig index subset (the
-        multihost per-rank work)."""
+        multihost per-rank work; the device engine's non-device set on
+        the overlap thread).  ``format_out`` pre-formats output parts
+        inline so write_results stays flush-only; rows-only consumers
+        leave it off."""
         np = self._np
         idx = np.ascontiguousarray(idx, np.int64)
         err = ctypes.create_string_buffer(4096)
         rc = self._lib.aln_solve_subset(
             self._h, idx, len(idx), 1 if lazy_walks else 0, threads,
-            err, len(err),
+            1 if format_out else 0, err, len(err),
         )
         if rc != 0:
             raise NativeError(err.value.decode(errors="replace"))
+
+    def prepare_results(self) -> None:
+        """Pre-size the result store so concurrent finish/solve calls
+        from different host threads never race the lazy resize."""
+        self._lib.aln_prepare_results(self._h)
 
     def fetch_results_raw(self):
         """Stored results as flat numpy arrays: (counts (n, 3), gsizes,

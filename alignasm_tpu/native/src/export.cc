@@ -598,9 +598,16 @@ int aln_solve_remaining(void *h, int lazy_walks, int threads,
 }
 
 int aln_solve_subset(void *h, const int64_t *idx, long long n_idx,
-                     int lazy_walks, int threads, char *err, int errlen) {
+                     int lazy_walks, int threads, int format_out,
+                     char *err, int errlen) {
     // full native solve for an explicit contig subset (multihost: each
-    // rank solves the contigs congruent to its rank)
+    // rank solves the contigs congruent to its rank; the device
+    // engine's non-device set solved on the overlap thread).
+    // format_out != 0 pre-formats output parts inline (write_results
+    // stays flush-only); rows-only consumers (multihost, resume) pass
+    // 0 to skip the formatting cost — a re-solve must then invalidate
+    // any previously formatted parts or write_results would flush
+    // output stale against the stored result.
     auto &ctx = *(ExportCtx *) h;
     ensure_results(ctx);
     aln::Config cfg = ctx.cfg;
@@ -612,17 +619,25 @@ int aln_solve_subset(void *h, const int64_t *idx, long long n_idx,
             ctx.results[i] = aln::solve_from_graph(ctx.packed[i].graph, cfg);
         else
             ctx.results[i] = aln::solve_contig(ctx.ds.contigs[i], cfg);
-        // rows-only consumers (multihost) never flush parts, so skip
-        // the formatting cost here — but a re-solve must invalidate any
-        // previously formatted parts or write_results would flush
-        // output stale against the stored result
-        ctx.formatted[i] = 0;
+        if (format_out)
+            format_result(ctx, i);
+        else
+            ctx.formatted[i] = 0;
         ctx.done[i] = 1;
     }, werr);
     if (!werr.empty()) {
         set_err(err, errlen, werr);
         return 1;
     }
+    return 0;
+}
+
+int aln_prepare_results(void *h) {
+    // pre-size the result store so concurrent finish/solve calls (the
+    // device engine overlaps its non-device native solves with the
+    // tunnel sync on a host thread) never race ensure_results' lazy
+    // resize — after this call ensure_results is a no-op size check
+    ensure_results(*(ExportCtx *) h);
     return 0;
 }
 

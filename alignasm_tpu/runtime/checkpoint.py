@@ -146,6 +146,27 @@ def solve_dataset_resumable(dataset, cfg, journal_path: str, solve_contig=None,
                         put(i, ch_o[j], ch_a[j], ch_m[j])
             finally:
                 exporter.close()
+        elif engine == "tpu" and src_paths is not None:
+            # PRODUCTION plane: one native parse, the bucket device
+            # pipeline over the device-eligible missing contigs (the
+            # non-eligible ones solve natively under the tunnel sync),
+            # results journaled in chunk-sized slices.  A resumed
+            # 50k-contig tpu run must NOT crawl on the Python plane.
+            from alignasm_tpu.runtime.scheduler import solve_missing_tpu_native
+
+            def put_chunk(part, so, sa, sm):
+                for k, i in enumerate(part):
+                    put(int(i), so[k], sa[k], sm[k])
+
+            if missing:
+                # expected_n guards digest integrity: a contig-count
+                # mismatch between file and dataset raises before any
+                # journal write (same invariant as the native branch)
+                tstats = solve_missing_tpu_native(
+                    cfg, src_paths, missing, put_chunk=put_chunk,
+                    chunk=chunk, threads=threads, expected_n=n,
+                )
+                stats["host_plane"] = tstats.get("host_plane", "native")
         elif engine == "tpu":
             from alignasm_tpu.io.paf import PafDataset
             from alignasm_tpu.runtime.scheduler import solve_dataset_tpu

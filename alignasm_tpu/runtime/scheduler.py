@@ -451,6 +451,152 @@ def _launch_buckets(buckets, n_edges, exporter, spec, n_dev, launches,
         stats.setdefault("bucket_vs", []).append(int(V))
 
 
+def _eligible_mask(meta, cfg):
+    """Device-envelope eligibility over all contigs.
+
+    Score envelope 2^28 (packed wire format reserves bits 28-29 for the
+    edge anomaly); bound is a path-sum upper bound, so every edge score
+    and every DP value stays packable.  The compact int16 result rows
+    clamp anomaly sums at I16_INF=16384 (ops/dense.py); with <= 3
+    anomaly per edge that is exact only for V <= 5461 — enforce it here
+    so raising cfg.dense_max_v cannot silently turn the clamp into
+    wrong fast-path bytes (a clamped d_a == clamped floor_a would skip
+    a real alt scan)."""
+    built = meta[:, 0] == 1
+    n_v, bound = meta[:, 2], meta[:, 6]
+    max_v = min(cfg.dense_max_v, 5461)
+    return built & (n_v <= max_v) & (bound < 2**27)
+
+
+def _device_assist(exporter, cfg: AlignasmConfig, meta, idx_pool, stats,
+                   overlap=None):
+    """Run the bucket device pipeline over the device-eligible members
+    of ``idx_pool`` (contig indices into the exporter): bucket by
+    padded V, export each bucket's ragged wire, dispatch all device
+    programs, then sync + threaded C++ finish per bucket.  Finished
+    contigs (fast path or native fallback, decided in C++) get results
+    stored in the exporter.
+
+    ``overlap``: optional 0-arg callable executed on a HOST THREAD
+    while the main thread waits on device results — the caller's native
+    solves of non-device contigs ride under the tunnel sync for free
+    (ctypes releases the GIL; the exporter's result slots are
+    per-contig, and caller guarantees the overlap set is disjoint from
+    ``idx_pool``).
+
+    The device section must never sink the run: any failure (tunnel
+    down, backend init error, a result-integrity mismatch) leaves the
+    affected contigs without stored results — the caller's
+    solve_remaining/solve_subset covers them — with the reason recorded
+    in ``stats``.  Outputs stay byte-identical either way; only
+    throughput changes.
+
+    Returns the np array of contig indices with stored results."""
+    import threading
+    import time
+
+    import jax
+    import numpy as np
+
+    eligible = _eligible_mask(meta, cfg)
+    pool_mask = np.zeros(len(meta), bool)
+    pool_mask[idx_pool] = True
+    idx_all = np.where(eligible & pool_mask)[0]
+    n_v, n_edges = meta[:, 2], meta[:, 3]
+
+    # bucket by padded V; cap the per-bucket dense footprint and pad
+    # B to pow2 so compiled shapes stay bounded
+    order = idx_all[np.argsort(n_v[idx_all], kind="stable")]
+    buckets = _dense_buckets(order, n_v)
+
+    # multi-device: shard bucket batches over a data mesh — contigs
+    # are independent, so XLA runs shards with zero communication
+    n_dev = jax.device_count()
+    spec = None
+    if n_dev > 1:
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        mesh = Mesh(np.array(jax.devices()), ("data",))
+        spec = NamedSharding(mesh, P("data"))
+        stats["data_mesh_devices"] = n_dev
+
+    t0 = time.perf_counter()
+    launches = []
+    try:
+        _launch_buckets(buckets, n_edges, exporter, spec, n_dev,
+                        launches, stats)
+    except Exception as exc:
+        stats["device_error"] = f"launch: {exc!r}"[:500]
+        launches = []
+    stats["launch_s"] = round(time.perf_counter() - t0, 4)
+
+    overlap_thread = None
+    if overlap is not None:
+        # the native solve of non-device contigs runs while the tunnel
+        # moves wires and the chip computes — pure win on a transport
+        # whose sync wait is host-idle time
+        overlap_thread = threading.Thread(target=overlap, daemon=True)
+        overlap_thread.start()
+
+    t0 = time.perf_counter()
+    sync_s = cfinish_s = 0.0
+    covered = []
+    # request every bucket's D2H up front: transfers then progress
+    # while earlier buckets run the threaded C++ finish, instead of
+    # serializing transfer -> finish -> transfer per bucket (matters
+    # on multi-bucket corpora; the tunnel's D2H bandwidth is the
+    # sync floor).  Best-effort — np.asarray below is authoritative.
+    for *_rest, pending, _ok in launches:
+        try:
+            pending.copy_to_host_async()
+        except Exception:
+            pass
+    for idxs, realB, V, pending, ok in launches:
+        t1 = time.perf_counter()
+        try:
+            dp = np.asarray(pending)[:realB]
+        except Exception as exc:
+            stats["device_error"] = f"sync: {exc!r}"[:500]
+            sync_s += time.perf_counter() - t1
+            continue  # these contigs fall to the caller's native solve
+        if ok is not None:
+            # ragged-wire bucket with export-rejected contigs: drop
+            # their (empty-slab) rows; the caller's native solve covers
+            dp = dp[ok]
+            idxs = idxs[ok]
+            if not len(idxs):
+                continue
+        t2 = time.perf_counter()
+        sync_s += t2 - t1
+        try:
+            if dp.dtype == np.uint8:
+                n_fast, n_fb = exporter.finish_bulk8(idxs, dp, V)
+            else:
+                n_fast, n_fb = exporter.finish_bulk(idxs, dp, V)
+        except Exception as exc:
+            stats["device_error"] = f"finish: {exc!r}"[:500]
+            cfinish_s += time.perf_counter() - t2
+            continue
+        cfinish_s += time.perf_counter() - t2
+        covered.append(idxs)
+        stats["device"] += n_fast
+        stats["fallback"] += n_fb
+    if "device_error" in stats:
+        import warnings
+
+        warnings.warn(
+            "device path degraded to native solve: "
+            + stats["device_error"], RuntimeWarning, stacklevel=2)
+    if overlap_thread is not None:
+        t1 = time.perf_counter()
+        overlap_thread.join()
+        stats["overlap_join_s"] = round(time.perf_counter() - t1, 4)
+    stats["finish_s"] = round(time.perf_counter() - t0, 4)
+    stats["sync_s"] = round(sync_s, 4)      # device wait + transfer
+    stats["cfinish_s"] = round(cfinish_s, 4)  # threaded C++ finish
+    return np.concatenate(covered) if covered else np.empty(0, np.int64)
+
+
 def _solve_tpu_native(dataset, cfg: AlignasmConfig, src_paths, write_prefix):
     """Production device path: the C++ host plane does parse -> graph
     build -> dense pack -> device-assisted finish -> output writing; the
@@ -459,11 +605,11 @@ def _solve_tpu_native(dataset, cfg: AlignasmConfig, src_paths, write_prefix):
     contig in dict packing and the host finish — 30x the C++ plane).
 
     Per bucket: one C++ dense-pack call, one jitted device program, one
-    device->host transfer of the stacked (B, 5, V) DP rows, one C++
-    finish call (threaded; device-assisted fast path or full native
-    solve per contig).  Contigs outside the dense envelope (singletons,
-    oversize, int32-unsafe, parallel-edge) solve natively in one
-    threaded pass.
+    device->host transfer of the compact result rows, one C++ finish
+    call (threaded; device-assisted fast path or full native solve per
+    contig).  Contigs outside the dense envelope (singletons, oversize,
+    int32-unsafe, parallel-edge) solve natively on a host thread that
+    OVERLAPS the device sync wait.
     """
     import time
 
@@ -490,21 +636,9 @@ def _solve_tpu_native(dataset, cfg: AlignasmConfig, src_paths, write_prefix):
         if dataset is not None:
             assert n == len(dataset.contigs), "native/python contig count mismatch"
         meta = exporter.meta_bulk()
-        built = meta[:, 0] == 1
-        n_rec, n_v, bound = meta[:, 1], meta[:, 2], meta[:, 6]
+        n_rec = meta[:, 1]
         stats["singleton"] = int((n_rec == 1).sum())
         stats["oversize"] = int((n_rec > cfg.max_device_records).sum())
-        # score envelope 2^28 (packed wire format reserves bits 28-29
-        # for the edge anomaly); bound is a path-sum upper bound, so
-        # every edge score and every DP value stays packable.  The
-        # compact int16 result rows clamp anomaly sums at I16_INF=16384
-        # (ops/dense.py); with <= 3 anomaly per edge that is exact only
-        # for V <= 5461 — enforce it here so raising cfg.dense_max_v
-        # cannot silently turn the clamp into wrong fast-path bytes
-        # (a clamped d_a == clamped floor_a would skip a real alt scan).
-        max_v = min(cfg.dense_max_v, 5461)
-        eligible = built & (n_v <= max_v) & (bound < 2**27)
-        idx_all = np.where(eligible)[0]
         stats["pack_s"] = round(time.perf_counter() - t_start, 4)
 
         # 512 GB-class contigs (over BOTH device-record and shard
@@ -520,6 +654,7 @@ def _solve_tpu_native(dataset, cfg: AlignasmConfig, src_paths, write_prefix):
         # the contig) instead of sinking the run.
         import jax
 
+        sharded_ok = np.empty(0, np.int64)
         if dataset is not None and jax.device_count() > 1:
             big = np.where((n_rec > cfg.max_device_records)
                            & (n_rec >= cfg.graph_shard_min_records))[0]
@@ -527,6 +662,7 @@ def _solve_tpu_native(dataset, cfg: AlignasmConfig, src_paths, write_prefix):
                 from alignasm_tpu.parallel.mesh import solve_contig_sharded
 
                 t0 = time.perf_counter()
+                done = []
                 for i in big:
                     try:
                         o, a, m = solve_contig_sharded(dataset.contigs[i], cfg)
@@ -534,96 +670,37 @@ def _solve_tpu_native(dataset, cfg: AlignasmConfig, src_paths, write_prefix):
                     except Exception as exc:
                         stats["device_error"] = f"shard: {exc!r}"[:500]
                         break  # device plane is sick; native covers the rest
+                    done.append(i)
                     stats["graph_sharded"] = stats.get("graph_sharded", 0) + 1
+                sharded_ok = np.asarray(done, np.int64)
                 stats["shard_s"] = round(time.perf_counter() - t0, 4)
 
-        # bucket by padded V; cap the per-bucket dense footprint and pad
-        # B to pow2 so compiled shapes stay bounded
-        order = idx_all[np.argsort(n_v[idx_all], kind="stable")]
-        buckets = _dense_buckets(order, n_v)
+        # non-device set (never eligible for a bucket): solved natively
+        # on a host thread that overlaps the device sync below
+        eligible = _eligible_mask(meta, cfg)
+        non_device = np.where(~eligible)[0]
+        if len(sharded_ok):
+            non_device = np.setdiff1d(non_device, sharded_ok)
+        exporter.prepare_results()  # pre-size result slots: the overlap
+        # thread and the finish calls must not race a lazy resize
+        overlap = None
+        if len(non_device):
+            def overlap(idx=non_device):
+                import time as _t
 
-        # multi-device: shard bucket batches over a data mesh — contigs
-        # are independent, so XLA runs shards with zero communication
-        import jax
+                t1 = _t.perf_counter()
+                try:
+                    exporter.solve_subset(idx, format_out=True)
+                except Exception as exc:  # pragma: no cover - surfaced via stats
+                    stats["overlap_error"] = repr(exc)[:500]
+                stats["overlap_solve_s"] = round(_t.perf_counter() - t1, 4)
 
-        n_dev = jax.device_count()
-        spec = None
-        if n_dev > 1:
-            from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-
-            mesh = Mesh(np.array(jax.devices()), ("data",))
-            spec = NamedSharding(mesh, P("data"))
-            stats["data_mesh_devices"] = n_dev
-
-        n_edges = meta[:, 3]
-        t0 = time.perf_counter()
-        launches = []
-        # The device section must never sink the run: any failure here
-        # (tunnel down, backend init error, a result-integrity mismatch)
-        # degrades to the threaded native solve below — solve_remaining
-        # covers every contig without a stored result — with the reason
-        # recorded in stats.  Outputs stay byte-identical either way;
-        # only throughput changes.
-        try:
-            _launch_buckets(buckets, n_edges, exporter, spec, n_dev,
-                            launches, stats)
-        except Exception as exc:
-            stats["device_error"] = f"launch: {exc!r}"[:500]
-            launches = []
-        stats["launch_s"] = round(time.perf_counter() - t0, 4)
-
-        t0 = time.perf_counter()
-        sync_s = cfinish_s = 0.0
-        # request every bucket's D2H up front: transfers then progress
-        # while earlier buckets run the threaded C++ finish, instead of
-        # serializing transfer -> finish -> transfer per bucket (matters
-        # on multi-bucket corpora; the tunnel's D2H bandwidth is the
-        # sync floor).  Best-effort — np.asarray below is authoritative.
-        for *_rest, pending, _ok in launches:
-            try:
-                pending.copy_to_host_async()
-            except Exception:
-                pass
-        for idxs, realB, V, pending, ok in launches:
-            t1 = time.perf_counter()
-            try:
-                dp = np.asarray(pending)[:realB]
-            except Exception as exc:
-                stats["device_error"] = f"sync: {exc!r}"[:500]
-                sync_s += time.perf_counter() - t1
-                continue  # these contigs fall to solve_remaining
-            if ok is not None:
-                # ragged-wire bucket with export-rejected contigs: drop
-                # their (empty-slab) rows; they fall to solve_remaining
-                dp = dp[ok]
-                idxs = idxs[ok]
-                if not len(idxs):
-                    continue
-            t2 = time.perf_counter()
-            sync_s += t2 - t1
-            try:
-                if dp.dtype == np.uint8:
-                    n_fast, n_fb = exporter.finish_bulk8(idxs, dp, V)
-                else:
-                    n_fast, n_fb = exporter.finish_bulk(idxs, dp, V)
-            except Exception as exc:
-                stats["device_error"] = f"finish: {exc!r}"[:500]
-                cfinish_s += time.perf_counter() - t2
-                continue
-            cfinish_s += time.perf_counter() - t2
-            stats["device"] += n_fast
-            stats["fallback"] += n_fb
-        if "device_error" in stats:
-            import warnings
-
-            warnings.warn(
-                "device path degraded to native solve: "
-                + stats["device_error"], RuntimeWarning, stacklevel=2)
+        _device_assist(exporter, cfg, meta, np.arange(n), stats,
+                       overlap=overlap)
+        # leftovers: export-rejected / device-error contigs (and the
+        # overlap set if its thread failed)
         stats["native_direct"] = exporter.solve_remaining() \
-            - stats["singleton"]
-        stats["finish_s"] = round(time.perf_counter() - t0, 4)
-        stats["sync_s"] = round(sync_s, 4)      # device wait + transfer
-        stats["cfinish_s"] = round(cfinish_s, 4)  # threaded C++ finish
+            + len(non_device) - stats["singleton"]
 
         if write_prefix is not None:
             t0 = time.perf_counter()
@@ -638,3 +715,75 @@ def _solve_tpu_native(dataset, cfg: AlignasmConfig, src_paths, write_prefix):
     stats["total_s"] = round(time.perf_counter() - t_start, 4)
     solve_dataset_tpu.last_stats = stats
     return result
+
+
+def solve_missing_tpu_native(cfg: AlignasmConfig, src_paths, missing,
+                             put_chunk=None, chunk: int = 4096,
+                             threads: int = 0, expected_n=None):
+    """Device-engine solve of an explicit contig subset on the NATIVE
+    host plane — the production resume path (checkpoint.py engine=tpu).
+
+    Opens one exporter (one parse), runs the bucket device pipeline
+    over the device-eligible members of ``missing`` while the
+    non-eligible members solve natively under the tunnel sync, then
+    native-solves any device leftovers and streams results back via
+    ``put_chunk(indices, outs, alts, maxes)`` in ``chunk``-sized slices
+    (journal flush granularity).  Returns the stats dict."""
+    import time
+
+    import numpy as np
+
+    from alignasm_tpu import native
+
+    t_start = time.perf_counter()
+    native.tune_heap()
+    stats = {"device": 0, "fallback": 0, "singleton": 0, "oversize": 0,
+             "host_plane": "native", "dense_buckets": 0, "native_direct": 0}
+    missing = np.ascontiguousarray(np.sort(np.asarray(missing, np.int64)))
+    exporter = native.GraphExporter(
+        src_paths[0], alt_path=src_paths[1],
+        alt_baseline=cfg.alt_baseline,
+        non_skip_linkable=cfg.non_skip_linkable,
+        max_records=cfg.max_device_records,
+        config=cfg, threads=threads,
+    )
+    try:
+        meta = exporter.meta_bulk()
+        stats["n_contigs_file"] = len(meta)
+        if expected_n is not None and len(meta) != expected_n:
+            # load-bearing: a count mismatch means src_paths does not
+            # describe the caller's dataset, and any results stored
+            # under its digests would cross-contaminate the journal —
+            # raise BEFORE any put_chunk runs
+            raise RuntimeError(
+                f"native parse found {len(meta)} contigs but the caller "
+                f"expects {expected_n}: src_paths does not match dataset")
+        eligible = _eligible_mask(meta, cfg)
+        non_device = missing[~eligible[missing]]
+        exporter.prepare_results()
+        overlap = None
+        if len(non_device):
+            def overlap(idx=non_device):
+                t1 = time.perf_counter()
+                try:
+                    exporter.solve_subset(idx, threads=threads)
+                except Exception as exc:  # pragma: no cover
+                    stats["overlap_error"] = repr(exc)[:500]
+                stats["overlap_solve_s"] = round(time.perf_counter() - t1, 4)
+
+        covered = _device_assist(exporter, cfg, meta, missing, stats,
+                                 overlap=overlap)
+        leftover = np.setdiff1d(missing, np.concatenate([covered, non_device]))
+        if len(leftover):
+            exporter.solve_subset(leftover, threads=threads)
+        stats["native_direct"] = int(len(non_device) + len(leftover))
+        if put_chunk is not None:
+            for lo in range(0, len(missing), chunk):
+                part = missing[lo:lo + chunk]
+                o, a, m = exporter.fetch_results_for(part)
+                put_chunk(part, o, a, m)
+    finally:
+        exporter.close()
+    stats["total_s"] = round(time.perf_counter() - t_start, 4)
+    solve_dataset_tpu.last_stats = stats
+    return stats

@@ -140,6 +140,10 @@ def test_resume_native_and_tpu_engines(tmp_path, oracle_bin, engine):
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert "'resumed': 5" in proc.stdout, proc.stdout
+    if engine == "tpu":
+        # tpu resume must run on the PRODUCTION (native) host plane,
+        # not the 30x-slower Python plane (round-2 verdict item 3)
+        assert "'host_plane': 'native'" in proc.stdout, proc.stdout
     for o, suffix in zip(oracle_outs, ("", ".alt", ".all")):
         got = pathlib.Path(str(eng)[:-4] + f".aln{suffix}.paf")
         assert o.read_bytes() == got.read_bytes(), f"aln{suffix}"
