@@ -98,7 +98,12 @@ class ScoringParams(ctypes.Structure):
                    cls.UPGRADE_MODES[getattr(cfg, "upgrade_mode", "alt_path")])
 
 
-def get_lib():
+def _ensure_lib():
+    """Build + dlopen the library and register the numpy-free ABI — the
+    fast-start subset (native.run / run_shard / merge_shards) used by
+    the CLI native path and every multihost rank.  Importing numpy
+    costs ~0.26 s of process startup, which multiplied across pod ranks
+    dominates small jobs; the shard engine never needs it."""
     global _lib
     if _lib is None:
         build()
@@ -121,6 +126,27 @@ def get_lib():
         lib.aln_close.argtypes = [ctypes.c_void_p]
         lib.aln_num_contigs.argtypes = [ctypes.c_void_p]
         lib.aln_num_contigs.restype = ctypes.c_longlong
+        llp = ctypes.POINTER(ctypes.c_longlong)
+        lib.aln_run_shard.argtypes = [
+            ctypes.c_char_p, ctypes.c_char_p, ctypes.c_double,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_longlong, ctypes.c_longlong, ctypes.c_longlong,
+            ctypes.c_char_p, llp, llp, ctypes.c_char_p, ctypes.c_int,
+            ctypes.POINTER(ScoringParams),
+        ]
+        lib.aln_run_shard.restype = ctypes.c_int
+        lib.aln_merge_shards.argtypes = [
+            ctypes.c_char_p, ctypes.c_char_p, ctypes.c_longlong,
+            ctypes.c_longlong, ctypes.c_int, ctypes.c_char_p, ctypes.c_int,
+        ]
+        lib.aln_merge_shards.restype = ctypes.c_int
+        _lib = lib
+    return _lib
+
+
+def get_lib():
+    lib = _ensure_lib()
+    if not getattr(lib, "_np_registered", False):
         import numpy.ctypeslib as npc
 
         i32p = npc.ndpointer(dtype="int32", flags="C_CONTIGUOUS")
@@ -201,8 +227,8 @@ def get_lib():
             ctypes.c_void_p, i64p, ctypes.c_longlong, i64p, i64p, i64p, i64p,
         ]
         lib.aln_results_fill_subset.restype = ctypes.c_int
-        _lib = lib
-    return _lib
+        lib._np_registered = True
+    return lib
 
 
 def tune_heap() -> None:
@@ -210,7 +236,7 @@ def tune_heap() -> None:
     stays mapped (idempotent).  Call ONLY in processes that hold the
     TPU tunnel, where fresh pages fault through its tracking layer at
     ~9 MB/s — see export.cc:aln_tune_heap."""
-    get_lib().aln_tune_heap()
+    _ensure_lib().aln_tune_heap()
 
 
 class GraphExporter:
@@ -608,6 +634,57 @@ class GraphExporter:
             raise NativeError(err.value.decode(errors="replace"))
 
 
+def run_shard(
+    paf_path: str,
+    shard_path: str,
+    rank: int,
+    world: int,
+    digest: int = 0,
+    alt_path: str | None = None,
+    alt_baseline: float = 0.5,
+    non_skip_linkable: bool = False,
+    threads: int = 0,
+    lazy_walks: bool = True,
+    config=None,
+) -> dict:
+    """One multihost rank's work: contig-group-sharded parse + solve +
+    format (groups with g % world == rank), published as a binary shard
+    file of pre-formatted output text (atomic rename).  Returns
+    {'n_total': ..., 'n_local': ...}."""
+    lib = _ensure_lib()
+    err = ctypes.create_string_buffer(4096)
+    n_total = ctypes.c_longlong()
+    n_local = ctypes.c_longlong()
+    scoring = ScoringParams.from_config(config) if config is not None else None
+    rc = lib.aln_run_shard(
+        os.fsencode(paf_path),
+        os.fsencode(alt_path) if alt_path else b"",
+        alt_baseline, 1 if non_skip_linkable else 0, threads,
+        1 if lazy_walks else 0, rank, world, digest,
+        os.fsencode(shard_path),
+        ctypes.byref(n_total), ctypes.byref(n_local), err, len(err),
+        ctypes.byref(scoring) if scoring is not None else None,
+    )
+    if rc != 0:
+        raise NativeError(err.value.decode(errors="replace"))
+    return {"n_total": int(n_total.value), "n_local": int(n_local.value)}
+
+
+def merge_shards(out_prefix: str, shard_prefix: str, world: int,
+                 digest: int = 0, threads: int = 0) -> None:
+    """Rank 0's merge: ordered interleave of every rank's pre-formatted
+    per-contig text slices into the three output PAFs (C++, the three
+    streams flush concurrently)."""
+    lib = _ensure_lib()
+    err = ctypes.create_string_buffer(4096)
+    rc = lib.aln_merge_shards(
+        os.fsencode(out_prefix), os.fsencode(shard_prefix), world, digest,
+        threads, err, len(err),
+    )
+    if rc != 0:
+        raise NativeError(err.value.decode(errors="replace"))
+
+
 def run(
     paf_path: str,
     alt_path: str | None = None,
@@ -621,7 +698,7 @@ def run(
     """Run the full native pipeline; writes <stem>.aln[.alt|.all].paf.
     ``config`` (an AlignasmConfig) forwards custom scoring constants.
     Returns phase timings and counters."""
-    lib = get_lib()
+    lib = _ensure_lib()
     err = ctypes.create_string_buffer(4096)
     stats = Stats()
     scoring = ScoringParams.from_config(config) if config is not None else None

@@ -98,7 +98,8 @@ void for_lines(std::string_view buf, F fn) {
 
 }  // namespace
 
-Dataset read_paf(const std::string &path, int threads, GroupSink *sink) {
+Dataset read_paf(const std::string &path, int threads, GroupSink *sink,
+                 i64 rank, i64 world) {
     auto prof_t0 = std::chrono::steady_clock::now();
     auto prof = [&](const char *tag) {
         if (!getenv("ALN_READ_PROF")) return;
@@ -242,7 +243,11 @@ Dataset read_paf(const std::string &path, int threads, GroupSink *sink) {
         sink->scan_s = std::chrono::duration<double>(
             std::chrono::steady_clock::now() - scan_t0).count();
     }
+    // sharded parse: only groups owned by this rank get their records
+    // parsed (cord_row stays the GLOBAL line index, so xi:Z provenance
+    // tags are identical to a full parse)
     auto parse_group = [&](size_t g, std::vector<std::string_view> &f) {
+        if (world > 1 && (i64) (g % (size_t) world) != rank) return;
         auto &ctg = ds.contigs[g];
         size_t lo = starts[g], hi = starts[g + 1];
         ctg.resize(hi - lo);
@@ -285,19 +290,20 @@ Dataset read_paf(const std::string &path, int threads, GroupSink *sink) {
     return ds;
 }
 
-void merge_alt(Dataset &ds, const std::string &alt_path, double alt_baseline) {
+void merge_alt(Dataset &ds, const std::string &alt_path, double alt_baseline,
+               i64 rank, i64 world) {
     ds.alt_buffer = slurp(alt_path);
     if (ds.alt_buffer.empty()) return;
 
     std::string tar_name;
     i64 tar_off = -1;
-    bool tar_flag = false, tar_init = false;
+    bool tar_flag = false, tar_init = false, tar_local = true;
     double tar_ratio = 0;
     Record ratio_max;
     bool have_ratio_max = false;
 
     auto flush = [&]() {
-        if (!tar_init || tar_flag) return;
+        if (!tar_init || tar_flag || !tar_local) return;
         // all-zero-ratio group: the reference appends a garbage
         // default-constructed record (alignasm.cpp:242-252); deliberate
         // deviation — reject, matching io/paf.py (COMPONENTS.md).
@@ -322,11 +328,14 @@ void merge_alt(Dataset &ds, const std::string &alt_path, double alt_baseline) {
         if (dash == std::string::npos) dash = qry.size();
         i64 off = to_i64(std::string_view(qry).substr(colon + 1, dash - colon - 1)) - 1;
 
-        const auto &last = ds.contigs[ds.paf_map.at(real)].back();
-        Record r = parse_record(f, ds, off);
-        r.qry_total = last.qry_total;
-        r.cord_type = 1;
-        r.cord_row = row++;
+        // target contig = the global paf_map winner; under a sharded
+        // parse, non-local targets skip record parsing entirely (their
+        // group transitions still drive the flush state machine and
+        // the global alt row counter, so local contigs see byte-
+        // identical merges)
+        i64 tgt = (i64) ds.paf_map.at(real);
+        bool local = world <= 1 || tgt % world == rank;
+        i32 this_row = row++;
 
         if (!tar_init || tar_off != off || tar_name != real) {
             flush();
@@ -335,8 +344,17 @@ void merge_alt(Dataset &ds, const std::string &alt_path, double alt_baseline) {
             tar_ratio = 0;
             tar_off = off;
             tar_name = real;
+            tar_local = local;
             have_ratio_max = false;
         }
+        if (!local) return;
+
+        const auto &last = ds.contigs[tgt].back();
+        Record r = parse_record(f, ds, off);
+        r.qry_total = last.qry_total;
+        r.cord_type = 1;
+        r.cord_row = this_row;
+
         double ratio = to_f64(f[10]) / to_f64(f[1]);
         if (ratio > tar_ratio) {
             tar_ratio = ratio;
@@ -344,7 +362,7 @@ void merge_alt(Dataset &ds, const std::string &alt_path, double alt_baseline) {
             have_ratio_max = true;
         }
         if (ratio > alt_baseline) {
-            auto &target = ds.contigs[ds.paf_map.at(real)];
+            auto &target = ds.contigs[tgt];
             r.ctg_index = (i32) target.size();
             target.push_back(std::move(r));
             tar_flag = true;

@@ -54,9 +54,17 @@ struct GroupSink {
     double scan_s = 0;
 };
 
+// rank/world shard the PARSE by contig group: the cheap line/name index
+// scan still covers the whole file (group boundaries and global row
+// provenance need it), but the expensive per-record field parse + cs
+// scan runs only for groups with g % world == rank — the others stay
+// empty vectors (ctg_names/paf_map are still global, so indices and
+// alt-merge targeting are identical to a full parse).  world == 1 is
+// the ordinary full parse.
 Dataset read_paf(const std::string &path, int threads = 1,
-                 GroupSink *sink = nullptr);
-void merge_alt(Dataset &ds, const std::string &alt_path, double alt_baseline);
+                 GroupSink *sink = nullptr, i64 rank = 0, i64 world = 1);
+void merge_alt(Dataset &ds, const std::string &alt_path, double alt_baseline,
+               i64 rank = 0, i64 world = 1);
 
 // writes one output stream; rows_per_ctg[i] aligns with ds.contigs[i].
 // max mode suffixes ".<cnt>" per tied path group.

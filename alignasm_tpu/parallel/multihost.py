@@ -1,16 +1,21 @@
 """Multi-host scale-out over jax.distributed.
 
 The reference is single-process (SURVEY.md §2.9/§5.8); here contig
-batches are data-parallel across hosts: each process solves the contigs
-whose index is congruent to its rank with the NATIVE C++ engine
-(honoring ``-t`` threads per rank), writes its partial results as flat
-int64 row arrays (npz, shared filesystem — standard for pod workloads),
-and rank 0 assembles the global row set and writes the three PAFs
-through the threaded native writer.  No Python objects ever cross
-process boundaries.  Device-side collectives are not needed for the
-merge — contigs share nothing — so scaling is embarrassingly parallel
-and efficiency is bounded only by contig-size skew, which the modulo
-interleave smooths.
+batches are data-parallel across hosts: each process runs the NATIVE
+C++ shard engine (native.run_shard) — a contig-group-SHARDED parse
+(the cheap line/name index scan covers the whole file, but the
+expensive record parse + cs scan + solve + output formatting run only
+for the groups with g % world == rank) — and publishes its contigs'
+PRE-FORMATTED output text as one binary shard file (atomic rename,
+shared filesystem — standard for pod workloads).  Rank 0 merges by
+interleaving the per-contig text slices straight into the three output
+PAFs in C++.  No Python objects, no duplicated record parse, and no
+rank-0 re-formatting — the round-2 multihost efficiency collapse
+(every rank re-parsing the full input, rank 0 formatting every row)
+is gone by construction.  Device-side collectives are not needed for
+the merge — contigs share nothing — so scaling is embarrassingly
+parallel and efficiency is bounded by the shared index scan + merge
+IO, which are memchr/memcpy-bound.
 
 Run on each host:
 
@@ -29,53 +34,6 @@ import sys
 
 def shard_indices(n: int, rank: int, world: int):
     return list(range(rank, n, world))
-
-
-def _assemble_global(parts, world):
-    """Merge per-rank (counts, gsizes, main, alt, max) partials into the
-    flat global row arrays + offsets for the native writer.  Rank r owns
-    exactly the contigs with i % world == r, so per-contig slices come
-    from the owner's contig-major arrays."""
-    import numpy as np
-
-    n = parts[0][0].shape[0]
-    counts = np.zeros((n, 3), np.int64)
-    for r in range(world):
-        counts += parts[r][0]
-
-    # per-rank cursors into its own arrays
-    m_cur = [0] * world
-    a_cur = [0] * world
-    x_cur = [0] * world
-    g_cur = [0] * world
-    m_chunks, a_chunks, x_chunks = [], [], []
-    gsizes_g = []
-    for i in range(n):
-        r = i % world
-        cnt_r, gs_r, m_r, a_r, x_r = parts[r]
-        cm, ca, cg = (int(v) for v in cnt_r[i])
-        m_chunks.append(m_r[m_cur[r]:m_cur[r] + cm]); m_cur[r] += cm
-        a_chunks.append(a_r[a_cur[r]:a_cur[r] + ca]); a_cur[r] += ca
-        rows_in_groups = int(gs_r[g_cur[r]:g_cur[r] + cg].sum()) if cg else 0
-        gsizes_g.extend(gs_r[g_cur[r]:g_cur[r] + cg].tolist())
-        g_cur[r] += cg
-        x_chunks.append(x_r[x_cur[r]:x_cur[r] + rows_in_groups])
-        x_cur[r] += rows_in_groups
-
-    cat = lambda chunks: (np.concatenate(chunks) if chunks
-                          else np.empty((0, 6), np.int64))
-    m_rows, a_rows, x_rows = cat(m_chunks), cat(a_chunks), cat(x_chunks)
-    m_off = np.zeros(n + 1, np.int64)
-    a_off = np.zeros(n + 1, np.int64)
-    np.cumsum(counts[:, 0], out=m_off[1:])
-    np.cumsum(counts[:, 1], out=a_off[1:])
-    gcnt_off = np.zeros(n + 1, np.int64)
-    np.cumsum(counts[:, 2], out=gcnt_off[1:])
-    gsizes_g = np.asarray(gsizes_g, np.int64)
-    x_goff = np.zeros(len(gsizes_g) + 1, np.int64)
-    if len(gsizes_g):
-        np.cumsum(gsizes_g, out=x_goff[1:])
-    return m_rows, m_off, a_rows, a_off, x_rows, x_goff, gcnt_off
 
 
 def run_multihost(
@@ -109,8 +67,7 @@ def run_multihost(
         rank, world = 0, 1
 
     import hashlib
-
-    import numpy as np
+    import struct
 
     from alignasm_tpu import native
 
@@ -142,81 +99,63 @@ def run_multihost(
             _file_id(alt_path)
         return int.from_bytes(h.digest()[:8], "big", signed=False) >> 1
 
-    # per-rank native plane: parse + merge in C++ (graph building is
-    # skipped here — max_records=0 — since the subset solve rebuilds
-    # per contig anyway and non-mine graphs would be wasted work)
-    exporter = native.GraphExporter(
-        paf_path, alt_path=alt_path if alt_path and os.path.getsize(alt_path)
-        else None,
-        alt_baseline=alt_baseline, non_skip_linkable=non_skip_linkable,
-        threads=threads, max_records=0,
+    digest = _input_digest()
+    stem = os.path.abspath(paf_path)[: -len(".paf")]
+    alt = alt_path if alt_path and os.path.getsize(alt_path) else None
+
+    # per-rank native shard engine: contig-group-sharded parse + solve
+    # + format fused in C++, published as pre-formatted text (atomic
+    # rename, so existence == internal completeness)
+    info = native.run_shard(
+        paf_path, f"{stem}.shard{rank}.bin", rank, world, digest=digest,
+        alt_path=alt, alt_baseline=alt_baseline,
+        non_skip_linkable=non_skip_linkable, threads=threads,
     )
-    try:
-        n = len(exporter)
-        digest = _input_digest()
-        mine = shard_indices(n, rank, world)
-        exporter.solve_subset(mine, threads=threads)
-        part = exporter.fetch_results_raw()
+    n = info["n_total"]
 
-        stem = os.path.abspath(paf_path)[: -len(".paf")]
-        # atomic publish: a reader must never see a partial zip; meta
-        # ties the partial to (input bytes, world, rank, contig count)
-        tmp = f"{stem}.part{rank}.npz.tmp.npz"
-        np.savez(tmp, counts=part[0], gsizes=part[1],
-                 main=part[2], alt=part[3], max=part[4],
-                 meta=np.asarray([digest, world, rank, n], np.int64))
-        os.replace(tmp, f"{stem}.part{rank}.npz")
+    if rank == 0:
+        # file-based barrier: shards publish via atomic rename; the
+        # header check rejects stale shards from a different input /
+        # world size and keeps polling until a matching one appears
+        import time
 
-        if rank == 0:
-            # file-based barrier: partials publish via atomic rename, so
-            # existence == internal completeness; the meta check rejects
-            # stale partials from a different input / world size and
-            # keeps polling until a matching one appears
-            import time
-
-            timeout_s = float(os.environ.get("ALIGNASM_MERGE_TIMEOUT_S",
-                                             "86400"))
-            deadline = time.monotonic() + timeout_s
-            last_note = 0.0
-            parts = []
-            for r in range(world):
-                path_r = f"{stem}.part{r}.npz"
-                # only reopen the archive when the file CHANGES: a stale
-                # partial (different input/world) must not be reloaded
-                # and decompressed 20x/s for up to the whole timeout
-                seen_stat = None
-                while True:
-                    try:
-                        st = os.stat(path_r)
-                        cur = (st.st_mtime_ns, st.st_size, st.st_ino)
-                    except FileNotFoundError:
-                        cur = None
-                    if cur is not None and cur != seen_stat:
-                        seen_stat = cur
-                        with np.load(path_r) as z:
-                            meta = z["meta"] if "meta" in z.files else None
-                            if meta is not None and list(meta) == [
-                                    digest, world, r, n]:
-                                parts.append((z["counts"], z["gsizes"],
-                                              z["main"], z["alt"], z["max"]))
-                                break
-                    now = time.monotonic()
-                    if now > deadline:
-                        raise TimeoutError(
-                            f"rank {r} partial never appeared/matched "
-                            f"within {timeout_s:.0f}s "
-                            "(ALIGNASM_MERGE_TIMEOUT_S to adjust)")
-                    if now - last_note > 60:
-                        last_note = now
-                        print(f"waiting for rank {r} partial...",
-                              file=sys.stderr)
-                    time.sleep(0.05)
-            flat = _assemble_global(parts, world)
-            exporter.write_outputs_flat(stem, *flat, threads=threads)
-            for r in range(world):
-                os.unlink(f"{stem}.part{r}.npz")
-    finally:
-        exporter.close()
+        timeout_s = float(os.environ.get("ALIGNASM_MERGE_TIMEOUT_S",
+                                         "86400"))
+        deadline = time.monotonic() + timeout_s
+        last_note = 0.0
+        for r in range(world):
+            path_r = f"{stem}.shard{r}.bin"
+            seen_stat = None
+            while True:
+                try:
+                    st = os.stat(path_r)
+                    cur = (st.st_mtime_ns, st.st_size, st.st_ino)
+                except FileNotFoundError:
+                    cur = None
+                if cur is not None and cur != seen_stat:
+                    seen_stat = cur
+                    with open(path_r, "rb") as fh:
+                        raw = fh.read(72)
+                    hdr = struct.unpack("<9q", raw) if len(raw) == 72 else ()
+                    if (len(hdr) == 9 and hdr[0] == 0x414C4E534844
+                            and hdr[1] == digest and hdr[2] == world
+                            and hdr[3] == r and hdr[4] == n):
+                        break
+                now = time.monotonic()
+                if now > deadline:
+                    raise TimeoutError(
+                        f"rank {r} shard never appeared/matched "
+                        f"within {timeout_s:.0f}s "
+                        "(ALIGNASM_MERGE_TIMEOUT_S to adjust)")
+                if now - last_note > 60:
+                    last_note = now
+                    print(f"waiting for rank {r} shard...",
+                          file=sys.stderr)
+                time.sleep(0.05)
+        native.merge_shards(stem, stem, world, digest=digest,
+                            threads=threads)
+        for r in range(world):
+            os.unlink(f"{stem}.shard{r}.bin")
 
 
 def main() -> None:

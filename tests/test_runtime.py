@@ -258,38 +258,40 @@ def test_multihost_two_processes_no_coordinator(tmp_path, oracle_bin):
         assert o.read_bytes() == got.read_bytes(), f"aln{suffix}"
 
 
-def test_assemble_global_interleave():
-    """The rank-0 merge must interleave per-rank partials back into
-    global contig order, including max-group structure."""
-    import numpy as np
+def test_multihost_sharded_alt_merge(tmp_path, oracle_bin):
+    """3-rank shard run WITH an alt file: the sharded alt merge (group
+    transitions tracked for every line, records parsed only for local
+    target contigs, global alt row provenance) must stay byte-identical
+    to the oracle."""
+    import os
+    import subprocess
+    import sys
 
-    from alignasm_tpu.parallel.multihost import _assemble_global
+    from alignasm_tpu.testing.synth import generate_alt_paf
+    from tests.conftest import run_oracle
 
-    def mk_part(owned, n, world, rank):
-        counts = np.zeros((n, 3), np.int64)
-        rows_m, rows_a, rows_x, gsizes = [], [], [], []
-        for i in owned:
-            counts[i] = (2, 1, 1)
-            rows_m += [[i, 1, 2, 3, 4, 0], [i, 5, 6, 7, 8, 1]]
-            rows_a += [[i, 9, 9, 9, 9, 0]]
-            gsizes += [1]
-            rows_x += [[i, 7, 7, 7, 7, 0]]
-        arr = lambda r: (np.asarray(r, np.int64).reshape(-1, 6)
-                         if r else np.empty((0, 6), np.int64))
-        return (counts, np.asarray(gsizes, np.int64),
-                arr(rows_m), arr(rows_a), arr(rows_x))
-
-    n, world = 5, 2
-    parts = [mk_part(range(r, n, world), n, world, r) for r in range(world)]
-    m_rows, m_off, a_rows, a_off, x_rows, x_goff, gcnt_off = \
-        _assemble_global(parts, world)
-    assert m_off.tolist() == [0, 2, 4, 6, 8, 10]
-    # main rows land in global contig order
-    assert m_rows[:, 0].tolist() == [0, 0, 1, 1, 2, 2, 3, 3, 4, 4]
-    assert a_rows[:, 0].tolist() == [0, 1, 2, 3, 4]
-    assert x_rows[:, 0].tolist() == [0, 1, 2, 3, 4]
-    assert gcnt_off.tolist() == [0, 1, 2, 3, 4, 5]
-    assert x_goff.tolist() == [0, 1, 2, 3, 4, 5]
+    p = _dataset(tmp_path, seed=31, n=9)
+    alt = tmp_path / "ralt.paf"
+    alt.write_text(generate_alt_paf(p.read_text(), seed=5))
+    oracle_outs = run_oracle(oracle_bin, p, tmp_path, extra=("-a", str(alt)))
+    mh = tmp_path / "mha.paf"
+    mh.write_bytes(p.read_bytes())
+    env = dict(os.environ)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-m", "alignasm_tpu.parallel.multihost", str(mh),
+             "--num-processes", "3", "--process-id", str(rank),
+             "-a", str(alt)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        )
+        for rank in range(3)
+    ]
+    for proc in procs:
+        out, _ = proc.communicate(timeout=180)
+        assert proc.returncode == 0, out.decode()[-2000:]
+    for o, suffix in zip(oracle_outs, ("", ".alt", ".all")):
+        got = pathlib.Path(str(mh)[:-4] + f".aln{suffix}.paf")
+        assert o.read_bytes() == got.read_bytes(), f"aln{suffix}"
 
 
 def test_multihost_two_processes(tmp_path, oracle_bin):
