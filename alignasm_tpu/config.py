@@ -45,10 +45,19 @@ class AlignasmConfig:
     # (V, V) VMEM relaxation kernel (ops/dense.py); larger buckets use
     # the sparse gather/scatter kernels.
     dense_max_v: int = 256
+    # Single-chip big-contig ceiling (native host plane): contigs whose
+    # built DAG has at most this many VERTICES solve on device in
+    # tiny-B buckets with int16 gate rows (ops/dense.py:
+    # solve_slab_topo_nxt16; positions are int16-exact up to 32767).
+    # 8192 keeps the densified slab at <= 268 MB of HBM.
+    device_max_v: int = 8192
     # Contigs with at least this many records route to the edge-sharded
     # graph-axis solve (parallel/mesh.py:solve_contig_sharded) when a
-    # multi-device mesh is available — the 512 GB-class path.
-    graph_shard_min_records: int = 4096
+    # multi-device mesh is available — the 512 GB-class path.  Default
+    # sits just past device_max_v: a contig of <= device_max_v records
+    # is single-chip work (vertices >= records, so anything sharded
+    # here could not have fit the single-chip path anyway).
+    graph_shard_min_records: int = 8193
 
 
 DEFAULT_CONFIG = AlignasmConfig()

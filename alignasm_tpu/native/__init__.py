@@ -186,6 +186,12 @@ def get_lib():
             llp, llp, ctypes.c_char_p, ctypes.c_int,
         ]
         lib.aln_finish_bulk8.restype = ctypes.c_int
+        lib.aln_finish_bulk16.argtypes = [
+            ctypes.c_void_p, i64p, ctypes.c_longlong, i16p,
+            ctypes.c_longlong, ctypes.c_int, ctypes.c_int,
+            llp, llp, ctypes.c_char_p, ctypes.c_int,
+        ]
+        lib.aln_finish_bulk16.restype = ctypes.c_int
         lib.aln_solve_remaining.argtypes = [
             ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
             llp, ctypes.c_char_p, ctypes.c_int,
@@ -389,6 +395,29 @@ class GraphExporter:
         n_fb = ctypes.c_longlong()
         err = ctypes.create_string_buffer(4096)
         rc = self._lib.aln_finish_bulk8(
+            self._h, idx, B, dp.reshape(-1), V,
+            1 if lazy_walks else 0, threads,
+            ctypes.byref(n_fast), ctypes.byref(n_fb), err, len(err),
+        )
+        if rc != 0:
+            raise NativeError(err.value.decode(errors="replace"))
+        return int(n_fast.value), int(n_fb.value)
+
+    def finish_bulk16(self, idx, dp, V: int, threads: int = 0,
+                      lazy_walks: bool = True):
+        """Finish contigs `idx` from their (B, V + 2) int16 gate rows
+        (ops/dense.py:dense_solve_wire_topo_nxt16 layout — the
+        single-chip big-contig path, 256 < V <= 32767).
+        Returns (n_fast, n_fallback)."""
+        np = self._np
+        idx = np.ascontiguousarray(idx, np.int64)
+        dp = np.ascontiguousarray(dp, np.int16)
+        B, K = dp.shape
+        assert K == V + 2 and B == len(idx)
+        n_fast = ctypes.c_longlong()
+        n_fb = ctypes.c_longlong()
+        err = ctypes.create_string_buffer(4096)
+        rc = self._lib.aln_finish_bulk16(
             self._h, idx, B, dp.reshape(-1), V,
             1 if lazy_walks else 0, threads,
             ctypes.byref(n_fast), ctypes.byref(n_fb), err, len(err),

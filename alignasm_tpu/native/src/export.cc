@@ -502,18 +502,23 @@ int aln_finish_bulk(void *h, const int64_t *idx, long long n_idx,
     return 0;
 }
 
-int aln_finish_bulk8(void *h, const int64_t *idx, long long n_idx,
-                     const uint8_t *dp, long long V, int lazy_walks,
-                     int threads, long long *n_fast, long long *n_fallback,
-                     char *err, int errlen) {
-    // dp rows: (n_idx, V + 2) uint8 [nxt (V, dest-encoded), fast, src]
-    // from ops/dense.py:dense_solve_wire_topo_nxt8 — the device
-    // evaluated the order-insensitivity gate ITSELF in exact int32
-    //   fast = cnt_min == 1 && !(cnt_tot >= 2 && d_a != floor_a)
-    // (the same predicate the int16 row's host gate applies), so the
-    // host consumes only the achieving-successor array + one flag and
-    // chases the min-walk path from src here; nxt entries are wire
-    // TOPO positions (< V <= 256, uint8-exact), un-permuted here.
+}  // extern "C" (templates cannot carry C linkage)
+
+// shared body for the gate-row finishes: dp rows are
+// (n_idx, V + 2) [nxt (V, dest-encoded), fast, src] — uint8 for
+// V <= 256 (aln_finish_bulk8) and int16 for V <= 32767
+// (aln_finish_bulk16, the single-chip big-contig path).  The device
+// evaluated the order-insensitivity gate ITSELF in exact int32
+//   fast = cnt_min == 1 && !(cnt_tot >= 2 && d_a != floor_a)
+// (the same predicate the V+5 int16 row's host gate applies), so the
+// host consumes only the achieving-successor array + one flag and
+// chases the min-walk path from src here; nxt entries are wire TOPO
+// positions, un-permuted here.
+template <typename RowT>
+static int finish_bulk_gate(void *h, const int64_t *idx, long long n_idx,
+                            const RowT *dp, long long V, int lazy_walks,
+                            int threads, long long *n_fast,
+                            long long *n_fallback, char *err, int errlen) {
     auto &ctx = *(ExportCtx *) h;
     ensure_results(ctx);
     std::atomic<long long> fast{0}, fb{0};
@@ -523,11 +528,11 @@ int aln_finish_bulk8(void *h, const int64_t *idx, long long n_idx,
     run_pool(threads, n_idx, [&](long long b) {
         long long i = idx[b];
         const auto &pc = ctx.packed[i];
-        const uint8_t *row = dp + b * (V + 2);
+        const RowT *row = dp + b * (V + 2);
         aln::i32 src = pc.graph.src;
         long long nv = (long long) pc.graph.adj.size();
         auto pos = [&](long long v) { return V - 1 - (long long) pc.kahn[v]; };
-        if (row[V + 1] != (uint8_t) pos(src))
+        if (row[V + 1] != (RowT) pos(src))
             throw std::runtime_error("device result row src mismatch");
         if (row[V]) {
             static thread_local std::vector<int32_t> inv;
@@ -538,7 +543,7 @@ int aln_finish_bulk8(void *h, const int64_t *idx, long long n_idx,
             const long long dpos = pos(pc.graph.dest);
             long long cur = pos(src);
             for (long long k = 0; k < V; k++) {
-                if (cur >= V || inv[cur] < 0)
+                if (cur < 0 || cur >= V || inv[cur] < 0)
                     throw std::runtime_error("device nxt entry out of range");
                 verts.push_back(inv[cur]);
                 if (cur == dpos) break;
@@ -566,6 +571,24 @@ int aln_finish_bulk8(void *h, const int64_t *idx, long long n_idx,
         return 1;
     }
     return 0;
+}
+
+extern "C" {
+
+int aln_finish_bulk8(void *h, const int64_t *idx, long long n_idx,
+                     const uint8_t *dp, long long V, int lazy_walks,
+                     int threads, long long *n_fast, long long *n_fallback,
+                     char *err, int errlen) {
+    return finish_bulk_gate(h, idx, n_idx, dp, V, lazy_walks, threads,
+                            n_fast, n_fallback, err, errlen);
+}
+
+int aln_finish_bulk16(void *h, const int64_t *idx, long long n_idx,
+                      const int16_t *dp, long long V, int lazy_walks,
+                      int threads, long long *n_fast, long long *n_fallback,
+                      char *err, int errlen) {
+    return finish_bulk_gate(h, idx, n_idx, dp, V, lazy_walks, threads,
+                            n_fast, n_fallback, err, errlen);
 }
 
 int aln_solve_remaining(void *h, int lazy_walks, int threads,

@@ -246,6 +246,34 @@ def dense_solve_wire_topo_nxt8(wire, V):
     return jax.vmap(lambda arr: solve_slab_topo_nxt8(arr, V))(packed)
 
 
+def solve_slab_topo_nxt16(arr, V):
+    """int16 production row for 256 < V <= 32767 — the single-chip
+    big-contig path (a 5,000-record contig's DAG has ~6,400 vertices).
+    Same shape of idea as solve_slab_topo_nxt8: the order-insensitivity
+    gate is evaluated ON DEVICE in exact int32, so no clamped DP value
+    is ever shipped (the V+5 int16 row's I16_INF clamps bounded
+    soundness at V <= 5461; this row has no DP fields at all) and the
+    row is just
+
+        [nxt (V entries, dest-encoded), fast, src]        (V + 2,) int16
+
+    nxt entries and src are topo positions < V <= 32767: int16-exact."""
+    (s, a, fa, ct, cm, nxt), dest, src = _topo_scan(arr, V)
+    fast = (cm[src] == 1) & ~((ct[src] >= 2) & (a[src] != fa[src]))
+    tail = jnp.stack([fast.astype(jnp.int32), src])
+    return jnp.concatenate(
+        [jnp.where(nxt < 0, dest, nxt), tail]).astype(jnp.int16)
+
+
+@functools.partial(jax.jit, static_argnames=("V",))
+def dense_solve_wire_topo_nxt16(wire, V):
+    """Batched production solve returning (B, V + 2) int16 gate rows
+    for 256 < V <= 32767; see solve_slab_topo_nxt16."""
+    assert V <= 32767, "int16 nxt entries require V <= 32767"
+    packed = _densify_wire(wire, V)
+    return jax.vmap(lambda arr: solve_slab_topo_nxt16(arr, V))(packed)
+
+
 def _densify_wire_ragged(wire, B, V):
     """Scatter the RAGGED wire into (B, V+1, V) slabs on device — the
     layout contract with export.cc:aln_export_wire_ragged: one (2, capN)
@@ -275,6 +303,16 @@ def dense_solve_wire_topo_nxt8_ragged(wire, B, V):
     assert V <= 256, "uint8 nxt entries require V <= 256"
     packed = _densify_wire_ragged(wire, B, V)
     return jax.vmap(lambda arr: solve_slab_topo_nxt8(arr, V))(packed)
+
+
+@functools.partial(jax.jit, static_argnames=("B", "V"))
+def dense_solve_wire_topo_nxt16_ragged(wire, B, V):
+    """Batched production solve from the ragged wire returning
+    (B, V + 2) int16 gate rows for 256 < V <= 32767 — the single-chip
+    big-contig path (solve_slab_topo_nxt16)."""
+    assert V <= 32767, "int16 nxt entries require V <= 32767"
+    packed = _densify_wire_ragged(wire, B, V)
+    return jax.vmap(lambda arr: solve_slab_topo_nxt16(arr, V))(packed)
 
 
 @functools.partial(jax.jit, static_argnames=("n_sweeps",))

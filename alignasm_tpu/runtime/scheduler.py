@@ -389,14 +389,23 @@ def _launch_buckets(buckets, n_edges, exporter, spec, n_dev, launches,
     import numpy as np
 
     from alignasm_tpu.ops.dense import (
-        dense_solve_wire_topo_nxt, dense_solve_wire_topo_nxt8,
-        dense_solve_wire_topo_nxt_ragged, dense_solve_wire_topo_nxt8_ragged,
+        dense_solve_wire_topo_nxt8, dense_solve_wire_topo_nxt8_ragged,
+        dense_solve_wire_topo_nxt16, dense_solve_wire_topo_nxt16_ragged,
     )
 
     for V, idxs in buckets:
         realB = len(idxs)
-        padB = _next_pow2(realB)
-        if spec is None:
+        # pow2-pad B for bounded compile shapes.  Big-V buckets (the
+        # single-chip big-contig path) drop the pow2 floor of 8 — a
+        # lone 8192-vertex contig must cost one 268 MB slab, not eight
+        # — and always take the ragged single-device path: their B is
+        # too small to shard over a data mesh, and mesh B-padding would
+        # multiply the slab by the device count.
+        if V > 256:
+            padB = 1 << (realB - 1).bit_length() if realB > 1 else 1
+        else:
+            padB = _next_pow2(realB)
+        if spec is None or V > 256:
             # single-device production transport: RAGGED wire — one
             # (2, capN) int32 stream carrying only real edge entries
             # (no per-contig W padding; ~2-3x fewer H2D bytes at
@@ -408,7 +417,7 @@ def _launch_buckets(buckets, n_edges, exporter, spec, n_dev, launches,
             if V <= 256:
                 pending = dense_solve_wire_topo_nxt8_ragged(wire, B=padB, V=V)
             else:
-                pending = dense_solve_wire_topo_nxt_ragged(wire, B=padB, V=V)
+                pending = dense_solve_wire_topo_nxt16_ragged(wire, B=padB, V=V)
             launches.append((idxs, realB, V, pending,
                              None if ok.all() else ok))
             stats["dense_buckets"] += 1
@@ -437,18 +446,24 @@ def _launch_buckets(buckets, n_edges, exporter, spec, n_dev, launches,
         # the achieving-successor array (the C++ finish chases the
         # min-walk path on host — a second on-device chase scan cost
         # ~40% of the launch); compiled variants are bounded by the
-        # (padB, V, W) bucket shapes alone.  V <= 256
-        # buckets (all of them at the default dense_max_v) get uint8
-        # rows with the order-insensitivity gate evaluated ON DEVICE
-        # in exact int32 — ~2.1x fewer D2H bytes than the int16 rows
-        # on a transport whose D2H bandwidth dominates sync
+        # (padB, V, W) bucket shapes alone.  V <= 256 buckets get uint8
+        # gate rows, larger (big-contig) buckets int16 gate rows — the
+        # order-insensitivity gate is evaluated ON DEVICE in exact
+        # int32 either way, so rows carry no clamped DP values and the
+        # D2H stays 1-2 bytes per vertex
         if V <= 256:
             pending = dense_solve_wire_topo_nxt8(wire, V=V)
         else:
-            pending = dense_solve_wire_topo_nxt(wire, V=V)
+            pending = dense_solve_wire_topo_nxt16(wire, V=V)
         launches.append((idxs, realB, V, pending, None))
         stats["dense_buckets"] += 1
         stats.setdefault("bucket_vs", []).append(int(V))
+
+
+def _device_cap(cfg) -> int:
+    """Vertex ceiling of the single-chip device engine: cfg.device_max_v
+    bounded by 32767 (int16 topo positions in the gate rows)."""
+    return min(cfg.device_max_v, 32767)
 
 
 def _eligible_mask(meta, cfg):
@@ -456,16 +471,16 @@ def _eligible_mask(meta, cfg):
 
     Score envelope 2^28 (packed wire format reserves bits 28-29 for the
     edge anomaly); bound is a path-sum upper bound, so every edge score
-    and every DP value stays packable.  The compact int16 result rows
-    clamp anomaly sums at I16_INF=16384 (ops/dense.py); with <= 3
-    anomaly per edge that is exact only for V <= 5461 — enforce it here
-    so raising cfg.dense_max_v cannot silently turn the clamp into
-    wrong fast-path bytes (a clamped d_a == clamped floor_a would skip
-    a real alt scan)."""
+    and every DP value stays packable.  The vertex ceiling is
+    _device_cap: V <= 256 buckets ship uint8 gate rows, larger ones
+    int16 gate rows (nxt entries are topo positions, int16-exact to
+    32767) — the gate is evaluated ON DEVICE in exact int32 either way,
+    so no clamped DP value ever reaches the host (the legacy V+5 int16
+    rows' I16_INF clamps, which bounded soundness at V <= 5461, are off
+    the production path)."""
     built = meta[:, 0] == 1
     n_v, bound = meta[:, 2], meta[:, 6]
-    max_v = min(cfg.dense_max_v, 5461)
-    return built & (n_v <= max_v) & (bound < 2**27)
+    return built & (n_v <= _device_cap(cfg)) & (bound < 2**27)
 
 
 def _device_assist(exporter, cfg: AlignasmConfig, meta, idx_pool, stats,
@@ -571,7 +586,9 @@ def _device_assist(exporter, cfg: AlignasmConfig, meta, idx_pool, stats,
         try:
             if dp.dtype == np.uint8:
                 n_fast, n_fb = exporter.finish_bulk8(idxs, dp, V)
-            else:
+            elif dp.shape[1] == V + 2:  # int16 gate rows (big-contig path)
+                n_fast, n_fb = exporter.finish_bulk16(idxs, dp, V)
+            else:  # legacy (V + 5) int16 DP rows
                 n_fast, n_fb = exporter.finish_bulk(idxs, dp, V)
         except Exception as exc:
             stats["device_error"] = f"finish: {exc!r}"[:500]
@@ -628,7 +645,10 @@ def _solve_tpu_native(dataset, cfg: AlignasmConfig, src_paths, write_prefix):
         src_paths[0], alt_path=src_paths[1],
         alt_baseline=cfg.alt_baseline,
         non_skip_linkable=cfg.non_skip_linkable,
-        max_records=cfg.max_device_records,
+        # build graphs up to the single-chip vertex ceiling so big
+        # contigs (records > max_device_records) can take the tiny-B
+        # int16-gate-row device path instead of falling to the CPU
+        max_records=max(cfg.max_device_records, _device_cap(cfg)),
         config=cfg,
     )
     try:
@@ -679,8 +699,10 @@ def _solve_tpu_native(dataset, cfg: AlignasmConfig, src_paths, write_prefix):
         # on a host thread that overlaps the device sync below
         eligible = _eligible_mask(meta, cfg)
         non_device = np.where(~eligible)[0]
+        idx_pool = np.arange(n)
         if len(sharded_ok):
             non_device = np.setdiff1d(non_device, sharded_ok)
+            idx_pool = np.setdiff1d(idx_pool, sharded_ok)
         exporter.prepare_results()  # pre-size result slots: the overlap
         # thread and the finish calls must not race a lazy resize
         overlap = None
@@ -695,7 +717,7 @@ def _solve_tpu_native(dataset, cfg: AlignasmConfig, src_paths, write_prefix):
                     stats["overlap_error"] = repr(exc)[:500]
                 stats["overlap_solve_s"] = round(_t.perf_counter() - t1, 4)
 
-        _device_assist(exporter, cfg, meta, np.arange(n), stats,
+        _device_assist(exporter, cfg, meta, idx_pool, stats,
                        overlap=overlap)
         # leftovers: export-rejected / device-error contigs (and the
         # overlap set if its thread failed)
@@ -744,7 +766,7 @@ def solve_missing_tpu_native(cfg: AlignasmConfig, src_paths, missing,
         src_paths[0], alt_path=src_paths[1],
         alt_baseline=cfg.alt_baseline,
         non_skip_linkable=cfg.non_skip_linkable,
-        max_records=cfg.max_device_records,
+        max_records=max(cfg.max_device_records, _device_cap(cfg)),
         config=cfg, threads=threads,
     )
     try:

@@ -404,7 +404,92 @@ def test_graph_shard_failure_degrades_to_native(tmp_path, oracle_bin,
     stats = scheduler.solve_dataset_tpu.last_stats
     assert "simulated mesh failure" in stats.get("device_error", ""), stats
     assert stats.get("graph_sharded", 0) == 0, stats
-    assert stats["native_direct"] >= 1, stats  # big contig solved natively
+    # the big contig must still be covered: since the single-chip
+    # big-contig path landed, the degrade target is the device bucket
+    # pipeline when the contig fits the vertex ceiling, else the
+    # native solve — either way outputs stay byte-identical below
+    assert (stats["native_direct"] >= 1
+            or stats["device"] + stats["fallback"] >= 5), stats
     for g, suffix in zip(gold, ("", ".alt", ".all")):
         got = pathlib.Path(str(p)[:-4] + f".aln{suffix}.paf")
         assert g == got.read_bytes(), f"aln{suffix}"
+
+
+def test_big_contig_single_chip_device_path(tmp_path, oracle_bin):
+    """A contig larger than max_device_records (but within the
+    device_max_v vertex ceiling) must take the single-chip big-contig
+    device path — tiny-B bucket, int16 gate rows (V > 256) — and stay
+    byte-identical to the oracle.  Round-2 verdict item 4: the device
+    engine must stop handing its hardest inputs to the CPU."""
+    import pathlib
+    import sys
+
+    from alignasm_tpu.io.paf import read_paf
+    from alignasm_tpu.runtime.scheduler import solve_dataset_tpu
+    from tests.conftest import run_oracle
+
+    sys.path.insert(0, str(pathlib.Path(__file__).parent))
+    from test_scale import _chain_contig
+
+    p = tmp_path / "bigdev.paf"
+    # ~800 records -> ~1000 vertices: > max_device_records (512) and
+    # > the uint8 V bound (256), well within device_max_v
+    p.write_text(_chain_contig(600, seed=11))
+    n_rec = p.read_text().count("\n")
+    assert n_rec > DEFAULT_CONFIG.max_device_records
+
+    oracle_outs = run_oracle(oracle_bin, p, tmp_path)
+    eng = tmp_path / "engbig.paf"
+    eng.write_bytes(p.read_bytes())
+    solve_dataset_tpu(read_paf(eng), DEFAULT_CONFIG,
+                      src_paths=(str(eng), None),
+                      write_prefix=str(eng)[:-4])
+    stats = solve_dataset_tpu.last_stats
+    assert stats["oversize"] == 1, stats
+    assert stats["device"] + stats["fallback"] >= 1, stats
+    assert any(v > 256 for v in stats.get("bucket_vs", [])), stats
+    for o, suffix in zip(oracle_outs, ("", ".alt", ".all")):
+        got = pathlib.Path(str(eng)[:-4] + f".aln{suffix}.paf")
+        assert o.read_bytes() == got.read_bytes(), f"aln{suffix}"
+
+
+def test_nxt16_gate_rows_match_full_dp():
+    """dense_solve_wire_topo_nxt16 (int16 gate rows for V > 256) must
+    agree with the full-DP rows: identical nxt array, src, and a fast
+    flag equal to the host gate on unclamped values."""
+    from alignasm_tpu.ops.dense import (
+        ANOM_SHIFT, INF32, dense_solve_wire_topo,
+        dense_solve_wire_topo_nxt16,
+    )
+
+    rng = np.random.default_rng(29)
+    B, V = 4, 300  # V > 256: the uint8 form cannot represent positions
+    mask = np.triu(rng.random((B, V, V)) < 0.03, k=1)
+    ws = np.where(mask, rng.integers(1, 2**20, (B, V, V)), INF32).astype(np.int32)
+    wa = np.where(mask, rng.integers(0, 4, (B, V, V)), 0).astype(np.int32)
+    dests = rng.integers(V // 2, V, B).astype(np.int32)
+    srcs = rng.integers(0, V // 2, B).astype(np.int32)
+    for b in range(B):
+        mask[b, dests[b], :] = False
+    E = int(mask.sum(axis=(1, 2)).max())
+    wire = np.empty((B, 2, E + 3), np.int32)
+    wire[:, 0] = V * (V + 1)
+    wire[:, 1] = 0
+    for b in range(B):
+        us, vs = np.nonzero(mask[b])
+        k = len(us)
+        wire[b, 0, :k] = (us * V + vs).astype(np.int32)
+        wire[b, 1, :k] = ws[b, us, vs] | (wa[b, us, vs] << ANOM_SHIFT)
+        wire[b, 0, k] = V * V
+        wire[b, 1, k] = dests[b]
+        wire[b, 0, k + 1] = V * V + 1
+        wire[b, 1, k + 1] = srcs[b]
+    full = np.asarray(dense_solve_wire_topo(wire, V=V))
+    r16 = np.asarray(dense_solve_wire_topo_nxt16(wire, V=V))
+    assert r16.dtype == np.int16 and r16.shape == (B, V + 2)
+    for b in range(B):
+        d_a = full[b, V : 2 * V]
+        fl, ct, cm, src = full[b, 2 * V :]
+        want_fast = cm == 1 and not (ct >= 2 and d_a[src] != fl)
+        assert bool(r16[b, V]) == want_fast, b
+        assert r16[b, V + 1] == src
