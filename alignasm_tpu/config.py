@@ -52,12 +52,19 @@ class AlignasmConfig:
     # 8192 keeps the densified slab at <= 268 MB of HBM.
     device_max_v: int = 8192
     # Contigs with at least this many records route to the edge-sharded
-    # graph-axis solve (parallel/mesh.py:solve_contig_sharded) when a
-    # multi-device mesh is available — the 512 GB-class path.  Default
-    # sits just past device_max_v: a contig of <= device_max_v records
-    # is single-chip work (vertices >= records, so anything sharded
-    # here could not have fit the single-chip path anyway).
-    graph_shard_min_records: int = 8193
+    # graph-axis solve (parallel/mesh.py:solve_contig_sharded_native)
+    # when a multi-device mesh is available.  This axis exists for
+    # MEMORY scale-out (the reference demands a >512 GB host for
+    # karyotype inputs, README.md:25); it is not a speed path: the
+    # per-sweep collectives run n_sweeps ~ n rounds on chain-shaped
+    # contigs (measured: a 20.8k-record contig sweeps in ~165 s on an
+    # 8-device virtual mesh vs 13 ms for the native sparse-table solve
+    # — BENCH_RESULTS.md "Graph axis").  Since the sparse tables already
+    # hold a 20.8k-record contig in 68 MB (~3.4 GB extrapolated at 1M
+    # records), host RAM only becomes the binding constraint at inputs
+    # far beyond any real assembly — hence the opt-in default.  Tests
+    # and memory-bound deployments lower it explicitly.
+    graph_shard_min_records: int = 1_000_000
 
 
 DEFAULT_CONFIG = AlignasmConfig()

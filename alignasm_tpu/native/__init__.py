@@ -233,6 +233,23 @@ def get_lib():
             ctypes.c_void_p, i64p, ctypes.c_longlong, i64p, i64p, i64p, i64p,
         ]
         lib.aln_results_fill_subset.restype = ctypes.c_int
+        lib.aln_build_graph_one.argtypes = [
+            ctypes.c_void_p, ctypes.c_longlong, ctypes.c_char_p, ctypes.c_int,
+        ]
+        lib.aln_build_graph_one.restype = ctypes.c_int
+        lib.aln_edge_meta.argtypes = [ctypes.c_void_p, ctypes.c_longlong, i64p]
+        lib.aln_edge_meta.restype = ctypes.c_int
+        lib.aln_export_edges.argtypes = [
+            ctypes.c_void_p, ctypes.c_longlong, i32p, i32p, i64p, i32p,
+            i32p, i32p, i64p,
+        ]
+        lib.aln_export_edges.restype = ctypes.c_int
+        lib.aln_finish_sharded.argtypes = [
+            ctypes.c_void_p, ctypes.c_longlong, i64p, i64p,
+            ctypes.c_longlong, ctypes.c_int, llp, ctypes.c_char_p,
+            ctypes.c_int,
+        ]
+        lib.aln_finish_sharded.restype = ctypes.c_int
         lib._np_registered = True
     return lib
 
@@ -468,6 +485,62 @@ class GraphExporter:
         )
         if rc != 0:
             raise NativeError(err.value.decode(errors="replace"))
+
+    def build_graph_one(self, i: int) -> None:
+        """Build contig ``i``'s DAG on demand (graph-axis contigs exceed
+        the constructor's max_records build gate); no-op if built."""
+        err = ctypes.create_string_buffer(4096)
+        rc = self._lib.aln_build_graph_one(self._h, i, err, len(err))
+        if rc != 0:
+            raise NativeError(err.value.decode(errors="replace"))
+
+    def edge_meta(self, i: int):
+        """(built, V, E, src, dest, n_records) of contig ``i``'s DAG."""
+        np = self._np
+        out = np.empty((6,), np.int64)
+        self._lib.aln_edge_meta(self._h, i, out)
+        return tuple(int(v) for v in out)
+
+    def export_edges(self, i: int):
+        """u-major full-semiring edge arrays (eu, ev, es, ea, enz, etot,
+        erank) of contig ``i``'s built DAG — the mesh-sharded
+        relaxation's inputs (layout identical to engine/device.py:
+        pack_graph)."""
+        np = self._np
+        built, V, E, _src, _dest, _n = self.edge_meta(i)
+        if not built:
+            raise NativeError(f"contig {i} has no built graph")
+        eu = np.empty(E, np.int32)
+        ev = np.empty(E, np.int32)
+        es = np.empty(E, np.int64)
+        ea = np.empty(E, np.int32)
+        enz = np.empty(E, np.int32)
+        etot = np.empty(E, np.int32)
+        erank = np.empty(E, np.int64)
+        rc = self._lib.aln_export_edges(self._h, i, eu, ev, es, ea, enz,
+                                        etot, erank)
+        if rc != 0:
+            raise NativeError(f"edge export failed for contig {i}")
+        return eu, ev, es, ea, enz, etot, erank
+
+    def finish_sharded(self, i: int, d_s, d_a, lazy_walks: bool = True):
+        """Finish one mesh-sharded contig from its device (d_s, d_a)
+        suffix distances (floor/counts + gate + fast finish or full
+        native solve, all in C++); stores the result.  Returns True when
+        the device-assisted fast path ran."""
+        np = self._np
+        d_s = np.ascontiguousarray(d_s, np.int64)
+        d_a = np.ascontiguousarray(d_a, np.int64)
+        assert d_s.shape == d_a.shape and d_s.ndim == 1
+        was_fast = ctypes.c_longlong()
+        err = ctypes.create_string_buffer(4096)
+        rc = self._lib.aln_finish_sharded(
+            self._h, i, d_s, d_a, len(d_s), 1 if lazy_walks else 0,
+            ctypes.byref(was_fast), err, len(err),
+        )
+        if rc != 0:
+            raise NativeError(err.value.decode(errors="replace"))
+        return bool(was_fast.value)
 
     def solve_subset(self, idx, threads: int = 0, lazy_walks: bool = True,
                      format_out: bool = False):

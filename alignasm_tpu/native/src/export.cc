@@ -664,6 +664,165 @@ int aln_prepare_results(void *h) {
     return 0;
 }
 
+int aln_build_graph_one(void *h, long long i, char *err, int errlen) {
+    // build contig i's DAG on demand — the graph-axis (mesh-sharded)
+    // path's contigs exceed the exporter's max_records build gate, and
+    // building EVERY giant eagerly would waste the common case.  The
+    // native build uses the same sparse cut tables as the solver (a
+    // 20k-record contig builds in ~140 ms / 68 MB — the host side of
+    // the >512 GB answer).  No-op when already built.
+    auto &ctx = *(ExportCtx *) h;
+    try {
+        if (i < 0 || (size_t) i >= ctx.ds.contigs.size())
+            throw std::runtime_error("build_graph_one: index out of range");
+        auto &pc = ctx.packed[i];
+        if (pc.built) return 0;
+        if (!pc.error.empty()) throw std::runtime_error(pc.error);
+        if (ctx.ds.contigs[i].size() < 2)
+            throw std::runtime_error("build_graph_one: singleton contig");
+        pc.graph = aln::build_graph(ctx.ds.contigs[i], ctx.cfg);
+        compute_ranks(pc);
+        pc.built = true;
+        return 0;
+    } catch (const std::exception &e) {
+        set_err(err, errlen, e.what());
+        return 1;
+    }
+}
+
+int aln_edge_meta(void *h, long long i, int64_t *out6) {
+    // [built, V, E, src, dest, n_records] for one contig's built DAG
+    auto &ctx = *(ExportCtx *) h;
+    const auto &pc = ctx.packed[i];
+    out6[0] = pc.built ? 1 : 0;
+    if (!pc.built) { std::fill(out6 + 1, out6 + 6, 0); return 0; }
+    const auto &g = pc.graph;
+    long long n_e = 0;
+    for (const auto &a : g.adj) n_e += (long long) a.size();
+    out6[1] = (int64_t) g.adj.size();
+    out6[2] = n_e;
+    out6[3] = g.src;
+    out6[4] = g.dest;
+    out6[5] = g.n;
+    return 0;
+}
+
+int aln_export_edges(void *h, long long i, int32_t *eu, int32_t *ev,
+                     int64_t *es, int32_t *ea, int32_t *enz, int32_t *etot,
+                     int64_t *erank) {
+    // u-major full-semiring edge arrays for the mesh-sharded relaxation
+    // (parallel/mesh.py:make_edge_sharded_sp): es = q + r score sum,
+    // ea/enz/etot the anomaly and mapq-fraction components, erank the
+    // reversed-relaxation arrival rank (same layout as the Python
+    // pack_graph, engine/device.py:48).
+    auto &ctx = *(ExportCtx *) h;
+    const auto &pc = ctx.packed[i];
+    if (!pc.built) return 1;
+    long long k = 0;
+    for (size_t u = 0; u < pc.graph.adj.size(); u++)
+        for (const auto &e : pc.graph.adj[u]) {
+            eu[k] = (int32_t) u;
+            ev[k] = (int32_t) e.to;
+            es[k] = e.w.sum();
+            ea[k] = (int32_t) e.w.a;
+            enz[k] = (int32_t) e.w.nz;
+            etot[k] = (int32_t) e.w.tot;
+            erank[k] = pc.erank[(size_t) k];
+            k++;
+        }
+    return 0;
+}
+
+int aln_finish_sharded(void *h, long long i, const int64_t *d_s,
+                       const int64_t *d_a, long long V, int lazy_walks,
+                       long long *was_fast, char *err, int errlen) {
+    // finish one mesh-sharded contig from its device-computed
+    // (d_s, d_a) suffix distances: the anomaly floor and both walk
+    // counts are one cheap O(V + E) reverse-topo pass here (the
+    // relaxation's O(E * sweeps) and its memory are what the mesh
+    // distributed); then the same order-insensitivity gate as the
+    // bucket finishes decides device-assisted fast path vs full native
+    // solve.  Stores the result + formatted parts (write_results stays
+    // flush-only).
+    auto &ctx = *(ExportCtx *) h;
+    try {
+        ensure_results(ctx);
+        const auto &pc = ctx.packed[i];
+        if (!pc.built) throw std::runtime_error("finish_sharded: not built");
+        const auto &g = pc.graph;
+        const long long nv = (long long) g.adj.size();
+        if (V != nv) throw std::runtime_error("finish_sharded: V mismatch");
+        const int64_t INF = (int64_t) 1 << 62;
+        const int64_t SAT = 10'001;
+        std::vector<int64_t> fa((size_t) nv, INF), ct((size_t) nv, 0),
+            cm((size_t) nv, 0);
+        fa[g.dest] = 0;
+        ct[g.dest] = 1;
+        cm[g.dest] = 1;
+        // kahn order (Kahn over the reversed graph) lists forward sinks
+        // first: every successor is final before its predecessor runs
+        std::vector<int32_t> order((size_t) nv);
+        for (long long v = 0; v < nv; v++) order[pc.kahn[v]] = (int32_t) v;
+        for (long long p = 0; p < nv; p++) {
+            int32_t u = order[p];
+            if (u == g.dest) continue;
+            for (const auto &e : g.adj[u]) {
+                if (fa[e.to] < INF)
+                    fa[u] = std::min(fa[u], fa[e.to] + e.w.a);
+                if (ct[e.to])
+                    ct[u] = std::min(ct[u] + ct[e.to], SAT);
+                if (cm[e.to] && d_s[e.to] < INF
+                    && d_s[e.to] + e.w.sum() == d_s[u]
+                    && d_a[e.to] + e.w.a == d_a[u])
+                    cm[u] = std::min(cm[u] + cm[e.to], SAT);
+            }
+        }
+        aln::Config cfg = ctx.cfg;
+        cfg.lazy_walks = lazy_walks != 0;
+        const aln::i32 src = g.src;
+        bool fast = cm[src] == 1
+                    && !(ct[src] >= 2 && d_a[src] != fa[src]);
+        if (fast) {
+            // cnt_min == 1 => exactly one achieving edge at every
+            // vertex on the min walk (an achieving edge's target has
+            // cnt_min >= 1), so a first-match chase is deterministic
+            std::vector<aln::i32> verts;
+            aln::i32 cur = src;
+            verts.push_back(cur);
+            while (cur != g.dest) {
+                aln::i32 nxt = -1;
+                for (const auto &e : g.adj[cur]) {
+                    if (cm[e.to] && d_s[e.to] < INF
+                        && d_s[e.to] + e.w.sum() == d_s[cur]
+                        && d_a[e.to] + e.w.a == d_a[cur]) {
+                        nxt = e.to;
+                        break;
+                    }
+                }
+                if (nxt < 0)
+                    throw std::runtime_error(
+                        "finish_sharded: achieving chain broken");
+                verts.push_back(nxt);
+                cur = nxt;
+                if ((long long) verts.size() > nv)
+                    throw std::runtime_error(
+                        "finish_sharded: chain longer than V");
+            }
+            ctx.results[i] = aln::finish_from_path(g, verts.data(),
+                                                   (int) verts.size(), cfg);
+        } else {
+            ctx.results[i] = aln::solve_from_graph(g, cfg);
+        }
+        format_result(ctx, i);
+        ctx.done[i] = 1;
+        if (was_fast) *was_fast = fast ? 1 : 0;
+        return 0;
+    } catch (const std::exception &e) {
+        set_err(err, errlen, e.what());
+        return 1;
+    }
+}
+
 int aln_store_rows(void *h, long long contig_idx, const int64_t *rows,
                    long long n_out, long long n_alt, const int64_t *gsizes,
                    long long n_groups, char *err, int errlen) {

@@ -662,31 +662,31 @@ def _solve_tpu_native(dataset, cfg: AlignasmConfig, src_paths, write_prefix):
         stats["pack_s"] = round(time.perf_counter() - t_start, 4)
 
         # 512 GB-class contigs (over BOTH device-record and shard
-        # thresholds): solve through the edge-sharded graph axis
-        # (parallel/mesh.py) on the device mesh and inject the rows
-        # into the exporter — the rest of the dataset keeps the native
-        # plane (a dataset-wide degrade to the Python plane here cost
-        # 30x on every OTHER contig).  Needs the parsed Python records;
-        # without them (resume chunks, devbench timed reps) the
-        # sparse-table native solve covers the contig instead.  Like
-        # every other device interaction, a failure degrades to the
-        # native solve (store_rows never ran, so solve_remaining covers
-        # the contig) instead of sinking the run.
+        # thresholds): solve through the edge-sharded graph axis on the
+        # device mesh — graph build, edge export, and the floor/counts/
+        # gate/finish all in C++ (parallel/mesh.py:
+        # solve_contig_sharded_native); only the relaxation's O(E *
+        # sweeps) runs on the mesh.  The rest of the dataset keeps the
+        # native bucket plane.  Like every other device interaction, a
+        # failure degrades to the native solve (no result was stored,
+        # so solve_remaining covers the contig) instead of sinking the
+        # run.
         import jax
 
         sharded_ok = np.empty(0, np.int64)
-        if dataset is not None and jax.device_count() > 1:
+        if jax.device_count() > 1:
             big = np.where((n_rec > cfg.max_device_records)
                            & (n_rec >= cfg.graph_shard_min_records))[0]
             if len(big):
-                from alignasm_tpu.parallel.mesh import solve_contig_sharded
+                from alignasm_tpu.parallel.mesh import (
+                    solve_contig_sharded_native,
+                )
 
                 t0 = time.perf_counter()
                 done = []
                 for i in big:
                     try:
-                        o, a, m = solve_contig_sharded(dataset.contigs[i], cfg)
-                        exporter.store_rows(int(i), o, a, m)
+                        solve_contig_sharded_native(exporter, int(i), cfg)
                     except Exception as exc:
                         stats["device_error"] = f"shard: {exc!r}"[:500]
                         break  # device plane is sick; native covers the rest

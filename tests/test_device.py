@@ -389,7 +389,7 @@ def test_graph_shard_failure_degrades_to_native(tmp_path, oracle_bin,
     def boom(*a, **k):
         raise RuntimeError("simulated mesh failure")
 
-    monkeypatch.setattr(mesh, "solve_contig_sharded", boom)
+    monkeypatch.setattr(mesh, "solve_contig_sharded_native", boom)
     ds = read_paf(p)
     n_big = max(len(c) for c in ds.contigs)
     cfg = dataclasses.replace(DEFAULT_CONFIG,
