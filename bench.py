@@ -84,11 +84,15 @@ def main() -> None:
     identical = ref_main == (work / "bench.aln.paf").read_bytes()
 
     ratios = []
+    ref_reps = []
+    native_reps = []
     ref_elapsed = native_elapsed = float("inf")
     for _ in range(reps):
         r = time_one(run_ref)
         n = time_one(run_native)
         ratios.append(r / n)
+        ref_reps.append(round(r, 4))
+        native_reps.append(round(n, 4))
         ref_elapsed = min(ref_elapsed, r)
         native_elapsed = min(native_elapsed, n)
     import statistics
@@ -141,6 +145,13 @@ def main() -> None:
         "unit": "contigs/s",
         "vs_baseline": round(ratio, 4),
         "vs_baseline_best_of": round(native_cps / ref_cps, 4),
+        # per-rep spread: one driver capture is interpretable without
+        # BENCH_RESULTS context — the shared VM's CPU-steal windows show
+        # up as outlier reps / a wide ratio vector, not as a silent
+        # mis-ranking (round-2 verdict item 7)
+        "ref_reps_s": ref_reps,
+        "native_reps_s": native_reps,
+        "ratio_reps": [round(x, 4) for x in ratios],
         "baseline_contigs_per_s": round(ref_cps, 2),
         "records_per_s": round(n_records / native_elapsed, 2),
         "output_identical": identical,
