@@ -35,7 +35,7 @@ import jax.numpy as jnp
 from alignasm_tpu.ops.dense import ANOM_SHIFT, COUNT_SAT, INF32, _densify_wire
 
 
-def _scan_kernel(arr_ref, out_ref, *, V: int, OW: int):
+def _scan_kernel(arr_ref, out_ref, *, V: int, OW: int, unroll: bool = False):
     """One grid step: G slabs (G, V+1, V) -> G rows (G, OW) int32.
 
     Every constant is materialized as a strong-typed int32 array before
@@ -65,7 +65,13 @@ def _scan_kernel(arr_ref, out_ref, *, V: int, OW: int):
     def step(t, st):
         s, a, fa, ct, cm, nxt = st
         u = V - 1 - t
-        row = arr_ref[:, pl_ds(u), :][:, 0, :]              # (G, V)
+        if unroll:
+            # static trip: u is a python int — a static slice lets
+            # Mosaic schedule the whole scan without per-step dynamic
+            # slicing or hardware-loop bookkeeping
+            row = arr_ref[:, u : u + 1, :][:, 0, :]         # (G, V)
+        else:
+            row = arr_ref[:, pl_ds(u), :][:, 0, :]          # (G, V)
         edge = row != infs
         ws = row & mask
         wa = jax.lax.shift_right_logical(row, mask * 0 + ANOM_SHIFT)
@@ -88,7 +94,10 @@ def _scan_kernel(arr_ref, out_ref, *, V: int, OW: int):
         low = jnp.min(jnp.where(ach, lane, vvec), axis=1, keepdims=True)
         nxt_u = jnp.where(low < vvec[:, :1], low, zc - jnp.int32(1))
         # write column u everywhere except each contig's dest row
-        at_u = (lane == u) & (dest != u)
+        # (u normalized to a strong int32 so no i64 literal reaches
+        # Mosaic when the loop is unrolled and u is a python int)
+        u32 = jnp.int32(u)
+        at_u = (lane == u32) & (dest != u32)
 
         def upd(vec, x):
             return jnp.where(at_u, x, vec)
@@ -100,8 +109,14 @@ def _scan_kernel(arr_ref, out_ref, *, V: int, OW: int):
     # python bounds make the counter int64 and every arithmetic/compare
     # against it emits int64<->int32 converts whose Mosaic lowering
     # rule recurses forever (the container's 'Mosaic blocked' symptom)
-    s, a, fa, ct, cm, nxt = jax.lax.fori_loop(
-        jnp.int32(0), jnp.int32(V), step, init)
+    if unroll:
+        st = init
+        for t in range(V):
+            st = step(t, st)
+        s, a, fa, ct, cm, nxt = st
+    else:
+        s, a, fa, ct, cm, nxt = jax.lax.fori_loop(
+            jnp.int32(0), jnp.int32(V), step, init)
 
     at_src = lane == src
     pick = lambda vec: jnp.sum(jnp.where(at_src, vec, zs), axis=1,
@@ -122,11 +137,16 @@ def pl_ds(u):
     return pl.ds(u, 1)
 
 
-@functools.partial(jax.jit, static_argnames=("V", "interpret"))
-def dense_solve_wire_topo_nxt8_pallas(wire, V, interpret=False):
+@functools.partial(jax.jit, static_argnames=("V", "interpret", "unroll"))
+def dense_solve_wire_topo_nxt8_pallas(wire, V, interpret=False, unroll=False):
     """Pallas twin of dense_solve_wire_topo_nxt8: same sparse wire in,
     same (B, V + 2) uint8 rows out.  Any B (padded internally by
-    replicating the last contig's wire, like dense_solve_slabs_pallas)."""
+    replicating the last contig's wire, like dense_solve_slabs_pallas).
+
+    ``unroll=True`` traces the V scan steps as straight-line code with
+    STATIC slab slices (no per-step dynamic slicing, no hardware-loop
+    bookkeeping) — the round-3 swing at the 2.23-vs-1.19 us/contig gap
+    against the XLA scan; devbench times both forms."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -148,7 +168,7 @@ def dense_solve_wire_topo_nxt8_pallas(wire, V, interpret=False):
     # program id: plain `0` literals are typed i64 by this build and
     # Mosaic fails to legalize the index-map function's return
     rows = pl.pallas_call(
-        functools.partial(_scan_kernel, V=V, OW=OW),
+        functools.partial(_scan_kernel, V=V, OW=OW, unroll=unroll),
         grid=(padB // G,),
         in_specs=[pl.BlockSpec((G, V + 1, V), lambda b: (b, b * 0, b * 0),
                                memory_space=pltpu.VMEM)],

@@ -282,6 +282,28 @@ def bench_kernels(B=256, V=64, E=256, n_sweeps=32, seed=0):
             "chained_s_per_launch": round(bestP, 6),
             "chained_s_per_contig": round(bestP / B_ch, 9),
         }
+        # round-3 swing: fully-unrolled static-slice form (no per-step
+        # dynamic slicing / hardware-loop bookkeeping)
+        try:
+            outU = np.asarray(dense_solve_wire_topo_nxt8_pallas(
+                wire_ch, V=V, unroll=True))
+            bit_equal_u = bool((outU == outX).all())
+            bestU = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                outs = [dense_solve_wire_topo_nxt8_pallas(
+                            wire_ch, V=V, unroll=True)
+                        for _ in range(n_chain)]
+                jax.block_until_ready(outs)
+                bestU = min(bestU, (time.perf_counter() - t0) / n_chain)
+            topo["pallas_twin"]["unrolled"] = {
+                "bit_equal": bit_equal_u,
+                "chained_s_per_launch": round(bestU, 6),
+                "chained_s_per_contig": round(bestU / B_ch, 9),
+            }
+        except Exception as exc:
+            topo["pallas_twin"]["unrolled"] = {"compiled": False,
+                                               "error": repr(exc)[:300]}
     except Exception as exc:
         topo["pallas_twin"] = {"compiled": False,
                                "error": repr(exc)[:300]}

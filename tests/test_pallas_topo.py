@@ -45,7 +45,8 @@ def _random_wire(B, V, W, seed):
     (64, 64, 3),     # full-block batch
     (16, 128, 1),    # wider OW padding (V + 2 > 128 -> OW = 256)
 ])
-def test_pallas_topo_matches_xla(B, V, seed):
+@pytest.mark.parametrize("unroll", [False, True])
+def test_pallas_topo_matches_xla(B, V, seed, unroll):
     from alignasm_tpu.ops.dense import dense_solve_wire_topo_nxt8
     from alignasm_tpu.ops.pallas_topo import dense_solve_wire_topo_nxt8_pallas
 
@@ -53,7 +54,8 @@ def test_pallas_topo_matches_xla(B, V, seed):
     wire = _random_wire(B, V, W, seed)
     ref = np.asarray(dense_solve_wire_topo_nxt8(wire, V=V))
     got = np.asarray(
-        dense_solve_wire_topo_nxt8_pallas(wire, V=V, interpret=True))
+        dense_solve_wire_topo_nxt8_pallas(wire, V=V, interpret=True,
+                                          unroll=unroll))
     np.testing.assert_array_equal(got, ref)
 
 
