@@ -172,6 +172,13 @@ def get_lib():
             ctypes.c_int,
         ]
         lib.aln_export_wire_ragged.restype = ctypes.c_int
+        u16p = npc.ndpointer(dtype="uint16", flags="C_CONTIGUOUS")
+        lib.aln_export_wire16.argtypes = [
+            ctypes.c_void_p, i64p, ctypes.c_longlong, ctypes.c_longlong,
+            i64p, ctypes.c_longlong, ctypes.c_longlong, u16p, u16p, i32p,
+            ctypes.c_longlong, i8p, ctypes.c_int,
+        ]
+        lib.aln_export_wire16.restype = ctypes.c_longlong
         i16p = npc.ndpointer(dtype="int16", flags="C_CONTIGUOUS")
         lib.aln_finish_bulk.argtypes = [
             ctypes.c_void_p, i64p, ctypes.c_longlong, i16p,
@@ -372,6 +379,55 @@ class GraphExporter:
             wire[0, n_real + 2 * k] = (B + k) * M + V * V       # dest -> 0
             wire[0, n_real + 2 * k + 1] = (B + k) * M + V * V + 1  # src -> 0
         return wire, status == 0, cap
+
+    def export_wire16(self, idx, V: int, n_edges, pad_b: int,
+                      threads: int = 0):
+        """16-bit device wire (ops/dense.py:_densify_wire16) — HALF the
+        H2D bytes of the i32 ragged wire: u16 cell deltas (per-contig
+        cells are exported sorted) + u16 dictionary indices into an i32
+        value table.  Returns (deltas, vidx, table, n_real, seeds,
+        ok_mask) or None when 16-bit encoding is unsound for this
+        bucket (V > 255, value table overflow) — callers then fall back
+        to export_wire_ragged.  ``seeds`` is a (2, S) int32 array of
+        extra scatter (cell, value) pairs seeding the padding contigs'
+        dest/src cells."""
+        np = self._np
+        if V > 255:
+            return None
+        idx = np.ascontiguousarray(idx, np.int64)
+        B = len(idx)
+        assert pad_b >= B
+        M = V * (V + 1)
+        trash = pad_b * M
+        assert trash + M < 2**31, "global flat index exceeds int32"
+        offs = np.zeros(B + 1, np.int64)
+        np.cumsum(np.asarray(n_edges, np.int64) + 2, out=offs[1:])
+        n_real = int(offs[-1])
+        cap = 1 << max(3, (n_real - 1).bit_length())
+        deltas = np.zeros(cap, np.uint16)
+        vidx = np.zeros(cap, np.uint16)
+        table = np.zeros(65536, np.int32)
+        status = np.empty((B,), np.int8)
+        n_table = self._lib.aln_export_wire16(
+            self._h, idx, B, V, offs, cap, trash, deltas, vidx, table,
+            65536, status, threads,
+        )
+        if n_table == -2:
+            raise NativeError("wire16 export failed")
+        if n_table < 0:
+            return None
+        tcap = 1 << max(3, (int(n_table) - 1).bit_length())
+        # padding contigs' dest/src cells seed empty well-formed slabs
+        n_pad = pad_b - B
+        S = 1 << max(3, (max(2 * n_pad, 1) - 1).bit_length())
+        seeds = np.full((2, S), trash, np.int32)
+        seeds[1] = 0
+        if n_pad:
+            k = np.arange(n_pad, dtype=np.int64)
+            seeds[0, 2 * k] = ((B + k) * M + V * V).astype(np.int32)
+            seeds[0, 2 * k + 1] = ((B + k) * M + V * V + 1).astype(np.int32)
+        return (deltas, vidx, table[:tcap], np.int32(n_real), seeds,
+                status == 0)
 
     def finish_bulk(self, idx, dp, V: int, threads: int = 0,
                     lazy_walks: bool = True):

@@ -8,6 +8,7 @@
 // (see alignasm_tpu/engine/device.py:pack_graph): for forward edge
 // (u -> v), rank = kahn_pos_of_v_in_rev_topo << 26 | index_within_
 // rev_adjacency, unique per edge.
+#include <algorithm>
 #include <atomic>
 #include <malloc.h>
 #include <cstring>
@@ -399,6 +400,8 @@ int aln_export_wire_ragged(void *h, const int64_t *idx, long long n_idx,
         const long long base = b * M;
         long long k = 0;
         int8_t bad = 0;
+        static thread_local std::vector<std::pair<int32_t, int32_t>> cells;
+        cells.clear();
         for (size_t u = 0; u < g.adj.size() && !bad; u++) {
             for (const auto &e : g.adj[u]) {
                 int64_t s = e.w.sum();
@@ -413,19 +416,111 @@ int aln_export_wire_ragged(void *h, const int64_t *idx, long long n_idx,
                     break;
                 }
                 seen[cell] = 1;
-                ib[k] = (int32_t) (base + cell);
-                vb[k] = (int32_t) (s | (a << 28));
+                cells.emplace_back((int32_t) cell, (int32_t) (s | (a << 28)));
                 k++;
             }
         }
-        for (long long j = 0; j < k; j++) seen[ib[j] - base] = 0;
+        for (const auto &cv : cells) seen[cv.first] = 0;
         if (bad) return fail(bad);
+        // ascending cells per contig: scatter order is irrelevant to
+        // the densify, and sorted cells make the 16-bit transport's
+        // per-entry deltas non-negative and < V*(V+1)
+        std::sort(cells.begin(), cells.end());
+        for (long long j = 0; j < k; j++) {
+            ib[j] = (int32_t) (base + cells[(size_t) j].first);
+            vb[j] = cells[(size_t) j].second;
+        }
         ib[k] = (int32_t) (base + V * V);
         vb[k] = (int32_t) pos(g.dest);
         ib[k + 1] = (int32_t) (base + V * V + 1);
         vb[k + 1] = (int32_t) pos(g.src);
     }, err);
     return err.empty() ? 0 : 1;
+}
+
+long long aln_export_wire16(void *h, const int64_t *idx, long long n_idx,
+                            long long V, const int64_t *offs, long long capN,
+                            long long trash, uint16_t *deltas, uint16_t *vidx,
+                            int32_t *table, long long table_cap,
+                            int8_t *status, int threads) {
+    // 16-bit transport — HALF the H2D bytes of the i32 ragged wire,
+    // exactly when the wire dominates device-engine sync (50k-100k
+    // contig corpora): sorted per-contig cells delta-encode into u16
+    // (every step < V*(V+1) <= 65280 for V <= 255; measured p99 delta
+    // 3k at bench scale) and the heavily repeated packed score|anom
+    // values dictionary-encode into a u16 table index (measured 3.5 %
+    // unique at 20k contigs).  Layout consumed by ops/dense.py:
+    // _densify_wire16 — absolute cell i = cumsum(deltas)[i], value i =
+    // table[vidx[i]]; entries [n_real, capN) are the caller's to
+    // zero-fill (a zero delta repeats the last cell with the same
+    // value: a benign duplicate scatter).  Rejected contigs encode
+    // inline as dest/src seeds at vertex 0 + zero-delta filler, so a
+    // few bad contigs never cost the bucket its 16-bit path.
+    // Returns n_table (> 0) on success; -1 = encoding unsound for this
+    // bucket (value table would exceed table_cap/65536, or a delta
+    // fell outside u16) — the caller falls back to the i32 wire.
+    auto &ctx = *(ExportCtx *) h;
+    const long long M = V * (V + 1);
+    if (M > 65535 || V > 255) return -1;
+    const long long n_real = offs[n_idx];
+    if (n_real > capN) return -1;
+    // pass 1: the sorted i32 ragged wire into scratch (threaded)
+    std::vector<int32_t> scratch((size_t) (2 * capN));
+    int rc = aln_export_wire_ragged(h, idx, n_idx, V, offs, capN, trash,
+                                    scratch.data(), status, threads);
+    (void) ctx;
+    if (rc != 0) return -2;
+    // rejected contigs: rewrite their spans as dest/src-at-vertex-0
+    // seeds + zero-delta filler pointing at the src cell (all deltas
+    // stay in range: span start jumps at most M - 1 from the previous
+    // contig's src cell)
+    for (long long b = 0; b < n_idx; b++) {
+        if (!status[b]) continue;
+        const long long lo = offs[b], hi = offs[b + 1];
+        int32_t *ib = scratch.data() + lo;
+        int32_t *vb = scratch.data() + capN + lo;
+        const int32_t dcell = (int32_t) (b * M + V * V);
+        for (long long j = 0; j < hi - lo; j++) {
+            ib[j] = j == 0 ? dcell : dcell + 1;
+            vb[j] = 0;
+        }
+    }
+    // pass 2: delta + dictionary encode (serial; ~10 ns/entry)
+    const long long tcap = std::min<long long>(table_cap, 65536);
+    // open-addressed value -> slot map (capacity 2x tcap, pow2)
+    long long hcap = 1;
+    while (hcap < 2 * tcap) hcap <<= 1;
+    std::vector<int64_t> hkey((size_t) hcap, -1);
+    std::vector<int32_t> hslot((size_t) hcap);
+    long long n_table = 0;
+    int64_t prev = 0;
+    const int32_t *ib = scratch.data();
+    const int32_t *vb = scratch.data() + capN;
+    for (long long i = 0; i < n_real; i++) {
+        int64_t d = (int64_t) ib[i] - prev;
+        if (d < 0 || d > 65535) return -1;
+        deltas[i] = (uint16_t) d;
+        prev = ib[i];
+        const int32_t v = vb[i];
+        uint64_t hsh = ((uint64_t) (uint32_t) v) * 0x9E3779B97F4A7C15ull;
+        long long p = (long long) (hsh >> 1) & (hcap - 1);
+        while (true) {
+            if (hkey[p] < 0) {
+                if (n_table >= tcap) return -1;
+                hkey[p] = v;
+                hslot[p] = (int32_t) n_table;
+                table[n_table++] = v;
+                vidx[i] = (uint16_t) hslot[p];
+                break;
+            }
+            if (hkey[p] == v) {
+                vidx[i] = (uint16_t) hslot[p];
+                break;
+            }
+            p = (p + 1) & (hcap - 1);
+        }
+    }
+    return n_table;
 }
 
 int aln_finish_bulk(void *h, const int64_t *idx, long long n_idx,

@@ -315,6 +315,37 @@ def dense_solve_wire_topo_nxt16_ragged(wire, B, V):
     return jax.vmap(lambda arr: solve_slab_topo_nxt16(arr, V))(packed)
 
 
+def _densify_wire16(deltas, vidx, table, seeds, n_real, B, V):
+    """Scatter the 16-BIT wire into (B, V+1, V) slabs on device — the
+    layout contract with export.cc:aln_export_wire16: absolute cell i =
+    cumsum(u16 deltas)[i] (per-contig cells are exported sorted, so
+    every delta is a u16), value i = table[u16 vidx[i]] (the packed
+    score|anom values are ~3.5 % unique, so a per-bucket dictionary
+    halves the value stream).  HALF the H2D bytes of the i32 ragged
+    wire.  Entries past ``n_real`` are redirected to the trash cell
+    regardless of content; ``seeds`` adds the padding contigs' dest/src
+    cells."""
+    M = V * (V + 1)
+    trash = B * M
+    pos = jnp.cumsum(deltas.astype(jnp.int32))
+    pos = jnp.where(
+        jnp.arange(deltas.shape[0], dtype=jnp.int32) < n_real, pos, trash)
+    val = table[vidx]
+    flat = (jnp.full((B * M + 1,), INF32, jnp.int32)
+            .at[pos].set(val)
+            .at[seeds[0]].set(seeds[1]))
+    return flat[: B * M].reshape(B, V + 1, V)
+
+
+@functools.partial(jax.jit, static_argnames=("B", "V"))
+def dense_solve_wire16_topo_nxt8(deltas, vidx, table, seeds, n_real, B, V):
+    """Batched production solve from the 16-bit wire returning
+    (B, V + 2) uint8 gate rows (solve_slab_topo_nxt8)."""
+    assert V <= 255, "the 16-bit wire requires V*(V+1) <= 65535"
+    packed = _densify_wire16(deltas, vidx, table, seeds, n_real, B, V)
+    return jax.vmap(lambda arr: solve_slab_topo_nxt8(arr, V))(packed)
+
+
 @functools.partial(jax.jit, static_argnames=("n_sweeps",))
 def dense_solve_batch(ws, wa, dest, n_sweeps):
     """Batched (B, V, V) dense solve; returns (B, 5, V) int32 stacked

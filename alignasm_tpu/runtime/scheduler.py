@@ -389,6 +389,7 @@ def _launch_buckets(buckets, n_edges, exporter, spec, n_dev, launches,
     import numpy as np
 
     from alignasm_tpu.ops.dense import (
+        dense_solve_wire16_topo_nxt8,
         dense_solve_wire_topo_nxt8, dense_solve_wire_topo_nxt8_ragged,
         dense_solve_wire_topo_nxt16, dense_solve_wire_topo_nxt16_ragged,
     )
@@ -406,18 +407,30 @@ def _launch_buckets(buckets, n_edges, exporter, spec, n_dev, launches,
         else:
             padB = _next_pow2(realB)
         if spec is None or V > 256:
-            # single-device production transport: RAGGED wire — one
-            # (2, capN) int32 stream carrying only real edge entries
-            # (no per-contig W padding; ~2-3x fewer H2D bytes at
-            # 50k-contig scale, where the wire dominates sync).  Bad
-            # contigs (parallel edges / envelope) decode to empty slabs
-            # and their result rows are dropped before the finish.
-            wire, ok, _cap = exporter.export_wire_ragged(
-                idxs, V, n_edges[idxs], padB)
-            if V <= 256:
-                pending = dense_solve_wire_topo_nxt8_ragged(wire, B=padB, V=V)
+            # single-device production transport, smallest first:
+            # (1) 16-BIT wire — u16 cell deltas + u16 dictionary value
+            #     indices, HALF the i32 ragged bytes (V <= 128 buckets;
+            #     falls back when the value table overflows);
+            # (2) RAGGED i32 wire — one (2, capN) stream carrying only
+            #     real edge entries.
+            # Bad contigs (parallel edges / envelope) decode to empty
+            # slabs and their result rows drop before the finish.
+            w16 = exporter.export_wire16(idxs, V, n_edges[idxs], padB) \
+                if V <= 128 else None
+            if w16 is not None:
+                deltas, vidx, table, n_real, seeds, ok = w16
+                pending = dense_solve_wire16_topo_nxt8(
+                    deltas, vidx, table, seeds, n_real, B=padB, V=V)
+                stats["wire16_buckets"] = stats.get("wire16_buckets", 0) + 1
             else:
-                pending = dense_solve_wire_topo_nxt16_ragged(wire, B=padB, V=V)
+                wire, ok, _cap = exporter.export_wire_ragged(
+                    idxs, V, n_edges[idxs], padB)
+                if V <= 256:
+                    pending = dense_solve_wire_topo_nxt8_ragged(
+                        wire, B=padB, V=V)
+                else:
+                    pending = dense_solve_wire_topo_nxt16_ragged(
+                        wire, B=padB, V=V)
             launches.append((idxs, realB, V, pending,
                              None if ok.all() else ok))
             stats["dense_buckets"] += 1

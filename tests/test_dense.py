@@ -483,3 +483,67 @@ def test_ragged_wire_parity_with_slab_wire(tmp_path):
         np.testing.assert_array_equal(slabs_bad[keep], slabs_s[keep])
     finally:
         exp.close()
+
+
+def test_wire16_parity_with_ragged_wire(tmp_path):
+    """The 16-bit wire (u16 deltas + u16 dictionary values) must densify
+    to slabs bit-identical to the i32 ragged wire for the same bucket —
+    including rejected contigs (inline vertex-0 seeds) and padding rows
+    — and produce bit-identical nxt8 production rows."""
+    from alignasm_tpu import native
+    from alignasm_tpu.config import DEFAULT_CONFIG as cfg
+    from alignasm_tpu.ops.dense import (
+        _densify_wire16, _densify_wire_ragged,
+        dense_solve_wire16_topo_nxt8, dense_solve_wire_topo_nxt8_ragged,
+    )
+
+    p = tmp_path / "w16.paf"
+    p.write_text(generate_hard_paf(n_contigs=10, seed=17))
+    native.build()
+    exp = native.GraphExporter(str(p), config=cfg)
+    try:
+        meta = exp.meta_bulk()
+        idx = np.where((meta[:, 0] == 1) & (meta[:, 1] >= 2))[0]
+        assert len(idx) >= 4
+        V = 1 << int(meta[idx, 2].max() - 1).bit_length()
+        assert V <= 128
+        n_edges = meta[idx, 3]
+        padB = (1 << (len(idx) - 1).bit_length()) * 2  # force padding
+
+        rag, ok_r, _cap = exp.export_wire_ragged(idx, V, n_edges, padB)
+        w16 = exp.export_wire16(idx, V, n_edges, padB)
+        assert w16 is not None
+        deltas, vidx, table, n_real, seeds, ok_16 = w16
+        np.testing.assert_array_equal(ok_r, ok_16)
+
+        slabs_r = np.asarray(_densify_wire_ragged(rag, padB, V))
+        slabs_16 = np.asarray(_densify_wire16(
+            deltas, vidx, table, seeds, n_real, padB, V))
+        np.testing.assert_array_equal(slabs_16, slabs_r)
+
+        rows_r = np.asarray(dense_solve_wire_topo_nxt8_ragged(
+            rag, B=padB, V=V))
+        rows_16 = np.asarray(dense_solve_wire16_topo_nxt8(
+            deltas, vidx, table, seeds, n_real, B=padB, V=V))
+        np.testing.assert_array_equal(rows_16, rows_r)
+
+        # force a rejected contig (lie about one edge count): both
+        # transports must agree on the ok mask and on every kept slab,
+        # and the rejected slab must decode empty + well-formed
+        bad_edges = n_edges.copy()
+        bad_edges[2] += 1
+        rag_b, ok_rb, _c2 = exp.export_wire_ragged(idx, V, bad_edges, padB)
+        w16_b = exp.export_wire16(idx, V, bad_edges, padB)
+        assert w16_b is not None
+        d_b, vi_b, tb_b, nr_b, sd_b, ok_16b = w16_b
+        np.testing.assert_array_equal(ok_rb, ok_16b)
+        assert not ok_16b[2]
+        s_r = np.asarray(_densify_wire_ragged(rag_b, padB, V))
+        s_16 = np.asarray(_densify_wire16(d_b, vi_b, tb_b, sd_b, nr_b,
+                                          padB, V))
+        from alignasm_tpu.ops.dense import INF32
+        np.testing.assert_array_equal(s_16, s_r)
+        assert (s_16[2, :V] == INF32).all()
+        assert s_16[2, V, 0] == 0 and s_16[2, V, 1] == 0
+    finally:
+        exp.close()

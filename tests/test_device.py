@@ -493,3 +493,41 @@ def test_nxt16_gate_rows_match_full_dp():
         want_fast = cm == 1 and not (ct >= 2 and d_a[src] != fl)
         assert bool(r16[b, V]) == want_fast, b
         assert r16[b, V + 1] == src
+
+
+def test_wire16_single_device_end_to_end(tmp_path, oracle_bin):
+    """The 16-bit wire is the single-device production transport, which
+    the 8-device virtual mesh never exercises — run the engine in a
+    1-device CPU subprocess and byte-compare against the oracle."""
+    import os
+    import pathlib
+    import subprocess
+    import sys
+
+    from tests.conftest import run_oracle
+
+    p = tmp_path / "w16e.paf"
+    p.write_text(generate_hard_paf(n_contigs=12, seed=91))
+    oracle_outs = run_oracle(oracle_bin, p, tmp_path)
+    eng = tmp_path / "w16eng.paf"
+    eng.write_bytes(p.read_bytes())
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = ""  # exactly one device
+    code = (
+        "from alignasm_tpu.io.paf import read_paf\n"
+        "from alignasm_tpu.runtime.scheduler import solve_dataset_tpu\n"
+        "from alignasm_tpu.config import DEFAULT_CONFIG\n"
+        f"ds = read_paf({str(eng)!r})\n"
+        f"solve_dataset_tpu(ds, DEFAULT_CONFIG, src_paths=({str(eng)!r}, None),\n"
+        f"                  write_prefix={str(eng)[:-4]!r})\n"
+        "st = solve_dataset_tpu.last_stats\n"
+        "assert st.get('wire16_buckets', 0) >= 1, st\n"
+    )
+    proc = subprocess.run([sys.executable, "-c", code], env=env,
+                          capture_output=True, text=True, timeout=300)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    for o, suffix in zip(oracle_outs, ("", ".alt", ".all")):
+        got = pathlib.Path(str(eng)[:-4] + f".aln{suffix}.paf")
+        assert o.read_bytes() == got.read_bytes(), f"aln{suffix}"
