@@ -422,6 +422,8 @@ def _launch_buckets(buckets, n_edges, exporter, spec, n_dev, launches,
                 pending = dense_solve_wire16_topo_nxt8(
                     deltas, vidx, table, seeds, n_real, B=padB, V=V)
                 stats["wire16_buckets"] = stats.get("wire16_buckets", 0) + 1
+                stats["h2d_bytes"] = stats.get("h2d_bytes", 0) + (
+                    deltas.nbytes + vidx.nbytes + table.nbytes + seeds.nbytes)
             else:
                 wire, ok, _cap = exporter.export_wire_ragged(
                     idxs, V, n_edges[idxs], padB)
@@ -431,6 +433,7 @@ def _launch_buckets(buckets, n_edges, exporter, spec, n_dev, launches,
                 else:
                     pending = dense_solve_wire_topo_nxt16_ragged(
                         wire, B=padB, V=V)
+                stats["h2d_bytes"] = stats.get("h2d_bytes", 0) + wire.nbytes
             launches.append((idxs, realB, V, pending,
                              None if ok.all() else ok))
             stats["dense_buckets"] += 1
@@ -583,6 +586,7 @@ def _device_assist(exporter, cfg: AlignasmConfig, meta, idx_pool, stats,
         t1 = time.perf_counter()
         try:
             dp = np.asarray(pending)[:realB]
+            stats["d2h_bytes"] = stats.get("d2h_bytes", 0) + dp.nbytes
         except Exception as exc:
             stats["device_error"] = f"sync: {exc!r}"[:500]
             sync_s += time.perf_counter() - t1
