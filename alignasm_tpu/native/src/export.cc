@@ -103,37 +103,61 @@ void run_pool(int threads, long long n, const std::function<void(long long)> &bo
 void compute_ranks(PackedContig &pc) {
     const aln::Graph &g = pc.graph;
     int64_t V = (int64_t) g.adj.size();
-    // g_rev adjacency counts + Kahn order (in-degree in g_rev equals
-    // forward out-degree)
-    std::vector<int32_t> indeg(V);
-    std::vector<std::vector<int32_t>> grev(V);
+    // g_rev in CSR form (in-degree in g_rev equals forward out-degree):
+    // a flat counting-sort layout instead of vector<vector> — the
+    // per-contig allocation churn of the nested form was a measurable
+    // slice of the 100k-corpus pack phase.  Scratch is thread_local so
+    // the build pool reuses it across contigs.
+    static thread_local std::vector<int32_t> indeg, roff, radj, q;
+    indeg.assign((size_t) V, 0);
+    roff.assign((size_t) V + 1, 0);
+    int64_t E = 0;
     for (int64_t u = 0; u < V; u++) {
         indeg[u] = (int32_t) g.adj[u].size();
-        for (const auto &e : g.adj[u]) grev[e.to].push_back((int32_t) u);
+        E += (int64_t) g.adj[u].size();
+        for (const auto &e : g.adj[u]) roff[(size_t) e.to + 1]++;
     }
-    std::deque<int32_t> q;
+    for (int64_t v = 0; v < V; v++) roff[v + 1] += roff[v];
+    radj.resize((size_t) E);
+    {
+        static thread_local std::vector<int32_t> cur;
+        cur.assign(roff.begin(), roff.end() - 1);
+        for (int64_t u = 0; u < V; u++)
+            for (const auto &e : g.adj[u])
+                radj[(size_t) cur[e.to]++] = (int32_t) u;
+    }
+    // FIFO Kahn queue as a flat vector (head index), index-ordered
+    // seeding.  Seeding/queue order must stay EXACTLY this — erank
+    // reproduces the reference's reversed-relaxation arrival order
+    // from it, and the wire's topo relabeling comes from kahn.
+    q.clear();
     for (int64_t u = 0; u < V; u++)
         if (!indeg[u]) q.push_back((int32_t) u);
-    // kept (not recomputed per call): also the wire's topo relabeling.
-    // Seeding/queue order must stay EXACTLY this (index-ordered Kahn on
-    // the reversed graph) — erank reproduces the reference's reversed-
-    // relaxation arrival order from it.
     pc.kahn.assign((size_t) V, 0);
     auto &kahn = pc.kahn;
     int32_t pos = 0;
-    while (!q.empty()) {
-        int32_t x = q.front();
-        q.pop_front();
+    for (size_t head = 0; head < q.size(); head++) {
+        int32_t x = q[head];
         kahn[x] = pos++;
-        for (int32_t to : grev[x])
-            if (--indeg[to] == 0) q.push_back(to);
+        for (int32_t k = roff[x]; k < roff[(size_t) x + 1]; k++)
+            if (--indeg[radj[(size_t) k]] == 0) q.push_back(radj[(size_t) k]);
     }
-    // per-target running index in g_rev list order (u-major)
-    std::vector<int32_t> rev_idx(V, 0);
+}
+
+void compute_erank(PackedContig &pc) {
+    // per-edge reversed-relaxation arrival rank, u-major — consumed
+    // only by aln_export_edges (the mesh graph axis) and the legacy
+    // sparse kernels, so it is computed lazily there rather than in
+    // the hot build path
+    if (!pc.erank.empty()) return;
+    const aln::Graph &g = pc.graph;
+    int64_t V = (int64_t) g.adj.size();
+    std::vector<int32_t> rev_idx((size_t) V, 0);
     pc.erank.clear();
     for (int64_t u = 0; u < V; u++)
         for (const auto &e : g.adj[u])
-            pc.erank.push_back(((int64_t) kahn[e.to] << 26) | rev_idx[e.to]++);
+            pc.erank.push_back(((int64_t) pc.kahn[e.to] << 26)
+                               | rev_idx[e.to]++);
 }
 
 void set_err(char *err, int errlen, const std::string &msg) {
@@ -225,7 +249,18 @@ void aln_tune_heap(void) {
     });
 }
 
-void aln_close(void *h) { delete (ExportCtx *) h; }
+void aln_close(void *h) {
+    // teardown off the caller's path: the context holds the parsed
+    // dataset + every built graph + formatted parts (~10^5-10^6 small
+    // heap blocks; ~0.4 s of free() at 50k contigs, measured inside
+    // the round-3 scale runs) — the caller only needs the outputs, so
+    // a detached thread releases the memory.  Same constraint as
+    // api.cc's Garbage thread: the library stays loaded for the
+    // thread's lifetime (ctypes never dlcloses), and process exit
+    // mid-free is benign.
+    auto *ctx = (ExportCtx *) h;
+    std::thread([ctx] { delete ctx; }).detach();
+}
 
 long long aln_num_contigs(void *h) {
     return (long long) ((ExportCtx *) h)->ds.contigs.size();
@@ -811,8 +846,9 @@ int aln_export_edges(void *h, long long i, int32_t *eu, int32_t *ev,
     // reversed-relaxation arrival rank (same layout as the Python
     // pack_graph, engine/device.py:48).
     auto &ctx = *(ExportCtx *) h;
-    const auto &pc = ctx.packed[i];
+    auto &pc = ctx.packed[i];
     if (!pc.built) return 1;
+    compute_erank(pc);  // lazy: only the mesh path pays for it
     long long k = 0;
     for (size_t u = 0; u < pc.graph.adj.size(); u++)
         for (const auto &e : pc.graph.adj[u]) {

@@ -46,6 +46,7 @@ def run_multihost(
     alt_baseline: float = 0.5,
     non_skip_linkable: bool = False,
     device_runtime: bool = False,
+    upgrade_mode: str = "alt_path",
 ) -> None:
     # The rank/world of THIS job come from the launcher's flags —
     # backends may renumber process_index, and the shard assignment must
@@ -83,7 +84,8 @@ def run_multihost(
         with different flags, or against an edited same-size input,
         rejects stale partials instead of silently mixing configs."""
         h = hashlib.sha256()
-        h.update(f"v2:{world}:{alt_baseline!r}:{non_skip_linkable}:".encode())
+        h.update(f"v3:{world}:{alt_baseline!r}:{non_skip_linkable}:"
+                 f"{upgrade_mode}:".encode())
 
         def _file_id(path):
             st = os.stat(path)
@@ -106,10 +108,17 @@ def run_multihost(
     # per-rank native shard engine: contig-group-sharded parse + solve
     # + format fused in C++, published as pre-formatted text (atomic
     # rename, so existence == internal completeness)
+    cfg = None
+    if upgrade_mode != "alt_path":
+        import dataclasses
+
+        from alignasm_tpu.config import DEFAULT_CONFIG
+
+        cfg = dataclasses.replace(DEFAULT_CONFIG, upgrade_mode=upgrade_mode)
     info = native.run_shard(
         paf_path, f"{stem}.shard{rank}.bin", rank, world, digest=digest,
         alt_path=alt, alt_baseline=alt_baseline,
-        non_skip_linkable=non_skip_linkable, threads=threads,
+        non_skip_linkable=non_skip_linkable, threads=threads, config=cfg,
     )
     n = info["n_total"]
 
@@ -168,6 +177,9 @@ def main() -> None:
     p.add_argument("-a", "--alt")
     p.add_argument("-b", "--alt_baseline", type=float, default=0.5)
     p.add_argument("--non_skip_linkable", action="store_true")
+    p.add_argument("--upgrade_mode",
+                   choices=["alt_path", "single_piece", "no_update"],
+                   default="alt_path")
     p.add_argument("--device-runtime", action="store_true",
                    help="initialize jax.distributed (needed only when "
                         "ranks drive accelerator collectives)")
@@ -175,7 +187,7 @@ def main() -> None:
     run_multihost(
         a.paf_loc, a.coordinator, a.num_processes, a.process_id,
         a.thread, a.alt, a.alt_baseline, a.non_skip_linkable,
-        a.device_runtime,
+        a.device_runtime, a.upgrade_mode,
     )
 
 

@@ -358,3 +358,39 @@ def test_multihost_rejects_stale_partial_from_other_config(tmp_path, monkeypatch
     import pytest as _pytest
     with _pytest.raises(TimeoutError):
         run_multihost(str(mh), num_processes=2, process_id=0)
+
+
+def test_multihost_upgrade_mode_single_piece(tmp_path):
+    """2-rank shard run with --upgrade_mode single_piece must match the
+    constant-flipped oracle build byte-for-byte."""
+    import os
+    import subprocess
+    import sys
+
+    sp_bin = pathlib.Path("tests/oracle/bin/alignasm_ref_sp").resolve()
+    if not sp_bin.exists():
+        subprocess.run(["make", "-C", "tests/oracle", "single"],
+                       check=True, capture_output=True)
+    p = _dataset(tmp_path, seed=41, n=8)
+    subprocess.run([str(sp_bin), str(p)], check=True, capture_output=True,
+                   cwd=tmp_path)
+    gold = [pathlib.Path(str(p)[:-4] + f".aln{s}.paf").read_bytes()
+            for s in ("", ".alt", ".all")]
+    mh = tmp_path / "mhsp.paf"
+    mh.write_bytes(p.read_bytes())
+    env = dict(os.environ)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-m", "alignasm_tpu.parallel.multihost", str(mh),
+             "--num-processes", "2", "--process-id", str(rank),
+             "--upgrade_mode", "single_piece"],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        )
+        for rank in range(2)
+    ]
+    for proc in procs:
+        out, _ = proc.communicate(timeout=180)
+        assert proc.returncode == 0, out.decode()[-2000:]
+    for g, suffix in zip(gold, ("", ".alt", ".all")):
+        got = pathlib.Path(str(mh)[:-4] + f".aln{suffix}.paf")
+        assert g == got.read_bytes(), f"aln{suffix}"
