@@ -123,6 +123,8 @@ def _ensure_lib():
         lib.aln_open2.restype = ctypes.c_void_p
         lib.aln_tune_heap.argtypes = []
         lib.aln_tune_heap.restype = None
+        lib.aln_drain_teardowns.argtypes = []
+        lib.aln_drain_teardowns.restype = None
         lib.aln_close.argtypes = [ctypes.c_void_p]
         lib.aln_num_contigs.argtypes = [ctypes.c_void_p]
         lib.aln_num_contigs.restype = ctypes.c_longlong
@@ -267,6 +269,15 @@ def tune_heap() -> None:
     TPU tunnel, where fresh pages fault through its tracking layer at
     ~9 MB/s — see export.cc:aln_tune_heap."""
     _ensure_lib().aln_tune_heap()
+
+
+def drain_teardowns() -> None:
+    """Join every pending background teardown (run()'s Garbage thread,
+    GraphExporter.close()'s context delete).  Production callers never
+    need this — teardown is deliberately off their path; benchmark
+    loops call it BETWEEN reps so a previous rep's free() churn doesn't
+    compete with the next rep's timed work."""
+    _ensure_lib().aln_drain_teardowns()
 
 
 class GraphExporter:

@@ -148,7 +148,7 @@ int aln_run_stats2(const char *paf_path, const char *alt_path, double alt_baseli
             };
             auto *g = new Garbage{std::move(ds), std::move(parts_out),
                                   std::move(parts_alt), std::move(parts_max)};
-            std::thread([g] { delete g; }).detach();
+            aln::async_teardown([g] { delete g; });
         }
         if (stats) {
             stats->read_s = read_secs;

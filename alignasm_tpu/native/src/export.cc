@@ -254,12 +254,12 @@ void aln_close(void *h) {
     // dataset + every built graph + formatted parts (~10^5-10^6 small
     // heap blocks; ~0.4 s of free() at 50k contigs, measured inside
     // the round-3 scale runs) — the caller only needs the outputs, so
-    // a detached thread releases the memory.  Same constraint as
-    // api.cc's Garbage thread: the library stays loaded for the
-    // thread's lifetime (ctypes never dlcloses), and process exit
-    // mid-free is benign.
+    // a background thread releases the memory (joinable via
+    // aln_drain_teardowns so bench reps don't inherit the churn).
+    // The library stays loaded for the thread's lifetime (ctypes never
+    // dlcloses), and process exit mid-free is benign.
     auto *ctx = (ExportCtx *) h;
-    std::thread([ctx] { delete ctx; }).detach();
+    aln::async_teardown([ctx] { delete ctx; });
 }
 
 long long aln_num_contigs(void *h) {

@@ -2,6 +2,7 @@
 
 #include <atomic>
 #include <charconv>
+#include <mutex>
 #include <thread>
 #include <cstdio>
 #include <fstream>
@@ -543,4 +544,33 @@ void write_max_rows(const Dataset &ds,
     flush_parts(path, parts);
 }
 
+namespace {
+// leaked on purpose: a static-duration vector holding joinable threads
+// would std::terminate in its destructor at process exit if a teardown
+// were still running — a heap registry with no destructor makes exit
+// mid-free benign (threads die with the process)
+std::mutex &td_mu() {
+    static std::mutex m;
+    return m;
+}
+std::vector<std::thread> &td_reg() {
+    static auto *v = new std::vector<std::thread>();
+    return *v;
+}
+}  // namespace
+
+void async_teardown(std::function<void()> fn) {
+    std::lock_guard<std::mutex> lk(td_mu());
+    td_reg().emplace_back(std::move(fn));
+}
+
 }  // namespace aln
+
+extern "C" void aln_drain_teardowns(void) {
+    std::vector<std::thread> local;
+    {
+        std::lock_guard<std::mutex> lk(aln::td_mu());
+        local.swap(aln::td_reg());
+    }
+    for (auto &t : local) t.join();
+}

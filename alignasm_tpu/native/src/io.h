@@ -93,4 +93,12 @@ void flush_three(const std::string &prefix,
                  const std::vector<std::string> &alt,
                  const std::vector<std::string> &max, int threads);
 
+// Run ``fn`` (a bulk teardown: free()ing 10^5-10^6 small heap blocks)
+// on a background thread so the caller's path doesn't pay for it.  The
+// thread is kept JOINABLE in a registry — aln_drain_teardowns() joins
+// every pending one, so benchmark loops can keep back-to-back reps
+// from competing with the previous rep's frees without serializing
+// production callers (which never drain).
+void async_teardown(std::function<void()> fn);
+
 }  // namespace aln

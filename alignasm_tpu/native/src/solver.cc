@@ -277,23 +277,32 @@ Graph build_graph(std::vector<Record> &records, const Config &cfg) {
 namespace {
 
 // ---- Kahn FIFO topological order ------------------------------------
-std::vector<i32> topo_order(const std::vector<std::vector<Edge>> &adj) {
+// The output vector doubles as the FIFO queue (every vertex is pushed
+// exactly once and popped in append order, so the queue IS the order);
+// indeg scratch is thread_local.  glibc malloc was >50% of -t1 solve
+// time, and this ran 3x per contig with a deque + two vectors per call.
+void topo_order_into(const std::vector<std::vector<Edge>> &adj,
+                     std::vector<i32> &out) {
     i64 n = (i64) adj.size();
-    std::vector<i32> indeg(n, 0), out;
+    static thread_local std::vector<i32> indeg;
+    indeg.assign((size_t) n, 0);
+    out.clear();
     out.reserve(n);
     for (i64 u = 0; u < n; u++)
         for (const auto &e : adj[u]) indeg[e.to]++;
-    std::deque<i32> q;
     for (i64 u = 0; u < n; u++)
-        if (!indeg[u]) q.push_back((i32) u);
-    while (!q.empty()) {
-        i32 u = q.front();
-        q.pop_front();
-        out.push_back(u);
+        if (!indeg[u]) out.push_back((i32) u);
+    for (size_t head = 0; head < out.size(); head++) {
+        i32 u = out[head];
         for (const auto &e : adj[u])
-            if (--indeg[e.to] == 0) q.push_back(e.to);
+            if (--indeg[e.to] == 0) out.push_back(e.to);
     }
     if ((i64) out.size() != n) throw std::runtime_error("cycle in contig DAG");
+}
+
+std::vector<i32> topo_order(const std::vector<std::vector<Edge>> &adj) {
+    std::vector<i32> out;
+    topo_order_into(adj, out);
     return out;
 }
 
@@ -302,34 +311,86 @@ std::vector<i32> topo_order(const std::vector<std::vector<Edge>> &adj) {
 // index, emplace index), matching the deterministic-allocator oracle.
 class Walks {
 public:
-    Walks(const Graph &g) : g_(g), V_((i64) g.adj.size()) {}
+    Walks() = default;
+    explicit Walks(const Graph &g) { reset(g); }
+
+    // reusable across contigs (thread_local in the solve entry):
+    // every buffer keeps its capacity, heap/candidate indices restart
+    // at 0 exactly as a fresh object's would
+    void reset(const Graph &g) {
+        gp_ = &g;
+        V_ = (i64) g.adj.size();
+        hk_.clear(); hu_.clear(); hv_.clear();
+        hl_.clear(); hr_.clear(); hrank_.clear();
+        cand_h_.clear(); cand_prev_.clear(); cand_d_.clear();
+        qv_.clear();
+        dists_.clear();
+        last_.clear();
+        heaps_ready_ = false;
+    }
 
     // shortest-path pass only (d[] / best[]); returns false if dest
     // unreachable (cannot happen for valid contigs)
     bool prepare() {
-        rev_.assign(V_, {});
-        for (i64 u = 0; u < V_; u++)
-            for (const auto &e : g_.adj[u]) rev_[e.to].push_back({(i32) u, e.w});
-        rev_order_ = topo_order(rev_);
-        const auto &rev = rev_;
-        const auto &order = rev_order_;
+        const Graph &g = *gp_;
+        // reversed adjacency in CSR form (counting sort preserves the
+        // u-major per-target order the nested-vector form had); the
+        // nested form allocated V inner vectors per contig
+        roff_.assign((size_t) V_ + 1, 0);
+        i64 E = 0;
+        for (i64 u = 0; u < V_; u++) {
+            E += (i64) g.adj[u].size();
+            for (const auto &e : g.adj[u]) roff_[(size_t) e.to + 1]++;
+        }
+        for (i64 v = 0; v < V_; v++) roff_[v + 1] += roff_[v];
+        rsrc_.resize((size_t) E);
+        rw_.resize((size_t) E);
+        {
+            static thread_local std::vector<i32> cur;
+            cur.assign(roff_.begin(), roff_.end() - 1);
+            for (i64 u = 0; u < V_; u++)
+                for (const auto &e : g.adj[u]) {
+                    i32 k = cur[e.to]++;
+                    rsrc_[k] = (i32) u;
+                    rw_[k] = e.w;
+                }
+        }
+        // Kahn order of the reversed graph (in-degree there = forward
+        // out-degree); the output vector doubles as the FIFO queue
+        {
+            static thread_local std::vector<i32> indeg;
+            indeg.assign((size_t) V_, 0);
+            for (i64 u = 0; u < V_; u++) indeg[u] = (i32) g.adj[u].size();
+            rev_order_.clear();
+            rev_order_.reserve(V_);
+            for (i64 v = 0; v < V_; v++)
+                if (!indeg[v]) rev_order_.push_back((i32) v);
+            for (size_t head = 0; head < rev_order_.size(); head++) {
+                i32 v = rev_order_[head];
+                for (i32 k = roff_[v]; k < roff_[(size_t) v + 1]; k++)
+                    if (--indeg[rsrc_[k]] == 0) rev_order_.push_back(rsrc_[k]);
+            }
+            if ((i64) rev_order_.size() != V_)
+                throw std::runtime_error("cycle in contig DAG");
+        }
         d_.assign(V_, Dist{});
         reach_.assign(V_, false);
         best_.assign(V_, -1);
-        reach_[g_.dest] = true;
-        for (i32 v : order) {
+        reach_[g.dest] = true;
+        for (i32 v : rev_order_) {
             if (!reach_[v]) continue;
-            for (const auto &e : rev[v]) {
-                Dist nd = d_[v] + e.w;
-                if (!reach_[e.to] || dist_less(nd, d_[e.to], Mode::CalcSum)) {
-                    reach_[e.to] = true;
-                    d_[e.to] = nd;
-                    best_[e.to] = v;
+            for (i32 k = roff_[v]; k < roff_[(size_t) v + 1]; k++) {
+                i32 to = rsrc_[k];
+                Dist nd = d_[v] + rw_[k];
+                if (!reach_[to] || dist_less(nd, d_[to], Mode::CalcSum)) {
+                    reach_[to] = true;
+                    d_[to] = nd;
+                    best_[to] = v;
                 }
             }
         }
-        if (!reach_[g_.src]) return false;
-        dists_.push_back(d_[g_.src]);
+        if (!reach_[g.src]) return false;
+        dists_.push_back(d_[g.src]);
         last_.push_back(-1);
         return true;
     }
@@ -337,20 +398,21 @@ public:
     // number of walks achieving the minimum (sum, anom), saturated at
     // `cap` — decides whether sidetrack heaps are needed at all
     i64 count_min_walks(i64 cap) const {
-        const auto &rev = rev_;
-        const auto &order = rev_order_;
-        std::vector<i64> cnt(V_, 0);
-        cnt[g_.dest] = 1;
-        for (i32 v : order) {
+        const Graph &g = *gp_;
+        static thread_local std::vector<i64> cnt;
+        cnt.assign(V_, 0);
+        cnt[g.dest] = 1;
+        for (i32 v : rev_order_) {
             if (!cnt[v]) continue;
-            for (const auto &e : rev[v]) {
-                if (!reach_[e.to]) continue;
-                Dist nd = d_[v] + e.w;
-                if (nd.sum() == d_[e.to].sum() && nd.a == d_[e.to].a)
-                    cnt[e.to] = std::min(cnt[e.to] + cnt[v], cap);
+            for (i32 k = roff_[v]; k < roff_[(size_t) v + 1]; k++) {
+                i32 to = rsrc_[k];
+                if (!reach_[to]) continue;
+                Dist nd = d_[v] + rw_[k];
+                if (nd.sum() == d_[to].sum() && nd.a == d_[to].a)
+                    cnt[to] = std::min(cnt[to] + cnt[v], cap);
             }
         }
-        return cnt[g_.src];
+        return cnt[g.src];
     }
 
     // builds the persistent sidetrack heaps (the expensive part of
@@ -358,17 +420,29 @@ public:
     void ensure_heaps() {
         if (heaps_ready_) return;
         heaps_ready_ = true;
-        std::vector<std::vector<i32>> tree(V_);
+        const Graph &g = *gp_;
+        // shortest-path tree children in CSR (u-ascending per parent,
+        // the order the nested push_back form produced)
+        static thread_local std::vector<i32> toff, tch, q;
+        toff.assign((size_t) V_ + 1, 0);
         for (i64 u = 0; u < V_; u++)
-            if (best_[u] != -1) tree[best_[u]].push_back((i32) u);
+            if (best_[u] != -1) toff[(size_t) best_[u] + 1]++;
+        for (i64 v = 0; v < V_; v++) toff[v + 1] += toff[v];
+        tch.resize(toff[V_]);
+        {
+            static thread_local std::vector<i32> cur;
+            cur.assign(toff.begin(), toff.end() - 1);
+            for (i64 u = 0; u < V_; u++)
+                if (best_[u] != -1) tch[(size_t) cur[best_[u]]++] = (i32) u;
+        }
         heap_of_.assign(V_, -1);
-        std::deque<i32> q{ (i32) g_.dest };
-        while (!q.empty()) {
-            i32 u = q.front();
-            q.pop_front();
+        q.clear();
+        q.push_back((i32) g.dest);
+        for (size_t head = 0; head < q.size(); head++) {
+            i32 u = q[head];
             bool seen_best = false;
             i32 h = heap_of_[u];
-            for (const auto &e : g_.adj[u]) {
+            for (const auto &e : g.adj[u]) {
                 if (!reach_[e.to]) continue;
                 Dist c = e.w + d_[e.to] - d_[u];
                 if (!seen_best && e.to == best_[u] && c.is_zero_like()) {
@@ -378,19 +452,25 @@ public:
                 h = heap_insert(h, c, u, e.to);
             }
             heap_of_[u] = h;
-            for (i32 p : tree[u]) { heap_of_[p] = h; q.push_back(p); }
+            for (i32 k = toff[u]; k < toff[(size_t) u + 1]; k++) {
+                heap_of_[tch[k]] = h;
+                q.push_back(tch[k]);
+            }
         }
-        if (heap_of_[g_.src] != -1)
-            emplace(d_[g_.src] + hk_[heap_of_[g_.src]], heap_of_[g_.src], -1);
+        if (heap_of_[g.src] != -1)
+            emplace(d_[g.src] + hk_[heap_of_[g.src]], heap_of_[g.src], -1);
     }
 
     // emit the next walk; returns false when exhausted.  Walk i's
     // distance lands in dists()[i].
     bool next() {
         ensure_heaps();
-        if (q_.empty()) return false;
-        QE top = q_.top();
-        q_.pop();
+        if (qv_.empty()) return false;
+        // exactly libstdc++ priority_queue<QE, vector, greater>: its
+        // top()/pop() are front + pop_heap/pop_back on the same heap
+        QE top = qv_.front();
+        std::pop_heap(qv_.begin(), qv_.end(), std::greater<QE>{});
+        qv_.pop_back();
         i32 cur = top.cand;
         Dist cd = cand_d_[cur];
         dists_.push_back(cd);
@@ -416,8 +496,8 @@ public:
         }
         std::reverse(side.begin(), side.end());
         size_t idx = 0;
-        i32 at = g_.src;
-        while (at != g_.dest || idx < side.size()) {
+        i32 at = gp_->src;
+        while (at != gp_->dest || idx < side.size()) {
             if (idx < side.size() && at == std::get<0>(side[idx])) {
                 path.push_back(side[idx]);
                 at = std::get<1>(side[idx]);
@@ -467,13 +547,16 @@ private:
         cand_h_.push_back(h);
         cand_prev_.push_back(pre);
         cand_d_.push_back(d);
-        q_.push({d, h, cur});
+        qv_.push_back({d, h, cur});
+        std::push_heap(qv_.begin(), qv_.end(), std::greater<QE>{});
     }
 
-    const Graph &g_;
-    i64 V_;
-    std::vector<std::vector<Edge>> rev_;   // reversed adjacency (prepare)
-    std::vector<i32> rev_order_;           // its Kahn topo order
+    const Graph *gp_ = nullptr;
+    i64 V_ = 0;
+    // reversed adjacency in CSR form + its Kahn topo order (prepare)
+    std::vector<i32> roff_, rsrc_;
+    std::vector<Dist> rw_;
+    std::vector<i32> rev_order_;
     std::vector<Dist> d_;
     std::vector<char> reach_;
     std::vector<i32> best_;
@@ -484,7 +567,10 @@ private:
     // candidates
     std::vector<i32> cand_h_, cand_prev_;
     std::vector<Dist> cand_d_;
-    std::priority_queue<QE, std::vector<QE>, std::greater<QE>> q_;
+    // binary heap over QE, maintained with push_heap/pop_heap — the
+    // exact algorithm std::priority_queue runs, but on a vector whose
+    // capacity survives reset()
+    std::vector<QE> qv_;
     std::vector<Dist> dists_;
     std::vector<i32> last_;
     bool heaps_ready_ = false;
@@ -494,7 +580,10 @@ using EdgePath = std::vector<std::tuple<i32, i32, Dist>>;
 
 // ---- QRY_SCORE-mode gap re-solve (paf_data.cpp:750-792) -------------
 struct Upgrader {
-    const Graph &g;
+    // reusable across contigs (thread_local in the solve entry points):
+    // scratch keeps its capacity, the epoch stamps never reset — stale
+    // entries from a previous contig always carry an older epoch
+    const Graph *gp = nullptr;
     std::vector<i32> order_pos;
     std::vector<i32> order_vtx;
     // epoch-stamped scratch: recover() runs once per path edge, so a
@@ -504,17 +593,28 @@ struct Upgrader {
     mutable std::vector<i64> stamp_;
     mutable i64 epoch_ = 0;
 
-    explicit Upgrader(const Graph &g_) : g(g_) {
-        order_vtx = topo_order(g.adj);
+    Upgrader() = default;
+    explicit Upgrader(const Graph &g_) { reset(g_); }
+
+    // `fwd` = the contig's forward Kahn order if the caller already
+    // computed it (identical to recomputing: Kahn is deterministic)
+    void reset(const Graph &g_, const std::vector<i32> *fwd = nullptr) {
+        gp = &g_;
+        const auto &g = g_;
+        if (fwd) order_vtx.assign(fwd->begin(), fwd->end());
+        else topo_order_into(g.adj, order_vtx);
         order_pos.resize(order_vtx.size());
         for (i64 i = 0; i < (i64) order_vtx.size(); i++)
             order_pos[order_vtx[i]] = (i32) i;
-        dist_.resize(g.adj.size());
-        prev_.resize(g.adj.size());
-        stamp_.assign(g.adj.size(), 0);
+        if (dist_.size() < g.adj.size()) {
+            dist_.resize(g.adj.size());
+            prev_.resize(g.adj.size());
+            stamp_.resize(g.adj.size(), 0);
+        }
     }
 
     EdgePath recover(i32 s, i32 t, bool wl_flag = false, i32 wl = -1) const {
+        const Graph &g = *gp;
         if (s == t) return {};
         ++epoch_;
         auto seen = [&](i32 v) { return stamp_[v] == epoch_; };
@@ -552,6 +652,7 @@ struct Upgrader {
 
     // upgrade_edge_path_with_alt_path (paf_data.cpp:795-921)
     EdgePath upgrade(const EdgePath &path) const {
+        const Graph &g = *gp;
         EdgePath out;
         i64 n = (i64) path.size();
         for (i64 i = 0; i < n; i++) {
@@ -984,10 +1085,13 @@ static i64 coverage(const std::vector<OutRow> &rows) {
 }
 
 // min-anomaly floor, computed as a DAG DP (value-equal to the
-// reference's Dial BFS, k_weighted_bfs.hpp:16)
-static i64 anom_floor(const Graph &g) {
-    auto order = topo_order(g.adj);
-    std::vector<i64> f(g.adj.size(), std::numeric_limits<i64>::max());
+// reference's Dial BFS, k_weighted_bfs.hpp:16).  `order` is the
+// caller's forward Kahn order — the min-DP result is order-independent
+// for any topological order, and sharing one per contig saves two of
+// the three per-contig topo passes.
+static i64 anom_floor(const Graph &g, const std::vector<i32> &order) {
+    static thread_local std::vector<i64> f;
+    f.assign(g.adj.size(), std::numeric_limits<i64>::max());
     f[g.src] = 0;
     for (i32 u : order) {
         if (f[u] == std::numeric_limits<i64>::max()) continue;
@@ -998,22 +1102,29 @@ static i64 anom_floor(const Graph &g) {
 
 // per-anomaly-level minimum score sums to dest (for the lazy-walk
 // early-stop bound); levels above `cap` are ignored
-static std::vector<i64> level_min_sums(const Graph &g, i64 cap) {
+static std::vector<i64> level_min_sums(const Graph &g, i64 cap,
+                                       const std::vector<i32> &order) {
     const i64 INF = std::numeric_limits<i64>::max();
-    auto order = topo_order(g.adj);
-    std::vector<std::vector<i64>> f(g.adj.size(), std::vector<i64>(cap + 1, INF));
-    f[g.src][0] = 0;
+    i64 W = cap + 1;
+    // flat (V, cap+1) row-major table in thread_local scratch (the
+    // nested-vector form allocated V inner vectors per call)
+    static thread_local std::vector<i64> f;
+    f.assign(g.adj.size() * W, INF);
+    f[g.src * W] = 0;
     for (i32 u : order) {
+        const i64 *fu = &f[(i64) u * W];
         for (i64 a = 0; a <= cap; a++) {
-            if (f[u][a] == INF) continue;
+            if (fu[a] == INF) continue;
             for (const auto &e : g.adj[u]) {
                 i64 a2 = a + e.w.a;
                 if (a2 > cap) continue;
-                f[e.to][a2] = std::min(f[e.to][a2], f[u][a] + e.w.sum());
+                i64 &cell = f[(i64) e.to * W + a2];
+                cell = std::min(cell, fu[a] + e.w.sum());
             }
         }
     }
-    return f[g.dest];
+    return std::vector<i64>(f.begin() + g.dest * W,
+                            f.begin() + (g.dest + 1) * W);
 }
 
 ContigResult solve_contig(std::vector<Record> &records, const Config &cfg) {
@@ -1033,9 +1144,18 @@ ContigResult solve_contig(std::vector<Record> &records, const Config &cfg) {
 // of rebuilding them.
 ContigResult solve_from_graph(const Graph &g, const Config &cfg) {
     ContigResult res;
-    i64 floor_a = anom_floor(g);
+    // per-thread reusable solver state: one contig is solved at a time
+    // per worker thread and solve_from_graph never re-enters itself
+    // (to_rows/upgrade never solve), so thread_local instances whose
+    // buffers keep their capacity across contigs are behavior-identical
+    // to fresh objects — glibc malloc was >50% of -t1 solve time
+    static thread_local std::vector<i32> fwd_order;
+    static thread_local Walks walks;
+    static thread_local Upgrader up_tl;
+    topo_order_into(g.adj, fwd_order);
+    i64 floor_a = anom_floor(g, fwd_order);
 
-    Walks walks(g);
+    walks.reset(g);
     if (!walks.prepare()) throw std::runtime_error("dest unreachable");
 
     // by value: the dists vector reallocates as walks are emitted
@@ -1045,9 +1165,9 @@ ContigResult solve_from_graph(const Graph &g, const Config &cfg) {
     // tie sweep and alt scan are both no-ops, so skip Eppstein entirely
     if (cfg.lazy_walks && min_d.a == floor_a &&
         walks.count_min_walks(2) == 1) {
-        Upgrader up0(g);
+        up_tl.reset(g, &fwd_order);
         std::unordered_map<i32, bool> not_alt0;
-        res.out = to_rows(g, up0, walks.recover(0), not_alt0, cfg);
+        res.out = to_rows(g, up_tl, walks.recover(0), not_alt0, cfg);
         return res;
     }
 
@@ -1065,7 +1185,7 @@ ContigResult solve_from_graph(const Graph &g, const Config &cfg) {
             stop_sum = tie_bound_sum;
             stop_anom = tie_bound_anom;
         } else {
-            auto lv = level_min_sums(g, min_d.a - 1);
+            auto lv = level_min_sums(g, min_d.a - 1, fwd_order);
             // improving sequence: levels in ascending (sum, anom);
             // only improving levels' groups are ever converted
             std::vector<std::pair<i64, i64>> cand;  // (sum, anom)
@@ -1112,7 +1232,8 @@ ContigResult solve_from_graph(const Graph &g, const Config &cfg) {
         }
     }
 
-    Upgrader up(g);
+    up_tl.reset(g, &fwd_order);
+    Upgrader &up = up_tl;
     std::unordered_map<i32, bool> not_alt;
     auto convert = [&](i64 k) { return to_rows(g, up, walks.recover(k), not_alt, cfg); };
 
@@ -1183,10 +1304,11 @@ ContigResult finish_from_path(const Graph &g, const i32 *verts, int n,
         if (!hit) throw std::runtime_error("device path edge missing");
         path.emplace_back(u, v, hit->w);
     }
-    Upgrader up(g);
+    static thread_local Upgrader up_tl;
+    up_tl.reset(g);
     std::unordered_map<i32, bool> not_alt;
     ContigResult res;
-    res.out = to_rows(g, up, std::move(path), not_alt, cfg);
+    res.out = to_rows(g, up_tl, std::move(path), not_alt, cfg);
     return res;
 }
 

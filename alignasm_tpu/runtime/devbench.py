@@ -102,8 +102,13 @@ def bench_end_to_end(n_contigs: int, seed: int = 2024, reps: int = 5):
     # read_paf here only slowed the warm pass (minutes at 50k contigs)
     scheduler.solve_dataset_tpu(None, DEFAULT_CONFIG, src_paths=paths,
                                 write_prefix=prefix)  # warm
+    from alignasm_tpu import native
+
     best = float("inf")
     for _ in range(reps):
+        # join the previous rep's background context teardown so its
+        # free() churn doesn't compete with this rep's timed work
+        native.drain_teardowns()
         t0 = time.perf_counter()
         scheduler.solve_dataset_tpu(None, DEFAULT_CONFIG, src_paths=paths,
                                     write_prefix=prefix)

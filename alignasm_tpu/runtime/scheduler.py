@@ -612,6 +612,9 @@ def _device_assist(exporter, cfg: AlignasmConfig, meta, idx_pool, stats,
             cfinish_s += time.perf_counter() - t2
             continue
         cfinish_s += time.perf_counter() - t2
+        stats.setdefault("bucket_phases", []).append(
+            (int(V), int(len(idxs)), round(t2 - t1, 4),
+             round(time.perf_counter() - t2, 4)))
         covered.append(idxs)
         stats["device"] += n_fast
         stats["fallback"] += n_fb
@@ -668,6 +671,7 @@ def _solve_tpu_native(dataset, cfg: AlignasmConfig, src_paths, write_prefix):
         max_records=max(cfg.max_device_records, _device_cap(cfg)),
         config=cfg,
     )
+    stats["pack_open_s"] = round(time.perf_counter() - t_start, 4)
     try:
         n = len(exporter)
         if dataset is not None:

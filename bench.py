@@ -90,6 +90,9 @@ def main() -> None:
     for _ in range(reps):
         r = time_one(run_ref)
         n = time_one(run_native)
+        # join the rep's background teardown so its free() churn can't
+        # compete with the next rep's timed work (4-vCPU VM)
+        native.drain_teardowns()
         ratios.append(r / n)
         ref_reps.append(round(r, 4))
         native_reps.append(round(n, 4))

@@ -394,3 +394,19 @@ def test_multihost_upgrade_mode_single_piece(tmp_path):
     for g, suffix in zip(gold, ("", ".alt", ".all")):
         got = pathlib.Path(str(mh)[:-4] + f".aln{suffix}.paf")
         assert g == got.read_bytes(), f"aln{suffix}"
+
+
+def test_drain_teardowns_joins_background_frees(tmp_path):
+    """run() and GraphExporter.close() push their bulk frees onto
+    registered background threads; drain_teardowns() must join every
+    pending one and be idempotent on an empty registry (bench loops
+    call it between reps so free() churn can't cross rep boundaries)."""
+    from alignasm_tpu import native
+
+    p = _dataset(tmp_path, seed=9, n=6)
+    native.run(str(p), threads=2, out_prefix=str(tmp_path / "dt"))
+    e = native.GraphExporter(str(p))
+    assert len(e) > 0
+    e.close()
+    native.drain_teardowns()   # joins both pending teardowns
+    native.drain_teardowns()   # idempotent on empty registry
