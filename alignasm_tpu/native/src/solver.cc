@@ -90,8 +90,24 @@ CutRes pair_cut(const Record &pre, const Record &cur) {
 // ---- graph construction (paf_data.cpp:531-696 semantics) ------------
 Graph build_graph(std::vector<Record> &records, const Config &cfg) {
     Graph g;
+    build_graph_into(records, cfg, g);
+    return g;
+}
+
+void build_graph_into(std::vector<Record> &records, const Config &cfg,
+                      Graph &g) {
     g.n = (i64) records.size();
-    std::vector<Record *> order;
+    g.recs.clear();
+    g.part_idx.clear();
+    g.parts.clear();
+    g.vtx.clear();
+    g.pair_vtx.clear();
+    g.cut_pe_q.clear();
+    g.cut_pe_r.clear();
+    g.cut_st_q.clear();
+    g.cut_st_r.clear();
+    static thread_local std::vector<Record *> order;
+    order.clear();
     order.reserve(g.n);
     for (auto &r : records) order.push_back(&r);
     // std::sort: same libstdc++ introsort element movement the
@@ -137,7 +153,11 @@ Graph build_graph(std::vector<Record> &records, const Config &cfg) {
     }
     g.src = (i32) g.vtx.size();
     g.dest = g.src + 1;
-    g.adj.resize(g.vtx.size() + 2);
+    // grow-only + per-slot clear: a reused scratch graph keeps every
+    // inner vector's capacity; slots beyond nv() are stale but no
+    // consumer walks them (vertex loops bound by nv())
+    if ((i64) g.adj.size() < g.nv()) g.adj.resize(g.nv());
+    for (i64 u = 0; u < g.nv(); u++) g.adj[u].clear();
 
     auto vert = [&](i64 i, i64 j) -> Vert {
         i32 id = g.vid(i, j);
@@ -271,7 +291,6 @@ Graph build_graph(std::vector<Record> &records, const Config &cfg) {
             }
         }
     }
-    return g;
 }
 
 namespace {
@@ -281,9 +300,8 @@ namespace {
 // exactly once and popped in append order, so the queue IS the order);
 // indeg scratch is thread_local.  glibc malloc was >50% of -t1 solve
 // time, and this ran 3x per contig with a deque + two vectors per call.
-void topo_order_into(const std::vector<std::vector<Edge>> &adj,
+void topo_order_into(const std::vector<std::vector<Edge>> &adj, i64 n,
                      std::vector<i32> &out) {
-    i64 n = (i64) adj.size();
     static thread_local std::vector<i32> indeg;
     indeg.assign((size_t) n, 0);
     out.clear();
@@ -300,11 +318,6 @@ void topo_order_into(const std::vector<std::vector<Edge>> &adj,
     if ((i64) out.size() != n) throw std::runtime_error("cycle in contig DAG");
 }
 
-std::vector<i32> topo_order(const std::vector<std::vector<Edge>> &adj) {
-    std::vector<i32> out;
-    topo_order_into(adj, out);
-    return out;
-}
 
 // ---- lazy Eppstein k-shortest walks ---------------------------------
 // Persistent leftist heap in an arena; queue ties break on (arena
@@ -319,7 +332,7 @@ public:
     // at 0 exactly as a fresh object's would
     void reset(const Graph &g) {
         gp_ = &g;
-        V_ = (i64) g.adj.size();
+        V_ = g.nv();
         hk_.clear(); hu_.clear(); hv_.clear();
         hl_.clear(); hr_.clear(); hrank_.clear();
         cand_h_.clear(); cand_prev_.clear(); cand_d_.clear();
@@ -485,9 +498,13 @@ public:
 
     const std::vector<Dist> &dists() const { return dists_; }
 
-    // the k-th walk as explicit (u, v, w) edges
-    std::vector<std::tuple<i32, i32, Dist>> recover(i64 k) const {
-        std::vector<std::tuple<i32, i32, Dist>> side, path;
+    // the k-th walk as explicit (u, v, w) edges; fills (and returns)
+    // the reusable member scratch — consumed before the next call
+    std::vector<std::tuple<i32, i32, Dist>> &recover(i64 k) const {
+        auto &side = side_scratch_;
+        auto &path = path_scratch_;
+        side.clear();
+        path.clear();
         i32 cur = last_[k];
         while (cur != -1) {
             i32 h = cand_h_[cur];
@@ -573,6 +590,8 @@ private:
     std::vector<QE> qv_;
     std::vector<Dist> dists_;
     std::vector<i32> last_;
+    // recover() scratch
+    mutable std::vector<std::tuple<i32, i32, Dist>> side_scratch_, path_scratch_;
     bool heaps_ready_ = false;
 };
 
@@ -602,20 +621,23 @@ struct Upgrader {
         gp = &g_;
         const auto &g = g_;
         if (fwd) order_vtx.assign(fwd->begin(), fwd->end());
-        else topo_order_into(g.adj, order_vtx);
+        else topo_order_into(g.adj, g.nv(), order_vtx);
         order_pos.resize(order_vtx.size());
         for (i64 i = 0; i < (i64) order_vtx.size(); i++)
             order_pos[order_vtx[i]] = (i32) i;
-        if (dist_.size() < g.adj.size()) {
-            dist_.resize(g.adj.size());
-            prev_.resize(g.adj.size());
-            stamp_.resize(g.adj.size(), 0);
+        if ((i64) dist_.size() < g.nv()) {
+            dist_.resize(g.nv());
+            prev_.resize(g.nv());
+            stamp_.resize(g.nv(), 0);
         }
     }
 
-    EdgePath recover(i32 s, i32 t, bool wl_flag = false, i32 wl = -1) const {
+    // fills (and returns) the reusable member scratch — callers consume
+    // the path before the next recover() call, which overwrites it
+    EdgePath &recover(i32 s, i32 t, bool wl_flag = false, i32 wl = -1) const {
         const Graph &g = *gp;
-        if (s == t) return {};
+        rec_scratch_.clear();
+        if (s == t) return rec_scratch_;
         ++epoch_;
         auto seen = [&](i32 v) { return stamp_[v] == epoch_; };
         auto set = [&](i32 v, const Dist &d, i32 p) {
@@ -639,7 +661,7 @@ struct Upgrader {
             }
         }
         if (!seen(t)) throw std::runtime_error("gap re-solve: unreachable");
-        EdgePath path;
+        EdgePath &path = rec_scratch_;
         i32 at = t;
         while (at != s) {
             i32 p = prev_[at];
@@ -650,10 +672,13 @@ struct Upgrader {
         return path;
     }
 
-    // upgrade_edge_path_with_alt_path (paf_data.cpp:795-921)
-    EdgePath upgrade(const EdgePath &path) const {
+    // upgrade_edge_path_with_alt_path (paf_data.cpp:795-921); builds
+    // the upgraded path in reusable scratch and swaps it into `path`
+    // (the swap hands path's old buffer back to the scratch for reuse)
+    void upgrade_inplace(EdgePath &path) const {
         const Graph &g = *gp;
-        EdgePath out;
+        EdgePath &out = up_out_;
+        out.clear();
         i64 n = (i64) path.size();
         for (i64 i = 0; i < n; i++) {
             auto [u, v, w] = path[i];
@@ -661,22 +686,22 @@ struct Upgrader {
                 i32 y = g.vtx[v].second;
                 auto [nu, nv, nw] = path[i + 1];
                 if (nv == g.dest) {
-                    auto alt = recover(u, nv, true, y);
+                    auto &alt = recover(u, nv, true, y);
                     if (alt.empty()) out.push_back(path[i]);
                     else { alt.pop_back(); out.insert(out.end(), alt.begin(), alt.end()); }
                 } else if (g.vtx[nv].first == g.vtx[nv].second) {
-                    auto alt = recover(u, nv, true, y);
+                    auto &alt = recover(u, nv, true, y);
                     if (alt.empty()) out.push_back(path[i]);
                     else { alt.pop_back(); out.insert(out.end(), alt.begin(), alt.end()); }
                 } else {
-                    auto alt = recover(u, nv, false);
+                    auto &alt = recover(u, nv, false);
                     if (alt.empty()) { out.push_back(path[i]); out.push_back(path[i + 1]); }
                     else out.insert(out.end(), alt.begin(), alt.end());
                     i++;
                 }
             } else if (v == g.dest) {
                 i32 cont = std::get<1>(out.back());
-                auto alt = recover(cont, v, false);
+                auto &alt = recover(cont, v, false);
                 if (!alt.empty()) out.insert(out.end(), alt.begin(), alt.end());
             } else {
                 i32 cont = std::get<1>(out.back());
@@ -684,19 +709,22 @@ struct Upgrader {
                 if (x != y) { out.push_back(path[i]); continue; }
                 auto [nu, nv, nw] = path[i + 1];
                 if (nv == g.dest || g.vtx[nv].first == g.vtx[nv].second) {
-                    auto alt = recover(cont, nv, true, y);
+                    auto &alt = recover(cont, nv, true, y);
                     if (alt.empty()) out.push_back(path[i]);
                     else { alt.pop_back(); out.insert(out.end(), alt.begin(), alt.end()); }
                 } else {
-                    auto alt = recover(cont, nv, false);
+                    auto &alt = recover(cont, nv, false);
                     if (alt.empty()) { out.push_back(path[i]); out.push_back(path[i + 1]); }
                     else out.insert(out.end(), alt.begin(), alt.end());
                     i++;
                 }
             }
         }
-        return out;
+        path.swap(out);
     }
+
+    mutable EdgePath rec_scratch_;
+    mutable EdgePath up_out_;
 };
 
 }  // namespace
@@ -1020,19 +1048,38 @@ std::vector<OutRow> upgrade_single_piece(const Graph &g, const Config &cfg,
 }  // namespace
 
 // ---- edge path -> output rows (paf_data.cpp:1489-1568) --------------
+// per-contig "not alt" record set.  The reference stores only `true`
+// values and tests membership, so an epoch-stamped flat set reproduces
+// it exactly without the per-insert node mallocs of unordered_map
+// (8% of the pipeline's allocation sites); epochs stay monotone across
+// contigs, so stale stamps never match.
+struct NotAlt {
+    std::vector<i64> stamp;
+    i64 epoch = 0;
+    void begin_contig() { ++epoch; }
+    void add(i64 i) {
+        if ((i64) stamp.size() <= i) stamp.resize((size_t) i + 1, 0);
+        stamp[(size_t) i] = epoch;
+    }
+    bool has(i64 i) const {
+        return i >= 0 && i < (i64) stamp.size() && stamp[(size_t) i] == epoch;
+    }
+};
+
+// `path` is consumed (upgraded in place, then read) — callers pass a
+// scratch buffer they no longer need
 static std::vector<OutRow> to_rows(const Graph &g, const Upgrader &up,
-                                   EdgePath path,
-                                   std::unordered_map<i32, bool> &not_alt,
+                                   EdgePath &path, NotAlt &not_alt,
                                    const Config &cfg) {
     for (auto &[u, v, w] : path) {
         if (v != g.dest) {
             auto [x, y] = g.vtx[v];
-            not_alt[g.recs[x]->ctg_index] = true;
-            not_alt[g.recs[y]->ctg_index] = true;
+            not_alt.add(g.recs[x]->ctg_index);
+            not_alt.add(g.recs[y]->ctg_index);
         }
     }
     if (cfg.upgrade_mode == 0)
-        path = up.upgrade(path);
+        up.upgrade_inplace(path);
     if (std::getenv("ALN_DEBUG_WALKS")) {
         fprintf(stderr, "upgraded:");
         for (auto &[u, v, w] : path) fprintf(stderr, " %d->%d", u, v);
@@ -1071,10 +1118,8 @@ static std::vector<OutRow> to_rows(const Graph &g, const Upgrader &up,
     }
     if (cfg.upgrade_mode == 1)
         rows = upgrade_single_piece(g, cfg, std::move(rows));
-    for (auto &row : rows) {
-        auto it = not_alt.find(row.ctg_index);
-        row.alt_flag = (it == not_alt.end() || !it->second);
-    }
+    for (auto &row : rows)
+        row.alt_flag = !not_alt.has(row.ctg_index);
     return rows;
 }
 
@@ -1091,7 +1136,7 @@ static i64 coverage(const std::vector<OutRow> &rows) {
 // the three per-contig topo passes.
 static i64 anom_floor(const Graph &g, const std::vector<i32> &order) {
     static thread_local std::vector<i64> f;
-    f.assign(g.adj.size(), std::numeric_limits<i64>::max());
+    f.assign(g.nv(), std::numeric_limits<i64>::max());
     f[g.src] = 0;
     for (i32 u : order) {
         if (f[u] == std::numeric_limits<i64>::max()) continue;
@@ -1109,7 +1154,7 @@ static std::vector<i64> level_min_sums(const Graph &g, i64 cap,
     // flat (V, cap+1) row-major table in thread_local scratch (the
     // nested-vector form allocated V inner vectors per call)
     static thread_local std::vector<i64> f;
-    f.assign(g.adj.size() * W, INF);
+    f.assign(g.nv() * W, INF);
     f[g.src * W] = 0;
     for (i32 u : order) {
         const i64 *fu = &f[(i64) u * W];
@@ -1135,7 +1180,11 @@ ContigResult solve_contig(std::vector<Record> &records, const Config &cfg) {
         res.out.push_back({r.ctg_index, r.qry_str, r.qry_end, r.ref_str, r.ref_end, false});
         return res;
     }
-    Graph g = build_graph(records, cfg);
+    // per-thread scratch graph: the fused pipeline discards the graph
+    // after the solve, so its ~V inner edge vectors + tables keep
+    // their capacity across this thread's contigs
+    static thread_local Graph g;
+    build_graph_into(records, cfg, g);
     return solve_from_graph(g, cfg);
 }
 
@@ -1152,7 +1201,7 @@ ContigResult solve_from_graph(const Graph &g, const Config &cfg) {
     static thread_local std::vector<i32> fwd_order;
     static thread_local Walks walks;
     static thread_local Upgrader up_tl;
-    topo_order_into(g.adj, fwd_order);
+    topo_order_into(g.adj, g.nv(), fwd_order);
     i64 floor_a = anom_floor(g, fwd_order);
 
     walks.reset(g);
@@ -1166,7 +1215,8 @@ ContigResult solve_from_graph(const Graph &g, const Config &cfg) {
     if (cfg.lazy_walks && min_d.a == floor_a &&
         walks.count_min_walks(2) == 1) {
         up_tl.reset(g, &fwd_order);
-        std::unordered_map<i32, bool> not_alt0;
+        static thread_local NotAlt not_alt0;
+        not_alt0.begin_contig();
         res.out = to_rows(g, up_tl, walks.recover(0), not_alt0, cfg);
         return res;
     }
@@ -1234,7 +1284,10 @@ ContigResult solve_from_graph(const Graph &g, const Config &cfg) {
 
     up_tl.reset(g, &fwd_order);
     Upgrader &up = up_tl;
-    std::unordered_map<i32, bool> not_alt;
+    // accumulates across converts within the contig, like the
+    // reference's shared map
+    static thread_local NotAlt not_alt;
+    not_alt.begin_contig();
     auto convert = [&](i64 k) { return to_rows(g, up, walks.recover(k), not_alt, cfg); };
 
     res.out = convert(0);
@@ -1306,9 +1359,10 @@ ContigResult finish_from_path(const Graph &g, const i32 *verts, int n,
     }
     static thread_local Upgrader up_tl;
     up_tl.reset(g);
-    std::unordered_map<i32, bool> not_alt;
+    static thread_local NotAlt not_alt;
+    not_alt.begin_contig();
     ContigResult res;
-    res.out = to_rows(g, up_tl, std::move(path), not_alt, cfg);
+    res.out = to_rows(g, up_tl, path, not_alt, cfg);
     return res;
 }
 

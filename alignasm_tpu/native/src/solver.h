@@ -51,8 +51,14 @@ struct Graph {
     // cut tables per vertex id (aligned with vtx)
     std::vector<i64> cut_pe_q, cut_pe_r;   // edited end of record i
     std::vector<i64> cut_st_q, cut_st_r;   // edited start of record j
+    // adj MAY be oversized when the Graph is a reused scratch object
+    // (build_graph_into) — always bound vertex loops by nv(), not
+    // adj.size().  Freshly built graphs (build_graph) are exact-sized.
     std::vector<std::vector<Edge>> adj;
     i32 src = 0, dest = 0;
+
+    // vertex count: src = vtx.size() and dest = src + 1 by construction
+    i64 nv() const { return (i64) dest + 1; }
 
     i32 vid(i64 i, i64 j) const {
         if (i == j) return (i32) i;
@@ -62,5 +68,11 @@ struct Graph {
 };
 
 Graph build_graph(std::vector<Record> &records, const Config &cfg);
+
+// scratch-reusing form: clears and refills `g`, keeping every
+// container's capacity (adj is only grown, never shrunk — the
+// per-vertex edge vectors' capacity is the point of the reuse)
+void build_graph_into(std::vector<Record> &records, const Config &cfg,
+                      Graph &g);
 
 }  // namespace aln
