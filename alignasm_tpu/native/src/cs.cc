@@ -64,24 +64,26 @@ static void for_query_oriented(const CsOps &ops, bool fwd, F fn) {
         for (i64 i = n - 1; i >= 0; i--) fn(ops.op[i], ops.len[i], i);
 }
 
-void build_runs(Record &rec) {
+void build_runs(Record &rec, RunArena &arena) {
     // the parse scratch is reused across records per thread — the
     // per-record CsOps allocations were a measurable share of the
-    // parallel parse pass
+    // parallel parse pass; the runs themselves go into the caller's
+    // bump arena (one allocation per ~32k pairs instead of two heap
+    // vectors per record)
     static thread_local CsOps ops;
     parse_cs_into(rec.cs, ops);
     i64 step = rec.fwd ? 1 : -1;
     i64 ri = rec.ref_str, qi = rec.qry_str;
-    rec.qry_runs.clear();
-    rec.ref_runs.clear();
     size_t n_match = 0;
     for (char t : ops.op) n_match += t == ':';
-    rec.qry_runs.reserve(n_match);
-    rec.ref_runs.reserve(n_match);
+    std::pair<i64, i64> *q = arena.alloc(2 * n_match);
+    std::pair<i64, i64> *r = q + n_match;
+    i64 k = 0;
     for_query_oriented(ops, rec.fwd, [&](char t, i64 len, i64) {
         if (t == ':') {
-            rec.ref_runs.emplace_back(ri, ri + (len - 1) * step);
-            rec.qry_runs.emplace_back(qi, qi + len - 1);
+            r[k] = {ri, ri + (len - 1) * step};
+            q[k] = {qi, qi + len - 1};
+            k++;
             ri += len * step;
             qi += len;
         } else if (t == '+') {
@@ -93,6 +95,8 @@ void build_runs(Record &rec) {
             qi += 1;
         }
     });
+    rec.qry_runs = {q, (i64) n_match};
+    rec.ref_runs = {r, (i64) n_match};
     if (qi != rec.qry_end + 1 || ri != rec.ref_end + step)
         throw std::runtime_error("cs consumption does not match PAF coords");
 }

@@ -22,9 +22,10 @@ CsOps parse_cs(std::string_view cs);
 // same, reusing the caller's CsOps capacity (hot parse path)
 void parse_cs_into(std::string_view cs, CsOps &ops);
 
-// fills rec.qry_runs / rec.ref_runs and validates consumption against
-// the record's (closed, strand-swapped) coordinates
-void build_runs(Record &rec);
+// fills rec.qry_runs / rec.ref_runs (spans into `arena`, which must
+// outlive the record) and validates consumption against the record's
+// (closed, strand-swapped) coordinates
+void build_runs(Record &rec, RunArena &arena);
 
 // allocation-free form for the hot format path: returns the edited cs
 // text as a view into rec.cs (uncut row) or into `scratch` (cut row —

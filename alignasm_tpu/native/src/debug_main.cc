@@ -15,6 +15,7 @@ int main(int argc, char **argv) {
     int64_t n;
     int64_t contig_no = 0;
     std::vector<std::string> cs_store;
+    aln::RunArena arena;
     while (std::cin >> n) {
         cs_store.clear();
         cs_store.reserve(n);
@@ -33,7 +34,7 @@ int main(int argc, char **argv) {
             r.cs = cs_store.back();
             r.cord_type = 0;
             r.cord_row = r.ctg_index;
-            aln::build_runs(r);
+            aln::build_runs(r, arena);
         }
         aln::ContigResult res = aln::solve_contig(recs, cfg);
         auto dump = [&](const char *name, const std::vector<aln::OutRow> &rows) {

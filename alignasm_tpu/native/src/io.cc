@@ -56,7 +56,7 @@ std::string_view find_cs(const std::vector<std::string_view> &f) {
 }
 
 Record parse_record(const std::vector<std::string_view> &f, Dataset &ds,
-                    i64 qry_offset = 0) {
+                    RunArena &arena, i64 qry_offset = 0) {
     Record r;
     r.qry_total = to_i64(f[1]);
     r.qry_str = to_i64(f[2]) + qry_offset;
@@ -80,7 +80,7 @@ Record parse_record(const std::vector<std::string_view> &f, Dataset &ds,
     r.aln_len = (i32) to_i64(f[10]);
     r.cs = find_cs(f);
     if (r.cs.empty()) throw std::runtime_error("missing cs:Z tag");
-    build_runs(r);
+    build_runs(r, arena);
     return r;
 }
 
@@ -247,7 +247,8 @@ Dataset read_paf(const std::string &path, int threads, GroupSink *sink,
     // sharded parse: only groups owned by this rank get their records
     // parsed (cord_row stays the GLOBAL line index, so xi:Z provenance
     // tags are identical to a full parse)
-    auto parse_group = [&](size_t g, std::vector<std::string_view> &f) {
+    auto parse_group = [&](size_t g, std::vector<std::string_view> &f,
+                           RunArena &arena) {
         if (world > 1 && (i64) (g % (size_t) world) != rank) return;
         auto &ctg = ds.contigs[g];
         size_t lo = starts[g], hi = starts[g + 1];
@@ -255,16 +256,23 @@ Dataset read_paf(const std::string &path, int threads, GroupSink *sink,
         for (size_t i = lo; i < hi; i++) {
             split_fields(lines[i], f);
             Record &r = ctg[i - lo];
-            r = parse_record(f, ds);
+            r = parse_record(f, ds, arena);
             r.cord_type = 0;
             r.cord_row = (i32) i;
             r.ctg_index = (i32) (i - lo);
         }
         if (sink && sink->group) sink->group(ds, g);
     };
+    // one run arena per worker, registered BEFORE the pool spawns (the
+    // registry vector must not reallocate under concurrent use)
+    size_t arena_base = ds.run_arenas.size();
+    int n_arenas = (nt == 1 || n_lines < 256) ? 1 : nt;
+    for (int t = 0; t < n_arenas; t++)
+        ds.run_arenas.emplace_back(std::make_unique<RunArena>());
     if (nt == 1 || n_lines < 256) {
         std::vector<std::string_view> f;
-        for (size_t g = 0; g < n_groups; g++) parse_group(g, f);
+        for (size_t g = 0; g < n_groups; g++)
+            parse_group(g, f, *ds.run_arenas[arena_base]);
     } else {
         std::atomic<size_t> next_g{0};
         std::vector<std::string> fails(nt);
@@ -272,11 +280,12 @@ Dataset read_paf(const std::string &path, int threads, GroupSink *sink,
         for (int t = 0; t < nt; t++) {
             pool.emplace_back([&, t] {
                 std::vector<std::string_view> f;
+                RunArena &arena = *ds.run_arenas[arena_base + t];
                 try {
                     while (true) {
                         size_t g = next_g.fetch_add(1);
                         if (g >= n_groups) break;
-                        parse_group(g, f);
+                        parse_group(g, f, arena);
                     }
                 } catch (const std::exception &e) {
                     fails[t] = e.what();
@@ -295,6 +304,8 @@ void merge_alt(Dataset &ds, const std::string &alt_path, double alt_baseline,
                i64 rank, i64 world) {
     ds.alt_buffer = slurp(alt_path);
     if (ds.alt_buffer.empty()) return;
+    ds.run_arenas.emplace_back(std::make_unique<RunArena>());
+    RunArena &arena = *ds.run_arenas.back();
 
     std::string tar_name;
     i64 tar_off = -1;
@@ -351,7 +362,7 @@ void merge_alt(Dataset &ds, const std::string &alt_path, double alt_baseline,
         if (!local) return;
 
         const auto &last = ds.contigs[tgt].back();
-        Record r = parse_record(f, ds, off);
+        Record r = parse_record(f, ds, arena, off);
         r.qry_total = last.qry_total;
         r.cord_type = 1;
         r.cord_row = this_row;

@@ -38,6 +38,10 @@ struct Dataset {
     std::vector<std::string> chr_names;               // id -> name
     StrMap<i32> chr_ids;                              // name -> id
     StrMap<i32> paf_map;                              // qry name -> contig
+    // match-run storage the records' RunSpans point into (one arena
+    // per parse worker + one for the alt merge); block addresses are
+    // stable, so moving the Dataset keeps every span valid
+    std::vector<std::unique_ptr<RunArena>> run_arenas;
 };
 
 // Optional fused-pipeline hook for read_paf: when given, `start` runs

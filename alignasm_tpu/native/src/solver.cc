@@ -743,7 +743,7 @@ struct PQV : std::priority_queue<std::pair<i64, i64>,
     const std::vector<std::pair<i64, i64>> &vec() const { return c; }
 };
 
-i64 run_containing(const std::vector<std::pair<i64, i64>> &runs, i64 x) {
+i64 run_containing(const RunSpan &runs, i64 x) {
     auto it = std::lower_bound(runs.begin(), runs.end(),
                                std::pair<i64, i64>(x + 1, -1));
     if (it != runs.begin() && std::prev(it)->second >= x)

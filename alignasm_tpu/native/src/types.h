@@ -8,6 +8,7 @@
 #pragma once
 
 #include <cstdint>
+#include <memory>
 #include <string>
 #include <string_view>
 #include <utility>
@@ -76,6 +77,38 @@ inline bool dist_less(const Dist &x, const Dist &y, Mode m) {
     return x.nz * t2 > y.nz * t1;  // larger fraction = smaller distance
 }
 
+// borrowed view of a record's match runs, stored in a RunArena whose
+// blocks never move — valid for the owning Dataset's lifetime.  Two
+// heap vectors per record were the single largest allocation site of
+// the whole pipeline (~2 x 850k per 50k-contig corpus).
+struct RunSpan {
+    const std::pair<i64, i64> *ptr = nullptr;
+    i64 len = 0;
+    const std::pair<i64, i64> *begin() const { return ptr; }
+    const std::pair<i64, i64> *end() const { return ptr + len; }
+    i64 size() const { return len; }
+    bool empty() const { return len == 0; }
+    const std::pair<i64, i64> &operator[](i64 i) const { return ptr[i]; }
+};
+
+// bump arena for match runs: one per parse worker (no locking), block
+// addresses stable forever, freed with the Dataset
+struct RunArena {
+    std::vector<std::unique_ptr<std::pair<i64, i64>[]>> blocks;
+    size_t cap = 0, used = 0;
+    std::pair<i64, i64> *alloc(size_t n) {
+        if (used + n > cap) {
+            size_t bs = std::max<size_t>(n, size_t(1) << 15);
+            blocks.emplace_back(new std::pair<i64, i64>[bs]);
+            cap = bs;
+            used = 0;
+        }
+        auto *p = blocks.back().get() + used;
+        used += n;
+        return p;
+    }
+};
+
 struct Record {
     i32 ctg_index = -1;
     i32 sorted_index = -1;
@@ -83,8 +116,8 @@ struct Record {
     i32 mat_num = 0;
     i32 aln_len = 0;
     // match-run closed intervals, query orientation
-    std::vector<std::pair<i64, i64>> qry_runs;
-    std::vector<std::pair<i64, i64>> ref_runs;
+    RunSpan qry_runs;
+    RunSpan ref_runs;
     i64 qry_total = 0, ref_total = 0;
     i64 qry_str = 0, qry_end = 0;   // closed
     i64 ref_str = 0, ref_end = 0;   // closed, strand-swapped
