@@ -145,7 +145,7 @@ void build_graph_into(std::vector<Record> &records, const Config &cfg,
             CutRes c = pair_cut(pre, cur);
             if (!c.ok)
                 throw std::runtime_error("overlapping records cannot connect");
-            g.pair_vtx[i * g.n + j] = (i32) g.vtx.size();
+            g.pair_vtx.put(i * g.n + j, (i32) g.vtx.size());
             g.vtx.emplace_back((i32) i, (i32) j);
             g.cut_pe_q.push_back(c.pe_q); g.cut_pe_r.push_back(c.pe_r);
             g.cut_st_q.push_back(c.st_q); g.cut_st_r.push_back(c.st_r);

@@ -6,6 +6,7 @@
 // there (solve_ctg_read, paf_data.cpp:223-1650).
 #pragma once
 
+#include <algorithm>
 #include <unordered_map>
 
 #include "types.h"
@@ -47,7 +48,47 @@ struct Graph {
     std::vector<i64> part_idx;
     std::vector<i64> parts;                // part starts + sentinel n
     std::vector<std::pair<i32, i32>> vtx;  // (pre, cur) per vertex id
-    std::unordered_map<i64, i32> pair_vtx; // key i*n+j -> vertex id (i<j)
+    // key i*n+j -> vertex id (i<j): insert-then-lookup only, so a flat
+    // linear-probe table replaces unordered_map (whose per-insert node
+    // mallocs were ~22% of the pipeline's remaining allocation sites)
+    struct PairMap {
+        std::vector<std::pair<i64, i32>> slots;  // key -> val, key -1 = empty
+        size_t mask = 0, count = 0;
+        void clear() {
+            count = 0;
+            std::fill(slots.begin(), slots.end(), std::pair<i64, i32>{-1, -1});
+        }
+        void grow(size_t want) {
+            size_t cap = 16;
+            while (cap < want * 2) cap <<= 1;
+            if (cap <= slots.size()) return;
+            std::vector<std::pair<i64, i32>> old = std::move(slots);
+            slots.assign(cap, {-1, -1});
+            mask = cap - 1;
+            for (auto &[k, v] : old)
+                if (k != -1) put_nogrow(k, v);
+        }
+        void put_nogrow(i64 k, i32 v) {
+            size_t h = (size_t) k * 0x9e3779b97f4a7c15ull & mask;
+            while (slots[h].first != -1) h = (h + 1) & mask;
+            slots[h] = {k, v};
+        }
+        void put(i64 k, i32 v) {
+            if ((count + 1) * 2 > slots.size()) grow(count + 1);
+            put_nogrow(k, v);
+            count++;
+        }
+        i32 get(i64 k) const {
+            if (!count) return -1;
+            size_t h = (size_t) k * 0x9e3779b97f4a7c15ull & mask;
+            while (slots[h].first != -1) {
+                if (slots[h].first == k) return slots[h].second;
+                h = (h + 1) & mask;
+            }
+            return -1;
+        }
+    };
+    PairMap pair_vtx;
     // cut tables per vertex id (aligned with vtx)
     std::vector<i64> cut_pe_q, cut_pe_r;   // edited end of record i
     std::vector<i64> cut_st_q, cut_st_r;   // edited start of record j
@@ -62,8 +103,7 @@ struct Graph {
 
     i32 vid(i64 i, i64 j) const {
         if (i == j) return (i32) i;
-        auto it = pair_vtx.find(i * n + j);
-        return it == pair_vtx.end() ? -1 : it->second;
+        return pair_vtx.get(i * n + j);
     }
 };
 
