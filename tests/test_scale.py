@@ -67,3 +67,29 @@ def test_native_big_contig_fast_and_lean(tmp_path, oracle_bin):
     for o, suffix in zip(oracle_outs, ("", ".alt", ".all")):
         got = (tmp_path / f"nbig.aln{suffix}.paf").read_bytes()
         assert o.read_bytes() == got, f"aln{suffix} differs on big contig"
+
+
+def test_run_arena_block_crossing_single_worker(tmp_path, oracle_bin):
+    """A single parse worker (-t1) over enough records that its RunArena
+    spans multiple 32k-pair blocks, plus PairMap growth and scratch-graph
+    reuse across many differently-sized contigs — byte-compared to the
+    oracle.  Guards the block-boundary/rehash/stale-scratch edges of the
+    round-3 allocation structures (types.h RunArena/RunSpan,
+    solver.h PairMap, build_graph_into)."""
+    from alignasm_tpu import native
+    from alignasm_tpu.testing.synth import generate_paf
+    from tests.conftest import run_oracle
+
+    paf = tmp_path / "arena.paf"
+    paf.write_text(generate_paf(n_contigs=1500, seed=912, max_records_per_contig=24))
+    n_records = paf.read_text().count("\n")
+    assert n_records > 18_000  # ~15+ runs/record -> several arena blocks
+
+    oracle_outs = run_oracle(oracle_bin, paf, tmp_path)
+    nat = tmp_path / "narena.paf"
+    nat.write_bytes(paf.read_bytes())
+    stats = native.run(str(nat), threads=1)
+    assert stats["records"] == n_records
+    for o, suffix in zip(oracle_outs, ("", ".alt", ".all")):
+        got = (tmp_path / f"narena.aln{suffix}.paf").read_bytes()
+        assert o.read_bytes() == got, f"aln{suffix} differs"
