@@ -15,7 +15,7 @@ import threading
 _DIR = pathlib.Path(__file__).resolve().parent
 _SRC = _DIR / "src"
 _LIB = _DIR / "libalignasm.so"
-_SOURCES = ["cs.cc", "io.cc", "solver.cc", "api.cc", "export.cc"]
+_SOURCES = ["cs.cc", "io.cc", "solver.cc", "api.cc", "export.cc", "heap.cc"]
 _lock = threading.Lock()
 _lib = None
 
@@ -264,10 +264,12 @@ def get_lib():
 
 
 def tune_heap() -> None:
-    """Raise glibc's mmap/trim thresholds so freed parse/graph memory
-    stays mapped (idempotent).  Call ONLY in processes that hold the
-    TPU tunnel, where fresh pages fault through its tracking layer at
-    ~9 MB/s — see export.cc:aln_tune_heap."""
+    """Raise glibc's mmap/trim/top-pad thresholds so freed parse/graph
+    memory stays mapped (idempotent).  The hypervisor taxes every
+    demand fault ~50-500x the bulk-populate cost, so pages should fault
+    once per process, not once per run — see heap.cc.  The native entry
+    points apply this themselves; kept for callers that allocate big
+    NumPy/tunnel buffers before first touching the library."""
     _ensure_lib().aln_tune_heap()
 
 

@@ -48,6 +48,8 @@ int aln_run_stats2(const char *paf_path, const char *alt_path, double alt_baseli
         return std::chrono::duration<double>(b - a).count();
     };
     try {
+        aln_tune_heap();
+        aln::ButlerScope butler;
         aln::Config cfg;
         cfg.alt_baseline = alt_baseline;
         cfg.non_skip_linkable = non_skip_linkable != 0;
@@ -185,6 +187,8 @@ int aln_run_shard(const char *paf_path, const char *alt_path,
                   long long *n_total_out, long long *n_local_out,
                   char *err, int errlen, const AlnScoring *scoring) {
     try {
+        aln_tune_heap();
+        aln::ButlerScope butler;
         aln::Config cfg;
         cfg.alt_baseline = alt_baseline;
         cfg.non_skip_linkable = non_skip_linkable != 0;

@@ -38,6 +38,10 @@ struct PackedContig {
 };
 
 struct ExportCtx {
+    // first member: the page butler stays active for the context's whole
+    // life (parse/build at open, wire exports, finishes) and stops when
+    // the async teardown destroys the context
+    aln::ButlerScope butler;
     aln::Dataset ds;
     aln::Config cfg;
     std::vector<PackedContig> packed;
@@ -172,6 +176,7 @@ void *aln_open2(const char *paf_path, const char *alt_path, double alt_baseline,
                 int non_skip_linkable, int threads, long long max_records,
                 char *err, int errlen, const AlnScoring *scoring) {
     try {
+        aln_tune_heap();
         auto ctx = std::make_unique<ExportCtx>();
         ctx->cfg.alt_baseline = alt_baseline;
         ctx->cfg.non_skip_linkable = non_skip_linkable != 0;
@@ -230,23 +235,6 @@ void *aln_open2(const char *paf_path, const char *alt_path, double alt_baseline,
         set_err(err, errlen, e.what());
         return nullptr;
     }
-}
-
-void aln_tune_heap(void) {
-    // keep freed parse/graph memory mapped instead of munmapping it
-    // back to the OS: in processes holding the TPU tunnel, fresh pages
-    // fault through its tracking layer at ~9 MB/s, so a repeated open
-    // (bench reps, resume chunks) re-faulting its ~300 MB working set
-    // cost 8+ s of pack time that page reuse reduces to ~0.7 s.
-    // Called by the Python scheduler ONLY on the tunnel-holding device
-    // path — multihost ranks and resume runs without a tunnel keep
-    // default trim behavior (retention there would just pin W x peak
-    // RSS per host with nothing to show for it).
-    static std::once_flag tuned;
-    std::call_once(tuned, [] {
-        mallopt(M_MMAP_THRESHOLD, 1 << 30);
-        mallopt(M_TRIM_THRESHOLD, 1 << 30);
-    });
 }
 
 void aln_close(void *h) {

@@ -19,8 +19,13 @@ std::string slurp(const std::string &path) {
     if (!in) throw std::runtime_error("cannot open " + path);
     std::string buf;
     in.seekg(0, std::ios::end);
-    buf.resize((size_t) in.tellg());
+    size_t n = (size_t) in.tellg();
     in.seekg(0);
+    // populate before the zero-fill/read touch the pages one fault at a
+    // time (kernel copy_to_user pays the same per-page hypervisor tax)
+    buf.reserve(n);
+    populate_range(buf.data(), n);
+    buf.resize(n);
     in.read(buf.data(), (std::streamsize) buf.size());
     return buf;
 }

@@ -97,6 +97,22 @@ void flush_three(const std::string &prefix,
                  const std::vector<std::string> &alt,
                  const std::vector<std::string> &max, int threads);
 
+// ---- page population (heap.cc) ----------------------------------------
+// populate [p, p+len) as if written (one syscall, ~50-500x cheaper than
+// demand faulting under this hypervisor's page tracking); no-op where
+// MADV_POPULATE_WRITE is unsupported
+size_t populate_range(void *p, size_t len);
+// the page butler scans /proc/self/maps while any scope is alive and
+// populates newly-appeared anon-RW extents ahead of the workers
+void butler_begin();
+void butler_end();
+struct ButlerScope {
+    ButlerScope() { butler_begin(); }
+    ~ButlerScope() { butler_end(); }
+    ButlerScope(const ButlerScope &) = delete;
+    ButlerScope &operator=(const ButlerScope &) = delete;
+};
+
 // Run ``fn`` (a bulk teardown: free()ing 10^5-10^6 small heap blocks)
 // on a background thread so the caller's path doesn't pay for it.  The
 // thread is kept JOINABLE in a registry — aln_drain_teardowns() joins
@@ -106,3 +122,7 @@ void flush_three(const std::string &prefix,
 void async_teardown(std::function<void()> fn);
 
 }  // namespace aln
+
+// heap retention knobs (heap.cc); exported to ctypes, safe to call early
+// and often (applies once per process)
+extern "C" void aln_tune_heap(void);
