@@ -125,6 +125,33 @@ def run(argv=None) -> int:
         )
         return 0
 
+    if args.engine == "tpu" and not args.resume:
+        # production device engine: the C++ host plane parses the file
+        # itself (a Python parse here would only duplicate it); a
+        # native-plane failure degrades to the Python plane below,
+        # visibly
+        from alignasm_tpu import native
+        from alignasm_tpu.runtime.scheduler import solve_dataset_tpu
+
+        out_p, alt_p, all_p = output_paths(args.paf_loc)
+        try:
+            solve_dataset_tpu(
+                None, cfg, src_paths=(args.paf_loc, args.alt or None),
+                write_prefix=out_p[: -len(".aln.paf")],
+            )
+            stats = solve_dataset_tpu.last_stats
+            if args.progress:
+                print(f"device engine stats: {stats}")
+            elapsed = time.perf_counter() - t0
+            n_ctg = stats.get("n_contigs", 0)
+            print("Write output PAF file")
+            print(f"{n_ctg} contigs, {stats.get('n_records', 0)} records "
+                  f"in {elapsed:.2f}s ({n_ctg / elapsed:.1f} contigs/s)")
+            return 0
+        except native.NativeError as exc:
+            print(f"native host plane unavailable ({exc}); "
+                  f"degrading to the Python plane", file=sys.stderr)
+
     dataset = read_paf(args.paf_loc)
     if args.alt:
         merge_alt_paf(dataset, args.alt, cfg.alt_baseline)
@@ -148,22 +175,13 @@ def run(argv=None) -> int:
         )
         print(f"resume: {stats}")
     elif args.engine == "tpu":
+        # degraded path: the native plane failed above — run the Python
+        # device plane on the parsed dataset
         from alignasm_tpu.runtime.scheduler import solve_dataset_tpu
 
-        out_p, alt_p, all_p = output_paths(args.paf_loc)
-        outs, alt_outs, max_outs = solve_dataset_tpu(
-            dataset, cfg, src_paths=(args.paf_loc, args.alt or None),
-            write_prefix=out_p[: -len(".aln.paf")],
-        )
+        outs, alt_outs, max_outs = solve_dataset_tpu(dataset, cfg)
         if args.progress:
             print(f"device engine stats: {solve_dataset_tpu.last_stats}")
-        if solve_dataset_tpu.last_stats.get("written_natively"):
-            elapsed = time.perf_counter() - t0
-            n_rec = sum(len(c) for c in dataset.contigs)
-            print("Write output PAF file")
-            print(f"{len(dataset.contigs)} contigs, {n_rec} records in "
-                  f"{elapsed:.2f}s ({len(dataset.contigs) / elapsed:.1f} contigs/s)")
-            return 0
     elif args.thread > 1:
         from alignasm_tpu.runtime.scheduler import solve_dataset_parallel
 

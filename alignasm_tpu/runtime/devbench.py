@@ -66,7 +66,20 @@ def bench_end_to_end(n_contigs: int, seed: int = 2024, reps: int = 5):
     first-transfer stall (~285 s seen on this backend), which is
     absorbed SYNCHRONOUSLY before timing — the background warm thread
     must not still be mid-stall when the timed transfers queue behind
-    it (measured 30-70x degradation)."""
+    it (measured 30-70x degradation).
+
+    Two configurations are measured:
+
+    * PRODUCTION (``device_routing="auto"``, the default): the cost
+      model routes each piece of work to whichever plane wins — on
+      this tunnel that is the fused native plane for everything
+      (device_routed_frac 0.0 is the measured-correct answer; see
+      runtime/costmodel.py), so this number tracks the native bench.
+    * FORCED (``device_routing="always"``): the bucket device pipeline
+      end to end, so the device path's real cost stays measured and
+      regressions in it stay visible.
+    """
+    import dataclasses
     import pathlib
 
     import jax
@@ -98,22 +111,38 @@ def bench_end_to_end(n_contigs: int, seed: int = 2024, reps: int = 5):
     # fetch-to-Python-objects API path is a test/debug surface
     paths = (str(paf), None)
     prefix = str(paf)[: -len(".paf")]
-    # dataset=None: the native plane parses the file itself; a Python
-    # read_paf here only slowed the warm pass (minutes at 50k contigs)
-    scheduler.solve_dataset_tpu(None, DEFAULT_CONFIG, src_paths=paths,
-                                write_prefix=prefix)  # warm
     from alignasm_tpu import native
 
-    best = float("inf")
+    forced_cfg = dataclasses.replace(DEFAULT_CONFIG, device_routing="always")
+    results = {}
+    # interleave the two configurations so a shared-VM steal window
+    # cannot hit one side only (same rationale as bench.py's
+    # reference/native interleave)
+    for label, cfg in (("auto", DEFAULT_CONFIG), ("forced", forced_cfg)):
+        # dataset=None: the native plane parses the file itself; a
+        # Python read_paf here only slowed the warm pass
+        scheduler.solve_dataset_tpu(None, cfg, src_paths=paths,
+                                    write_prefix=prefix)  # warm
+        results[label] = [float("inf"), scheduler.solve_dataset_tpu.last_stats]
     for _ in range(reps):
-        # join the previous rep's background context teardown so its
-        # free() churn doesn't compete with this rep's timed work
-        native.drain_teardowns()
-        t0 = time.perf_counter()
-        scheduler.solve_dataset_tpu(None, DEFAULT_CONFIG, src_paths=paths,
-                                    write_prefix=prefix)
-        best = min(best, time.perf_counter() - t0)
-    return round(n_contigs / best, 2), scheduler.solve_dataset_tpu.last_stats
+        for label, cfg in (("auto", DEFAULT_CONFIG), ("forced", forced_cfg)):
+            # join the previous rep's background context teardown so its
+            # free() churn doesn't compete with this rep's timed work
+            native.drain_teardowns()
+            t0 = time.perf_counter()
+            scheduler.solve_dataset_tpu(None, cfg, src_paths=paths,
+                                        write_prefix=prefix)
+            elapsed = time.perf_counter() - t0
+            if elapsed < results[label][0]:
+                results[label] = [elapsed,
+                                  scheduler.solve_dataset_tpu.last_stats]
+    return {
+        "tpu_engine_contigs_per_s": round(n_contigs / results["auto"][0], 2),
+        "tpu_engine_stats": results["auto"][1],
+        "tpu_engine_forced_contigs_per_s":
+            round(n_contigs / results["forced"][0], 2),
+        "tpu_engine_forced_stats": results["forced"][1],
+    }
 
 
 def _bench_one(launch, n_launch_sweeps, bytes_per_sweep, reps=9):
@@ -365,10 +394,7 @@ def bench_kernels(B=256, V=64, E=256, n_sweeps=32, seed=0):
 
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 2000
-    out = {}
-    cps, stats = bench_end_to_end(n)
-    out["tpu_engine_contigs_per_s"] = cps
-    out["tpu_engine_stats"] = stats
+    out = bench_end_to_end(n)
     out["kernels"] = bench_kernels()
     print(json.dumps(out))
 

@@ -99,15 +99,6 @@ def solve_dataset_tpu(dataset, cfg: AlignasmConfig, batch_size: int = 256,
     """
     import numpy as np
 
-    from alignasm_tpu.engine.device import (
-        Fallback, finish_contig, finish_contig_exact, pack_graph,
-    )
-    from alignasm_tpu.engine.exact import solve_contig
-    from alignasm_tpu.engine.graph import build_graph
-    from alignasm_tpu.ops.relax import solve_graph_batch
-
-    _warm_transfer_async()
-
     if src_paths is not None:
         # production path: C++ host plane end to end (parse -> build ->
         # dense pack -> device DP -> finish -> write), no per-contig
@@ -116,9 +107,27 @@ def solve_dataset_tpu(dataset, cfg: AlignasmConfig, batch_size: int = 256,
         # silent degrade would hide a 30x slowdown behind identical
         # outputs).
         from alignasm_tpu import native
+        from alignasm_tpu.runtime.costmodel import load_model
 
+        # Routing policy (round-3 verdict Next #1): dispatch work to
+        # the device only when the measured cost model predicts a win.
+        # On this tunnel the Amdahl A/B says the offloadable DP slice
+        # is below noise (finish_vs_solve >= 1), so "auto" routes the
+        # whole corpus to the SAME fused native pipeline
+        # --engine native uses — the tpu engine can then never lose to
+        # it.  "always" keeps the bucket device pipeline (tests, fuzz
+        # campaigns, kernel benches); "never" forces the native plane.
+        model = load_model()
+        mode = getattr(cfg, "device_routing", "always")
+        allow_device = mode == "always" or (
+            mode == "auto" and model.any_possible_win())
         try:
-            return _solve_tpu_native(dataset, cfg, src_paths, write_prefix)
+            if not allow_device and write_prefix is not None:
+                return _solve_native_routed(cfg, src_paths, write_prefix,
+                                            model, mode)
+            return _solve_tpu_native(dataset, cfg, src_paths, write_prefix,
+                                     allow_device=allow_device,
+                                     model=model, mode=mode)
         except native.NativeError as exc:
             if dataset is None:
                 raise  # no parsed dataset to degrade to — surface it
@@ -128,6 +137,17 @@ def solve_dataset_tpu(dataset, cfg: AlignasmConfig, batch_size: int = 256,
                           RuntimeWarning, stacklevel=2)
             _solve_tpu_native.last_error = str(exc)
 
+    # Python device plane (test/fallback-only, see docstring) — the
+    # jax-importing modules load here so the fused-native route above
+    # never pays the device stack's import cost
+    from alignasm_tpu.engine.device import (
+        Fallback, finish_contig, finish_contig_exact, pack_graph,
+    )
+    from alignasm_tpu.engine.exact import solve_contig
+    from alignasm_tpu.engine.graph import build_graph
+    from alignasm_tpu.ops.relax import solve_graph_batch
+
+    _warm_transfer_async()
     n = len(dataset.contigs)
     outs = [None] * n
     alt_outs = [None] * n
@@ -500,7 +520,7 @@ def _eligible_mask(meta, cfg):
 
 
 def _device_assist(exporter, cfg: AlignasmConfig, meta, idx_pool, stats,
-                   overlap=None):
+                   overlap=None, model=None):
     """Run the bucket device pipeline over the device-eligible members
     of ``idx_pool`` (contig indices into the exporter): bucket by
     padded V, export each bucket's ragged wire, dispatch all device
@@ -539,6 +559,25 @@ def _device_assist(exporter, cfg: AlignasmConfig, meta, idx_pool, stats,
     # B to pow2 so compiled shapes stay bounded
     order = idx_all[np.argsort(n_v[idx_all], kind="stable")]
     buckets = _dense_buckets(order, n_v)
+
+    if model is not None:
+        # cost-gated routing (device_routing="auto" on hardware where
+        # SOME bucket can win): launch a bucket only when the predicted
+        # device route beats the native solve of the same contigs —
+        # gated buckets fall to the caller's solve_remaining
+        n_rec = meta[:, 1]
+        kept = []
+        for V, idxs in buckets:
+            wire_b = int(n_edges[idxs].sum()) * 8 + 64  # ~i32 ragged wire
+            row_b = len(idxs) * (V + 2)                 # uint8 gate rows
+            if model.bucket_profitable(len(idxs), int(V), wire_b, row_b,
+                                       int(n_rec[idxs].sum())):
+                kept.append((V, idxs))
+            else:
+                stats["buckets_gated"] = stats.get("buckets_gated", 0) + 1
+                stats["contigs_gated"] = (
+                    stats.get("contigs_gated", 0) + len(idxs))
+        buckets = kept
 
     # multi-device: shard bucket batches over a data mesh — contigs
     # are independent, so XLA runs shards with zero communication
@@ -634,7 +673,47 @@ def _device_assist(exporter, cfg: AlignasmConfig, meta, idx_pool, stats,
     return np.concatenate(covered) if covered else np.empty(0, np.int64)
 
 
-def _solve_tpu_native(dataset, cfg: AlignasmConfig, src_paths, write_prefix):
+def _solve_native_routed(cfg: AlignasmConfig, src_paths, write_prefix,
+                         model, mode):
+    """The cost model routed the whole corpus away from the device:
+    run the SAME fused native pipeline ``--engine native`` uses (one
+    parallel parse->solve->format pass, three streamed flushes) so the
+    tpu engine matches it within noise, and record the decision
+    honestly in stats (device_routed_frac = 0 is the correct answer on
+    hardware where the offloadable slice is below the transport cost)."""
+    import time
+
+    from alignasm_tpu import native
+
+    t0 = time.perf_counter()
+    alt = src_paths[1]
+    if alt and os.path.getsize(alt) == 0:
+        alt = None  # zero-size alt disables the merge (alignasm.cpp:196-201)
+    run_stats = native.run(
+        src_paths[0], alt_path=alt, alt_baseline=cfg.alt_baseline,
+        non_skip_linkable=cfg.non_skip_linkable, threads=0,
+        out_prefix=write_prefix, config=cfg,
+    )
+    stats = {
+        "device": 0, "fallback": 0,
+        "singleton": 0, "oversize": 0,
+        "host_plane": "native", "routing": mode,
+        "routed": "fused-native",
+        "device_routed_frac": 0.0,
+        "cost_model": model.summary(),
+        "written_natively": True,
+        "read_s": run_stats["read_s"], "solve_s": run_stats["solve_s"],
+        "write_s": run_stats["write_s"],
+        "n_contigs": run_stats["contigs"],
+        "n_records": run_stats["records"],
+        "total_s": round(time.perf_counter() - t0, 4),
+    }
+    solve_dataset_tpu.last_stats = stats
+    return (None, None, None)
+
+
+def _solve_tpu_native(dataset, cfg: AlignasmConfig, src_paths, write_prefix,
+                      allow_device=True, model=None, mode="always"):
     """Production device path: the C++ host plane does parse -> graph
     build -> dense pack -> device-assisted finish -> output writing; the
     Python layer only orchestrates bucket-shaped device launches.  There
@@ -655,12 +734,17 @@ def _solve_tpu_native(dataset, cfg: AlignasmConfig, src_paths, write_prefix):
     from alignasm_tpu import native
 
     t_start = time.perf_counter()
+    if allow_device:
+        _warm_transfer_async()
     # this process holds (or will hold) the TPU tunnel: keep freed
     # parse/graph pages mapped so repeated opens don't re-fault the
     # working set through the tunnel's ~9 MB/s page-tracking layer
     native.tune_heap()
     stats = {"device": 0, "fallback": 0, "singleton": 0, "oversize": 0,
-             "host_plane": "native", "dense_buckets": 0, "native_direct": 0}
+             "host_plane": "native", "dense_buckets": 0, "native_direct": 0,
+             "routing": mode}
+    if model is not None:
+        stats["cost_model"] = model.summary()
     exporter = native.GraphExporter(
         src_paths[0], alt_path=src_paths[1],
         alt_baseline=cfg.alt_baseline,
@@ -680,6 +764,8 @@ def _solve_tpu_native(dataset, cfg: AlignasmConfig, src_paths, write_prefix):
         n_rec = meta[:, 1]
         stats["singleton"] = int((n_rec == 1).sum())
         stats["oversize"] = int((n_rec > cfg.max_device_records).sum())
+        stats["n_contigs"] = n
+        stats["n_records"] = int(n_rec.sum())
         stats["pack_s"] = round(time.perf_counter() - t_start, 4)
 
         # 512 GB-class contigs (over BOTH device-record and shard
@@ -695,7 +781,7 @@ def _solve_tpu_native(dataset, cfg: AlignasmConfig, src_paths, write_prefix):
         import jax
 
         sharded_ok = np.empty(0, np.int64)
-        if jax.device_count() > 1:
+        if allow_device and jax.device_count() > 1:
             big = np.where((n_rec > cfg.max_device_records)
                            & (n_rec >= cfg.graph_shard_min_records))[0]
             if len(big):
@@ -718,7 +804,8 @@ def _solve_tpu_native(dataset, cfg: AlignasmConfig, src_paths, write_prefix):
 
         # non-device set (never eligible for a bucket): solved natively
         # on a host thread that overlaps the device sync below
-        eligible = _eligible_mask(meta, cfg)
+        eligible = _eligible_mask(meta, cfg) if allow_device \
+            else np.zeros(n, bool)
         non_device = np.where(~eligible)[0]
         idx_pool = np.arange(n)
         if len(sharded_ok):
@@ -726,24 +813,37 @@ def _solve_tpu_native(dataset, cfg: AlignasmConfig, src_paths, write_prefix):
             idx_pool = np.setdiff1d(idx_pool, sharded_ok)
         exporter.prepare_results()  # pre-size result slots: the overlap
         # thread and the finish calls must not race a lazy resize
-        overlap = None
-        if len(non_device):
-            def overlap(idx=non_device):
-                import time as _t
+        if allow_device:
+            overlap = None
+            if len(non_device):
+                def overlap(idx=non_device):
+                    import time as _t
 
-                t1 = _t.perf_counter()
-                try:
-                    exporter.solve_subset(idx, format_out=True)
-                except Exception as exc:  # pragma: no cover - surfaced via stats
-                    stats["overlap_error"] = repr(exc)[:500]
-                stats["overlap_solve_s"] = round(_t.perf_counter() - t1, 4)
+                    t1 = _t.perf_counter()
+                    try:
+                        exporter.solve_subset(idx, format_out=True)
+                    except Exception as exc:  # pragma: no cover - surfaced via stats
+                        stats["overlap_error"] = repr(exc)[:500]
+                    stats["overlap_solve_s"] = round(_t.perf_counter() - t1, 4)
 
-        _device_assist(exporter, cfg, meta, idx_pool, stats,
-                       overlap=overlap)
+            _device_assist(exporter, cfg, meta, idx_pool, stats,
+                           overlap=overlap, model=model if mode == "auto"
+                           else None)
+        else:
+            # cost model (or device_routing="never") routed everything
+            # to the native plane; the exporter plane is kept only
+            # because the caller needs in-memory results (write paths
+            # take the fused pipeline in _solve_native_routed)
+            stats["routed"] = "native-plane"
+            t0 = time.perf_counter()
+            exporter.solve_subset(non_device,
+                                  format_out=write_prefix is not None)
+            stats["overlap_solve_s"] = round(time.perf_counter() - t0, 4)
         # leftovers: export-rejected / device-error contigs (and the
         # overlap set if its thread failed)
         stats["native_direct"] = exporter.solve_remaining() \
             + len(non_device) - stats["singleton"]
+        stats["device_routed_frac"] = round(stats["device"] / n, 4) if n else 0.0
 
         if write_prefix is not None:
             t0 = time.perf_counter()
@@ -801,7 +901,17 @@ def solve_missing_tpu_native(cfg: AlignasmConfig, src_paths, missing,
             raise RuntimeError(
                 f"native parse found {len(meta)} contigs but the caller "
                 f"expects {expected_n}: src_paths does not match dataset")
-        eligible = _eligible_mask(meta, cfg)
+        # same routing policy as the batch path: the device only sees
+        # work the cost model predicts it wins (on this tunnel: none)
+        from alignasm_tpu.runtime.costmodel import load_model
+
+        model = load_model()
+        mode = getattr(cfg, "device_routing", "always")
+        allow_device = mode == "always" or (
+            mode == "auto" and model.any_possible_win())
+        stats["routing"] = mode
+        eligible = _eligible_mask(meta, cfg) if allow_device \
+            else np.zeros(len(meta), bool)
         non_device = missing[~eligible[missing]]
         exporter.prepare_results()
         overlap = None
@@ -814,8 +924,14 @@ def solve_missing_tpu_native(cfg: AlignasmConfig, src_paths, missing,
                     stats["overlap_error"] = repr(exc)[:500]
                 stats["overlap_solve_s"] = round(time.perf_counter() - t1, 4)
 
-        covered = _device_assist(exporter, cfg, meta, missing, stats,
-                                 overlap=overlap)
+        if allow_device:
+            covered = _device_assist(exporter, cfg, meta, missing, stats,
+                                     overlap=overlap,
+                                     model=model if mode == "auto" else None)
+        else:
+            covered = np.empty(0, np.int64)
+            if overlap is not None:
+                overlap()
         leftover = np.setdiff1d(missing, np.concatenate([covered, non_device]))
         if len(leftover):
             exporter.solve_subset(leftover, threads=threads)

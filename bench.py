@@ -87,7 +87,11 @@ def main() -> None:
     ref_reps = []
     native_reps = []
     ref_elapsed = native_elapsed = float("inf")
-    for _ in range(reps):
+    # rep 0 is a LABELED WARM-UP (first-touch page faults + allocator
+    # growth made it a consistent outlier: one driver run recorded
+    # ratio_reps[0]=5.36 against a 13.34 median); it is reported in the
+    # rep vectors but excluded from the median and best-of
+    for rep in range(reps + 1):
         r = time_one(run_ref)
         n = time_one(run_native)
         # join the rep's background teardown so its free() churn can't
@@ -96,11 +100,13 @@ def main() -> None:
         ratios.append(r / n)
         ref_reps.append(round(r, 4))
         native_reps.append(round(n, 4))
+        if rep == 0:
+            continue
         ref_elapsed = min(ref_elapsed, r)
         native_elapsed = min(native_elapsed, n)
     import statistics
 
-    ratio = statistics.median(ratios)
+    ratio = statistics.median(ratios[1:])
     ref_cps = N_CONTIGS / ref_elapsed
     native_cps = N_CONTIGS / native_elapsed
 
@@ -111,6 +117,8 @@ def main() -> None:
     # SIGALRM unwinding through the tunnel's C++ frames at exit)
     tpu_cps = None
     tpu_stats = None
+    tpu_forced_cps = None
+    tpu_forced_stats = None
     tpu_kernels = None
     tpu_error = None
     n_tpu = int(os.environ.get("BENCH_TPU_CONTIGS", "2000"))
@@ -132,6 +140,8 @@ def main() -> None:
                 dev = json.loads(line)
                 tpu_cps = dev.get("tpu_engine_contigs_per_s")
                 tpu_stats = dev.get("tpu_engine_stats")
+                tpu_forced_cps = dev.get("tpu_engine_forced_contigs_per_s")
+                tpu_forced_stats = dev.get("tpu_engine_forced_stats")
                 tpu_kernels = dev.get("kernels")
             else:
                 tail = (proc.stderr or proc.stdout or "")[-500:]
@@ -151,20 +161,36 @@ def main() -> None:
         # per-rep spread: one driver capture is interpretable without
         # BENCH_RESULTS context — the shared VM's CPU-steal windows show
         # up as outlier reps / a wide ratio vector, not as a silent
-        # mis-ranking (round-2 verdict item 7)
+        # mis-ranking (round-2 verdict item 7).  Rep 0 is a labeled
+        # warm-up, excluded from the median/best.
+        "rep0_is_warmup": True,
         "ref_reps_s": ref_reps,
         "native_reps_s": native_reps,
         "ratio_reps": [round(x, 4) for x in ratios],
         "baseline_contigs_per_s": round(ref_cps, 2),
         "records_per_s": round(n_records / native_elapsed, 2),
-        "output_identical": identical,
-        "tpu_engine_contigs_per_s": tpu_cps,
         "tpu_engine_stats": tpu_stats,
+        "tpu_engine_forced_stats": tpu_forced_stats,
         "tpu_kernels": tpu_kernels,
         "tpu_error": tpu_error,
         "n_contigs": N_CONTIGS,
         "n_records": n_records,
         "threads": ncpu,
+        # compact trailer: the driver records the TAIL of this line, so
+        # the headline comparisons live at the END where they survive
+        # truncation (round-3 verdict, housekeeping)
+        "summary": {
+            "native_contigs_per_s": round(native_cps, 2),
+            "vs_reference_median": round(ratio, 4),
+            "tpu_engine_contigs_per_s": tpu_cps,
+            "tpu_engine_forced_contigs_per_s": tpu_forced_cps,
+            "tpu_vs_native": round(tpu_cps / native_cps, 4)
+            if tpu_cps else None,
+            "device_routed_frac": (tpu_stats or {}).get("device_routed_frac"),
+            "output_identical": identical,
+        },
+        "output_identical": identical,
+        "tpu_engine_contigs_per_s": tpu_cps,
     }))
 
 

@@ -98,8 +98,10 @@ def main() -> None:
 
         eng = d / "e.paf"
         eng.write_bytes(paf.read_bytes())
+        # force the bucket device pipeline: the campaign exists to fuzz
+        # THAT path (device_routing="auto" would route it all native)
         cfg = AlignasmConfig(alt_baseline=b, non_skip_linkable=nsl,
-                             upgrade_mode=mode)
+                             upgrade_mode=mode, device_routing="always")
         try:
             ds = read_paf(eng)
             scheduler.solve_dataset_tpu(

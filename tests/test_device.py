@@ -4,8 +4,16 @@ JAX_PLATFORMS=cpu with 8 fake devices)."""
 import numpy as np
 import pytest
 
+import dataclasses
+
 from alignasm_tpu.config import DEFAULT_CONFIG
 from alignasm_tpu.testing.synth import generate_hard_paf, generate_paf
+
+# Device tests must FORCE the bucket pipeline: the production default
+# (device_routing="auto") routes this hardware's work to the fused
+# native plane (runtime/costmodel.py), which would silently stop
+# exercising the device path these tests cover.
+DEVICE_CFG = dataclasses.replace(DEFAULT_CONFIG, device_routing="always")
 
 
 def _read(tmp_path, text, name="t.paf"):
@@ -225,7 +233,7 @@ def test_native_plane_routes_giant_contigs_to_graph_axis(tmp_path, oracle_bin):
     ds = read_paf(p)
     ds2 = copy.deepcopy(ds)
     n_big = max(len(c) for c in ds.contigs)
-    cfg = dataclasses.replace(DEFAULT_CONFIG,
+    cfg = dataclasses.replace(DEFAULT_CONFIG, device_routing="always",
                               max_device_records=max(16, n_big - 1),
                               graph_shard_min_records=min(n_big, 48))
     t = solve_dataset_tpu(ds, cfg, src_paths=(str(p), None))
@@ -246,7 +254,7 @@ def test_native_plane_routes_giant_contigs_to_graph_axis(tmp_path, oracle_bin):
     dev = tmp_path / "dev.paf"
     dev.write_bytes(p.read_bytes())
     n_big2 = max(len(c) for c in read_paf(dev).contigs)
-    cfg2 = dataclasses.replace(DEFAULT_CONFIG,
+    cfg2 = dataclasses.replace(DEFAULT_CONFIG, device_routing="always",
                                max_device_records=max(16, n_big2 - 1),
                                graph_shard_min_records=min(n_big2, 48))
     solve_dataset_tpu(read_paf(dev), cfg2, src_paths=(str(dev), None),
@@ -284,7 +292,7 @@ def test_device_failure_degrades_to_native_solve(tmp_path, oracle_bin,
     with warnings.catch_warnings():
         warnings.simplefilter("ignore", RuntimeWarning)
         scheduler.solve_dataset_tpu(
-            read_paf(eng), DEFAULT_CONFIG, src_paths=(str(eng), None),
+            read_paf(eng), DEVICE_CFG, src_paths=(str(eng), None),
             write_prefix=str(eng)[:-4])
     stats = scheduler.solve_dataset_tpu.last_stats
     assert "simulated backend failure" in stats.get("device_error", ""), stats
@@ -314,7 +322,7 @@ def test_device_engine_shards_over_data_mesh(tmp_path):
     p.write_text(generate_paf(n_contigs=12, seed=33))
     ds = read_paf(p)
     ds2 = copy.deepcopy(ds)
-    t = solve_dataset_tpu(ds, DEFAULT_CONFIG, src_paths=(str(p), None))
+    t = solve_dataset_tpu(ds, DEVICE_CFG, src_paths=(str(p), None))
     assert solve_dataset_tpu.last_stats.get("data_mesh_devices") == jax.device_count()
     assert t == solve_dataset(ds2, DEFAULT_CONFIG)
 
@@ -350,7 +358,8 @@ def test_int16_bucket_path_byte_identical(tmp_path, oracle_bin):
     gold = [o.read_bytes() for o in run_oracle(oracle_bin, p, tmp_path)]
 
     ds = read_paf(p)
-    cfg = dataclasses.replace(DEFAULT_CONFIG, dense_max_v=1024)
+    cfg = dataclasses.replace(DEFAULT_CONFIG, device_routing="always",
+                              dense_max_v=1024)
     solve_dataset_tpu(ds, cfg, src_paths=(str(p), None),
                       write_prefix=str(tmp_path / "big"))
     stats = solve_dataset_tpu.last_stats
@@ -392,7 +401,7 @@ def test_graph_shard_failure_degrades_to_native(tmp_path, oracle_bin,
     monkeypatch.setattr(mesh, "solve_contig_sharded_native", boom)
     ds = read_paf(p)
     n_big = max(len(c) for c in ds.contigs)
-    cfg = dataclasses.replace(DEFAULT_CONFIG,
+    cfg = dataclasses.replace(DEFAULT_CONFIG, device_routing="always",
                               max_device_records=max(16, n_big - 1),
                               graph_shard_min_records=min(n_big, 48))
     import warnings
@@ -441,7 +450,7 @@ def test_big_contig_single_chip_device_path(tmp_path, oracle_bin):
     oracle_outs = run_oracle(oracle_bin, p, tmp_path)
     eng = tmp_path / "engbig.paf"
     eng.write_bytes(p.read_bytes())
-    solve_dataset_tpu(read_paf(eng), DEFAULT_CONFIG,
+    solve_dataset_tpu(read_paf(eng), DEVICE_CFG,
                       src_paths=(str(eng), None),
                       write_prefix=str(eng)[:-4])
     stats = solve_dataset_tpu.last_stats
@@ -518,9 +527,11 @@ def test_wire16_single_device_end_to_end(tmp_path, oracle_bin):
     code = (
         "from alignasm_tpu.io.paf import read_paf\n"
         "from alignasm_tpu.runtime.scheduler import solve_dataset_tpu\n"
+        "import dataclasses\n"
         "from alignasm_tpu.config import DEFAULT_CONFIG\n"
+        "cfg = dataclasses.replace(DEFAULT_CONFIG, device_routing='always')\n"
         f"ds = read_paf({str(eng)!r})\n"
-        f"solve_dataset_tpu(ds, DEFAULT_CONFIG, src_paths=({str(eng)!r}, None),\n"
+        f"solve_dataset_tpu(ds, cfg, src_paths=({str(eng)!r}, None),\n"
         f"                  write_prefix={str(eng)[:-4]!r})\n"
         "st = solve_dataset_tpu.last_stats\n"
         "assert st.get('wire16_buckets', 0) >= 1, st\n"

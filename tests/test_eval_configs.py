@@ -5,6 +5,8 @@ import pathlib
 
 import pytest
 
+import dataclasses
+
 from alignasm_tpu import native
 from alignasm_tpu.config import DEFAULT_CONFIG
 from alignasm_tpu.engine.exact import solve_dataset
@@ -34,7 +36,9 @@ def test_eval_config_all_engines(oracle_bin, tmp_path, name):
     ds2 = copy.deepcopy(ds)
     dev = tmp_path / f"d_{name}.paf"
     dev.write_bytes(paf.read_bytes())
-    solve_dataset_tpu(read_paf(dev), DEFAULT_CONFIG,
+    device_cfg = dataclasses.replace(DEFAULT_CONFIG,
+                                     device_routing="always")
+    solve_dataset_tpu(read_paf(dev), device_cfg,
                       src_paths=(str(dev), None),
                       write_prefix=str(dev)[:-4])
     for o, suffix in zip(oracle_outs, ("", ".alt", ".all")):
@@ -42,5 +46,5 @@ def test_eval_config_all_engines(oracle_bin, tmp_path, name):
         assert o.read_bytes() == got.read_bytes(), f"{name} aln{suffix} (device)"
 
     # and the in-memory device path equals the exact engine structurally
-    t = solve_dataset_tpu(ds, DEFAULT_CONFIG, src_paths=(str(paf), None))
+    t = solve_dataset_tpu(ds, device_cfg, src_paths=(str(paf), None))
     assert t == solve_dataset(ds2, DEFAULT_CONFIG), f"{name} (device)"
