@@ -274,6 +274,220 @@ def dense_solve_wire_topo_nxt16(wire, V):
     return jax.vmap(lambda arr: solve_slab_topo_nxt16(arr, V))(packed)
 
 
+def _blocked_dp(arr, V, Bk=128):
+    """Blocked big-V solve — the tropical triangular-solve formulation
+    (round-3 verdict Next #2).  The reverse-topo scan (_topo_scan) is V
+    sequential steps; at V = 8192 the step-sequencing overhead, not
+    memory, dominates (measured 0.205 s for a 5,200-record contig,
+    ~23 us/step — BENCH_RESULTS.md "Big contig").  This kernel cuts the
+    sequential depth from V to (V/Bk) * log2(Bk):
+
+    * vertices partition into V/Bk diagonal blocks, processed last to
+      first (edges only point low -> high in the topo numbering);
+    * per block, a dense (Bk, V) PANEL reduction folds the
+      already-final suffix state into per-vertex external candidates —
+      bulk VPU work, one read of the block's slab rows;
+    * the (Bk, Bk) intra-block dependency is resolved by a LOG-DEPTH
+      path-doubling closure: (I + A)^Bk via log2(Bk) min-plus matrix
+      squarings (idempotent min makes repeated squaring exact), then
+      one min-plus mat-vec applies it to the external candidates.
+
+    The five DPs decompose into scalar solves (no two-component lex
+    semiring in any closure):
+
+      1. s  — min-plus on score weights;
+      2. a  — min-plus on anomaly weights over the s-ACHIEVING subgraph
+              (the lex DP's second component recurses only through
+              s-achieving edges: _topo_scan's ``on`` mask), which is
+              known as soon as the block's s values are final;
+      3. fa — min-plus on anomaly weights over all edges;
+      4. ct — path counting over all edges, SATURATED AT 2: the gate
+              consumes counts only through (cnt_min == 1) and
+              (cnt_tot >= 2), and min(x, 2) is a quotient-semiring
+              homomorphism for the {0, 1, >=2} abstraction, so the
+              closure becomes exact small-int float32 matmuls — MXU
+              work (P' = P + Q @ P, Q' = Q @ Q with clamping; products
+              <= 4, sums <= 4*Bk < 2^24: float32-exact);
+      5. cm — the same counting solve over the (s, a)-achieving mask.
+
+    nxt (lowest-index achieving successor) needs no recursion at all
+    once s and a are final: one vectorized argmax per block row.
+
+    Overflow discipline: closure entries clamp at INFH = INF32 - 2^28
+    (real path sums are < 2^27 by the device-eligibility envelope, so
+    the clamp never touches a real value), panel candidates clamp at
+    INF32, and every add stays < 2^31.  Anomaly solves use the INFA
+    domain (sums <= 3*(V-1) < 2^15).
+
+    Output is BIT-EQUAL to solve_slab_topo_nxt16 (same [nxt
+    (dest-encoded), fast, src] int16 row); parity is a fixed-point
+    argument per solve plus the count-abstraction homomorphism
+    (tests/test_dense.py::test_blocked_matches_scan)."""
+    assert V % Bk == 0 and V >= Bk
+    nb = V // Bk
+    nlev = max(1, (Bk - 1).bit_length())  # closure covers paths < 2^nlev >= Bk
+    wsa = arr[:V]
+    dest = jnp.reshape(arr[V : V + 1, 0:1], ())
+    src = jnp.reshape(arr[V : V + 1, 1:2], ())
+    maskc = jnp.int32((1 << ANOM_SHIFT) - 1)
+    INFH = jnp.int32(INF32 - (1 << ANOM_SHIFT))
+    INFA = jnp.int32(1 << 20)
+    INFAH = jnp.int32((1 << 20) - 16)
+
+    vidx = jax.lax.broadcasted_iota(jnp.int32, (V, 1), 0)[:, 0]
+    bidx = jax.lax.broadcasted_iota(jnp.int32, (Bk, 1), 0)[:, 0]
+    on_dest = vidx == dest
+    zero = jnp.int32(0)
+    b_s = jnp.where(on_dest, zero, INF32)
+    b_a = jnp.where(on_dest, zero, INFA)
+    b_c = jnp.where(on_dest, jnp.int32(1), zero)
+    eye = bidx[:, None] == bidx[None, :]
+
+    def mp_closure(A, inf_h):
+        """(I + A)^Bk in min-plus via log-depth squaring; A entries
+        pre-clamped at inf_h ("no path")."""
+        M0 = jnp.where(eye, jnp.int32(0), A)
+
+        def sq(_, M):
+            return jnp.minimum(
+                jnp.min(M[:, :, None] + M[None, :, :], axis=1), inf_h)
+
+        return jax.lax.fori_loop(0, nlev, sq, M0)
+
+    def cnt_closure(adj):
+        """P[i,k] = #paths i->k within the block (incl. empty), values
+        abstracted to {0, 1, 2}; float32 MXU matmuls, exact (< 2^24)."""
+        A0 = adj.astype(jnp.float32)
+        P0 = eye.astype(jnp.float32)  # P_m = sum_{l < 2^m} A^l; P_0 = I
+
+        def dbl(_, st):
+            P, Q = st  # Q = A^(2^m): P_{m+1} = P_m + Q P_m (unique
+            # split at the length-2^m prefix), Q doubles by squaring
+            P2 = jnp.minimum(P + Q @ P, 2.0)
+            Q2 = jnp.minimum(Q @ Q, 2.0)
+            return P2, Q2
+
+        P, _ = jax.lax.fori_loop(0, nlev, dbl, (P0, A0))
+        return P
+
+    init = (b_s, jnp.zeros((V,), jnp.int32), b_s, b_c, b_c,
+            jnp.full((V,), -1, jnp.int32))
+
+    def block_step(t, st):
+        s, a, fa, ct, cm, nxt = st
+        lo = (nb - 1 - t) * Bk
+        R = jax.lax.dynamic_slice_in_dim(wsa, lo, Bk, 0)  # (Bk, V)
+        rid = lo + bidx
+        # dest's outgoing row is guarded in the scan (keep): mask it
+        R = jnp.where((rid == dest)[:, None], INF32, R)
+        edge = R != INF32
+        ws = R & maskc
+        wa = jax.lax.shift_right_logical(R, jnp.int32(ANOM_SHIFT))
+        tail = (vidx >= lo + Bk)[None, :]
+        e_tail = edge & tail
+
+        def blk(vec):
+            return jax.lax.dynamic_slice_in_dim(vec, lo, Bk, 0)
+
+        def incols(mat):
+            return jax.lax.dynamic_slice(mat, (0, lo), (Bk, Bk))
+
+        e_in = incols(edge) & ~eye  # strictly upper triangular
+        ws_in = incols(ws)
+        wa_in = incols(wa)
+
+        # --- 1. s: min-plus on scores --------------------------------
+        ps = jnp.minimum(
+            jnp.min(jnp.where(e_tail, ws + s[None, :], INF32), axis=1),
+            blk(b_s))
+        Ms = mp_closure(jnp.where(e_in, jnp.minimum(ws_in, INFH), INFH),
+                        INFH)
+        xs = jnp.min(Ms + ps[None, :], axis=1)
+        xs = jnp.where(xs >= INFH, INF32, xs)
+
+        # --- 2. a: min-plus on anomalies over the s-achieving graph --
+        s_upd = jax.lax.dynamic_update_slice_in_dim(s, xs, lo, 0)
+        ach = e_tail & (s[None, :] < INF32) & (ws + s[None, :] == xs[:, None])
+        pa = jnp.minimum(
+            jnp.min(jnp.where(ach, wa + a[None, :], INFA), axis=1),
+            blk(b_a))
+        ach_in = e_in & (xs[None, :] < INF32) \
+            & (ws_in + xs[None, :] == xs[:, None])
+        Ma = mp_closure(jnp.where(ach_in, wa_in, INFAH), INFAH)
+        xa = jnp.min(Ma + pa[None, :], axis=1)
+        xa = jnp.where(xs < INF32, xa, jnp.int32(0))  # scan: a_u = 0 if unreachable
+
+        # --- 3. fa: min-plus on anomalies over all edges --------------
+        pfa = jnp.minimum(
+            jnp.min(jnp.where(e_tail, wa + jnp.minimum(fa, INFA)[None, :],
+                              INFA), axis=1),
+            blk(b_a))
+        Mf = mp_closure(jnp.where(e_in, wa_in, INFAH), INFAH)
+        xfa = jnp.min(Mf + pfa[None, :], axis=1)
+        xfa = jnp.where(xfa >= INFAH, INF32, xfa)
+
+        # --- 4. ct: {0,1,2+} path counting over all edges -------------
+        pct = jnp.minimum(
+            blk(b_c) + jnp.sum(jnp.where(e_tail, ct[None, :], jnp.int32(0)),
+                               dtype=jnp.int32, axis=1), 2)
+        Pct = cnt_closure(e_in)
+        xct = jnp.minimum(Pct @ pct.astype(jnp.float32), 2.0).astype(jnp.int32)
+
+        # --- 5. cm: counting over the (s, a)-achieving mask ------------
+        a_upd = jax.lax.dynamic_update_slice_in_dim(a, xa, lo, 0)
+        ach2 = ach & (wa + a[None, :] == xa[:, None])
+        ach2_in = ach_in & (wa_in + xa[None, :] == xa[:, None])
+        pcm = jnp.minimum(
+            blk(b_c) + jnp.sum(jnp.where(ach2, cm[None, :], jnp.int32(0)),
+                               dtype=jnp.int32, axis=1), 2)
+        Pcm = cnt_closure(ach2_in)
+        xcm = jnp.minimum(Pcm @ pcm.astype(jnp.float32), 2.0).astype(jnp.int32)
+
+        # --- nxt: lowest-index achieving successor (no recursion) -----
+        ach_full = edge & (s_upd[None, :] < INF32) \
+            & (ws + s_upd[None, :] == xs[:, None]) \
+            & (wa + a_upd[None, :] == xa[:, None])
+        xnxt = jnp.where(ach_full.any(axis=1),
+                         jnp.argmax(ach_full, axis=1).astype(jnp.int32),
+                         jnp.int32(-1))
+
+        def upd(vec, x):
+            return jax.lax.dynamic_update_slice_in_dim(vec, x, lo, 0)
+
+        return (s_upd, upd(a, xa), upd(fa, xfa), upd(ct, xct),
+                upd(cm, xcm), upd(nxt, xnxt))
+
+    st = jax.lax.fori_loop(0, nb, block_step, init)
+    return st, dest, src
+
+
+def solve_slab_topo_nxt16_blocked(arr, V, Bk=128):
+    """int16 [nxt (dest-encoded), fast, src] row from the blocked DP —
+    bit-equal to solve_slab_topo_nxt16 (see _blocked_dp)."""
+    (s, a, fa, ct, cm, nxt), dest, src = _blocked_dp(arr, V, Bk)
+    vidx = jax.lax.broadcasted_iota(jnp.int32, (V, 1), 0)[:, 0]
+
+    def pick(vec):  # vec[src] without a dynamic scalar gather
+        return jnp.sum(jnp.where(vidx == src, vec, jnp.int32(0)),
+                       dtype=jnp.int32)
+
+    fast = (pick(cm) == 1) & ~((pick(ct) >= 2) & (pick(a) != pick(fa)))
+    tail16 = jnp.stack([fast.astype(jnp.int32), src])
+    return jnp.concatenate(
+        [jnp.where(nxt < 0, dest, nxt), tail16]).astype(jnp.int16)
+
+
+@functools.partial(jax.jit, static_argnames=("B", "V", "Bk"))
+def dense_solve_wire_topo_nxt16_blocked_ragged(wire, B, V, Bk=128):
+    """Batched blocked big-V solve from the ragged wire — the
+    production path for V >= 512 buckets (bit-equal rows to
+    dense_solve_wire_topo_nxt16_ragged; see solve_slab_topo_nxt16_blocked)."""
+    assert V <= 32767, "int16 nxt entries require V <= 32767"
+    packed = _densify_wire_ragged(wire, B, V)
+    return jax.vmap(
+        lambda arr: solve_slab_topo_nxt16_blocked(arr, V, Bk))(packed)
+
+
 def _densify_wire_ragged(wire, B, V):
     """Scatter the RAGGED wire into (B, V+1, V) slabs on device — the
     layout contract with export.cc:aln_export_wire_ragged: one (2, capN)

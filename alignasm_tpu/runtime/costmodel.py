@@ -61,9 +61,10 @@ class DeviceCostModel:
     # marginal per-contig kernel cost at V <= 64, B large (BENCH_r03
     # tpu_kernels.topo.marginal_s_per_contig ~ 1.6-1.8 us)
     device_s_per_contig: float = 1.7e-6
-    # per sequential scan-step cost at tiny B (the big-V path: a
-    # 5,200-record V=8192 contig synced in 0.19 s => ~23 us/step)
-    device_s_per_step: float = 2.3e-5
+    # per-vertex cost of the big-V BLOCKED kernel (round 4: the
+    # tropical triangular solve runs a V=8192 slab in ~16 ms on v5e —
+    # ~2 us/vertex — vs the scan's 23 us/step it replaced)
+    device_s_per_step: float = 2e-6
 
     def any_possible_win(self) -> bool:
         """Can ANY bucket on this hardware profile route profitably?

@@ -392,10 +392,77 @@ def bench_kernels(B=256, V=64, E=256, n_sweeps=32, seed=0):
     return {"topo": topo, "dense": dense, "sparse": sparse}
 
 
+def bench_bigv(V=8192, seed=0, n_chain=6, reps=3):
+    """Big-V kernel A/B (round-4 verdict Next #2): the reverse-topo
+    scan (V sequential steps) vs the blocked tropical triangular solve
+    (ops/dense.py:_blocked_dp — (V/64)*log2(64) depth) on a
+    chain-shaped V-vertex slab, chained launches so the dispatch RTT
+    amortizes.  Reports per-launch time, the slab-traffic bandwidth
+    (the kernel reads the (V+1, V) densified slab once), and
+    bit-equality of the int16 gate rows."""
+    import time as _t
+
+    import jax
+    import numpy as np
+
+    from alignasm_tpu.ops.dense import (
+        ANOM_SHIFT, dense_solve_wire_topo_nxt16_blocked_ragged,
+        dense_solve_wire_topo_nxt16_ragged,
+    )
+
+    rng = np.random.default_rng(seed)
+    us = np.repeat(np.arange(V - 1), 4)
+    span = rng.integers(1, 16, len(us))
+    vs = np.minimum(us + span, V - 1)
+    keep = us < vs
+    keys = np.unique(us[keep].astype(np.int64) * V + vs[keep])
+    us, vs = keys // V, keys % V
+    ws = rng.integers(0, 3000, len(us)).astype(np.int64)
+    wa = rng.integers(0, 4, len(us)).astype(np.int64)
+    val = (ws | (wa << ANOM_SHIFT)).astype(np.int32)
+    ent = np.stack([us * V + vs, val])
+    extra = np.array([[V * V, V * V + 1], [V - 1, 0]])
+    wire = jax.device_put(
+        np.concatenate([ent, extra], axis=1).astype(np.int32))
+
+    def timeit(fn):
+        r = np.asarray(fn())  # compile + warm
+        best = float("inf")
+        for _ in range(reps):
+            t0 = _t.perf_counter()
+            outs = [fn() for _ in range(n_chain)]
+            jax.block_until_ready(outs)
+            best = min(best, (_t.perf_counter() - t0) / n_chain)
+        return r, best
+
+    ref, t_scan = timeit(
+        lambda: dense_solve_wire_topo_nxt16_ragged(wire, B=1, V=V))
+    got, t_blk = timeit(
+        lambda: dense_solve_wire_topo_nxt16_blocked_ragged(
+            wire, B=1, V=V, Bk=64))
+    slab = V * (V + 1) * 4
+    kind, peak = _device_peak()
+    return {
+        "V": V, "E": int(len(keys)), "device_kind": kind,
+        "scan_s_per_launch": round(t_scan, 5),
+        "blocked_s_per_launch": round(t_blk, 5),
+        "blocked_speedup": round(t_scan / t_blk, 2),
+        "bit_equal": bool((ref == got).all()),
+        "slab_bytes": slab,
+        "scan_GB_per_s": round(slab / t_scan / 1e9, 2),
+        "blocked_GB_per_s": round(slab / t_blk / 1e9, 2),
+        "blocked_pct_of_hbm_peak": round(100 * slab / t_blk / peak, 2),
+    }
+
+
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 2000
     out = bench_end_to_end(n)
     out["kernels"] = bench_kernels()
+    try:
+        out["kernels"]["bigv"] = bench_bigv()
+    except Exception as exc:  # never sink the bench
+        out["kernels"]["bigv"] = {"error": repr(exc)[:300]}
     print(json.dumps(out))
 
 

@@ -411,7 +411,9 @@ def _launch_buckets(buckets, n_edges, exporter, spec, n_dev, launches,
     from alignasm_tpu.ops.dense import (
         dense_solve_wire16_topo_nxt8,
         dense_solve_wire_topo_nxt8, dense_solve_wire_topo_nxt8_ragged,
-        dense_solve_wire_topo_nxt16, dense_solve_wire_topo_nxt16_ragged,
+        dense_solve_wire_topo_nxt16,
+        dense_solve_wire_topo_nxt16_blocked_ragged,
+        dense_solve_wire_topo_nxt16_ragged,
     )
 
     for V, idxs in buckets:
@@ -451,8 +453,14 @@ def _launch_buckets(buckets, n_edges, exporter, spec, n_dev, launches,
                     pending = dense_solve_wire_topo_nxt8_ragged(
                         wire, B=padB, V=V)
                 else:
-                    pending = dense_solve_wire_topo_nxt16_ragged(
-                        wire, B=padB, V=V)
+                    # big-V buckets: the BLOCKED tropical triangular
+                    # solve (ops/dense.py:_blocked_dp) — sequential
+                    # depth (V/64)*log2(64) instead of V; measured
+                    # 10.6x the reverse-topo scan at V=8192 on v5e
+                    # (BENCH_RESULTS.md "Big contig, round 4"),
+                    # bit-equal rows
+                    pending = dense_solve_wire_topo_nxt16_blocked_ragged(
+                        wire, B=padB, V=V, Bk=64)
                 stats["h2d_bytes"] = stats.get("h2d_bytes", 0) + wire.nbytes
             launches.append((idxs, realB, V, pending,
                              None if ok.all() else ok))

@@ -547,3 +547,82 @@ def test_wire16_parity_with_ragged_wire(tmp_path):
         assert s_16[2, V, 0] == 0 and s_16[2, V, 1] == 0
     finally:
         exp.close()
+
+
+def _rand_wire(B, V, density, seed, nv=None, score_max=1000):
+    """Random topo-ordered DAG in the ragged wire format (the
+    export.cc:aln_export_wire_ragged layout)."""
+    from alignasm_tpu.ops.dense import ANOM_SHIFT
+
+    rng = np.random.default_rng(seed)
+    entries = []
+    for b in range(B):
+        n = nv or V
+        mask = np.triu(rng.random((V, V)) < density, k=1)
+        mask[n - 1:, :] = False  # dest row empty; padding rows empty
+        mask[:, n:] = False
+        us, vs = np.nonzero(mask)
+        ws = rng.integers(0, score_max, len(us)).astype(np.int64)
+        wa = rng.integers(0, 4, len(us)).astype(np.int64)
+        val = (ws | (wa << ANOM_SHIFT)).astype(np.int32)
+        base = b * V * (V + 1)
+        ent = np.stack([base + us * V + vs, val])
+        extra = np.array([[base + V * V, base + V * V + 1], [n - 1, 0]])
+        entries.append(np.concatenate([ent, extra], axis=1))
+    w = np.concatenate(entries, axis=1).astype(np.int32)
+    trash = np.array([[B * V * (V + 1)], [0]], np.int32)
+    return np.concatenate([w, np.repeat(trash, 5, axis=1)], axis=1)
+
+
+@pytest.mark.parametrize("V,Bk,density,seed,nv", [
+    (256, 128, 0.05, 0, None),   # sparse
+    (256, 128, 0.3, 1, None),    # dense
+    (256, 128, 0.05, 3, 150),    # padding past nv (dest mid-slab)
+    (256, 64, 0.0005, 4, None),  # mostly unreachable
+    (128, 64, 0.002, 11, 70),    # tiny + padding
+    (256, 128, 0.9, 10, None),   # near-complete DAG (deep tie sets)
+    (512, 64, 0.08, 9, None),    # the production Bk at a bigger V
+])
+def test_blocked_matches_scan(V, Bk, density, seed, nv):
+    """The blocked tropical triangular solve (log-depth closures +
+    panel updates, the big-V production kernel) must be BIT-EQUAL to
+    the reverse-topo scan's int16 gate rows on arbitrary topo-ordered
+    DAG wires — including padding slabs, unreachable sources, and
+    tie-rich graphs (where the count-saturation-at-2 abstraction has
+    to agree with the scan's saturation at 10001 through the gate)."""
+    from alignasm_tpu.ops.dense import (
+        dense_solve_wire_topo_nxt16_blocked_ragged,
+        dense_solve_wire_topo_nxt16_ragged,
+    )
+
+    B = 2
+    w = _rand_wire(B, V, density, seed, nv)
+    ref = np.asarray(dense_solve_wire_topo_nxt16_ragged(w, B=B, V=V))
+    got = np.asarray(
+        dense_solve_wire_topo_nxt16_blocked_ragged(w, B=B, V=V, Bk=Bk))
+    assert (ref == got).all()
+
+
+def test_blocked_dp_vectors_match_scan():
+    """All six DP vectors (not just the shipped row) agree with the
+    scan, with counts compared through the {0,1,2+} quotient."""
+    import jax
+
+    from alignasm_tpu.ops.dense import (
+        _blocked_dp, _densify_wire_ragged, _topo_scan,
+    )
+
+    V = 256
+    w = _rand_wire(1, V, 0.08, 42, nv=200)
+    arr = _densify_wire_ragged(w, 1, V)[0]
+    (s, a, fa, ct, cm, nxt), dest, src = jax.jit(
+        lambda x: _topo_scan(x, V))(arr)
+    (s2, a2, fa2, ct2, cm2, nxt2), d2, s2_ = jax.jit(
+        lambda x: _blocked_dp(x, V, 64))(arr)
+    assert (np.asarray(s) == np.asarray(s2)).all()
+    assert (np.asarray(a) == np.asarray(a2)).all()
+    assert (np.asarray(fa) == np.asarray(fa2)).all()
+    assert (np.minimum(np.asarray(ct), 2) == np.asarray(ct2)).all()
+    assert (np.minimum(np.asarray(cm), 2) == np.asarray(cm2)).all()
+    assert (np.asarray(nxt) == np.asarray(nxt2)).all()
+    assert int(d2) == int(dest) and int(s2_) == int(src)
