@@ -100,7 +100,7 @@ class ScoringParams(ctypes.Structure):
 
 def _ensure_lib():
     """Build + dlopen the library and register the numpy-free ABI — the
-    fast-start subset (native.run / run_shard / merge_shards) used by
+    fast-start subset (native.run / run_shard / append_shard) used by
     the CLI native path and every multihost rank.  Importing numpy
     costs ~0.26 s of process startup, which multiplied across pod ranks
     dominates small jobs; the shard engine never needs it."""
@@ -133,15 +133,17 @@ def _ensure_lib():
             ctypes.c_char_p, ctypes.c_char_p, ctypes.c_double,
             ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.c_longlong, ctypes.c_longlong, ctypes.c_longlong,
-            ctypes.c_char_p, llp, llp, ctypes.c_char_p, ctypes.c_int,
+            ctypes.c_char_p, ctypes.c_char_p, llp, llp,
+            ctypes.c_char_p, ctypes.c_int,
             ctypes.POINTER(ScoringParams),
         ]
         lib.aln_run_shard.restype = ctypes.c_int
-        lib.aln_merge_shards.argtypes = [
+        lib.aln_append_shard.argtypes = [
             ctypes.c_char_p, ctypes.c_char_p, ctypes.c_longlong,
-            ctypes.c_longlong, ctypes.c_int, ctypes.c_char_p, ctypes.c_int,
+            ctypes.c_longlong, ctypes.c_longlong, ctypes.c_longlong,
+            ctypes.c_int, ctypes.c_char_p, ctypes.c_int,
         ]
-        lib.aln_merge_shards.restype = ctypes.c_int
+        lib.aln_append_shard.restype = ctypes.c_int
         _lib = lib
     return _lib
 
@@ -807,7 +809,7 @@ class GraphExporter:
 
 def run_shard(
     paf_path: str,
-    shard_path: str,
+    shard_path: str | None,
     rank: int,
     world: int,
     digest: int = 0,
@@ -817,10 +819,14 @@ def run_shard(
     threads: int = 0,
     lazy_walks: bool = True,
     config=None,
+    direct_prefix: str | None = None,
 ) -> dict:
     """One multihost rank's work: contig-group-sharded parse + solve +
-    format (groups with g % world == rank), published as a binary shard
-    file of pre-formatted output text (atomic rename).  Returns
+    format over the rank's CONTIGUOUS record-balanced group range.
+    Ranks > 0 publish a binary shard file of pre-formatted output text
+    (atomic rename); rank 0 passes ``direct_prefix`` instead and its
+    slice streams straight into <direct_prefix>.aln[.alt|.all].paf (it
+    owns the head of every stream).  Returns
     {'n_total': ..., 'n_local': ...}."""
     lib = _ensure_lib()
     err = ctypes.create_string_buffer(4096)
@@ -832,7 +838,8 @@ def run_shard(
         os.fsencode(alt_path) if alt_path else b"",
         alt_baseline, 1 if non_skip_linkable else 0, threads,
         1 if lazy_walks else 0, rank, world, digest,
-        os.fsencode(shard_path),
+        os.fsencode(shard_path) if shard_path else b"",
+        os.fsencode(direct_prefix) if direct_prefix else b"",
         ctypes.byref(n_total), ctypes.byref(n_local), err, len(err),
         ctypes.byref(scoring) if scoring is not None else None,
     )
@@ -841,16 +848,18 @@ def run_shard(
     return {"n_total": int(n_total.value), "n_local": int(n_local.value)}
 
 
-def merge_shards(out_prefix: str, shard_prefix: str, world: int,
-                 digest: int = 0, threads: int = 0) -> None:
-    """Rank 0's merge: ordered interleave of every rank's pre-formatted
-    per-contig text slices into the three output PAFs (C++, the three
-    streams flush concurrently)."""
+def append_shard(out_prefix: str, shard_path: str, world: int, rank: int,
+                 digest: int = 0, n_expected: int = -1,
+                 threads: int = 0) -> None:
+    """Rank 0's merge step for ONE landed shard: append its three
+    stream blobs onto the output files (pure sequential blob
+    concatenation — contiguous ranges make append-in-rank-order the
+    whole merge; the three streams copy concurrently)."""
     lib = _ensure_lib()
     err = ctypes.create_string_buffer(4096)
-    rc = lib.aln_merge_shards(
-        os.fsencode(out_prefix), os.fsencode(shard_prefix), world, digest,
-        threads, err, len(err),
+    rc = lib.aln_append_shard(
+        os.fsencode(out_prefix), os.fsencode(shard_path), world, rank,
+        digest, n_expected, threads, err, len(err),
     )
     if rc != 0:
         raise NativeError(err.value.decode(errors="replace"))

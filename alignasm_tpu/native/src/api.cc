@@ -16,6 +16,9 @@
 #include <string>
 #include <thread>
 
+#include <fcntl.h>
+#include <unistd.h>
+
 #include "io.h"
 #include "solver.h"
 
@@ -169,21 +172,26 @@ int aln_run_stats2(const char *paf_path, const char *alt_path, double alt_baseli
 //
 // Each rank runs aln_run_shard: a contig-group-sharded parse (the cheap
 // line index scan covers the whole file; the expensive record parse +
-// cs scan + solve + output formatting run only for groups with
-// g % world == rank), publishing its PRE-FORMATTED output text for the
-// three streams as one binary shard file (atomic rename).  Rank 0 then
-// runs aln_merge_shards: an ordered interleave of the per-contig text
-// slices straight into the three output PAFs — no re-parse, no row
-// marshalling, no Python objects.  Shard file layout (int64 LE):
-//   [magic, digest, world, rank, n_total, n_local, m_bytes, a_bytes,
-//    x_bytes] + m_len[n_local] + a_len[n_local] + x_len[n_local]
-//   + m blob + a blob + x blob       (local groups in ascending g)
-static const long long SHARD_MAGIC = 0x414C4E534844LL;  // "ALNSHD"
+// cs scan + solve + output formatting run only for the rank's owned
+// groups — a CONTIGUOUS record-balanced range, io.cc read_paf).
+// Ranks > 0 publish their PRE-FORMATTED output text for the three
+// streams as one binary shard file (atomic rename); rank 0 streams its
+// own slice STRAIGHT into the (tmp-named) output files — contiguity
+// means rank 0's groups are the head of every stream — then appends
+// each later rank's blobs as its shard lands (aln_append_shard), so
+// the merge is pure sequential blob concatenation overlapped with the
+// barrier instead of a post-barrier per-contig interleave.  Shard file
+// layout (int64 LE):
+//   [magic, digest, world, rank, n_total, g_lo, g_hi, m_bytes,
+//    a_bytes, x_bytes] + m blob + a blob + x blob
+//   (owned groups in ascending g; n_local = g_hi - g_lo)
+static const long long SHARD_MAGIC = 0x414C4E53484432LL;  // "ALNSHD2"
 
 int aln_run_shard(const char *paf_path, const char *alt_path,
                   double alt_baseline, int non_skip_linkable, int threads,
                   int lazy_walks, long long rank, long long world,
                   long long digest, const char *shard_path,
+                  const char *direct_prefix,
                   long long *n_total_out, long long *n_local_out,
                   char *err, int errlen, const AlnScoring *scoring) {
     try {
@@ -215,6 +223,15 @@ int aln_run_shard(const char *paf_path, const char *alt_path,
                            + e.what();
             }
         };
+        auto prof_t0 = std::chrono::steady_clock::now();
+        auto prof = [&](const char *tag) {
+            if (!getenv("ALN_SHARD_PROF")) return;
+            auto now = std::chrono::steady_clock::now();
+            fprintf(stderr, "run_shard r%lld %s %.2f ms\n", rank, tag,
+                    std::chrono::duration<double, std::milli>(
+                        now - prof_t0).count());
+            prof_t0 = now;
+        };
         bool fused = !(alt_path && alt_path[0]);
         aln::GroupSink sink;
         sink.start = [&](aln::Dataset &, size_t n_groups) {
@@ -223,16 +240,29 @@ int aln_run_shard(const char *paf_path, const char *alt_path,
             parts_max.resize(n_groups);
         };
         sink.group = do_one;  // called only for local groups
-        aln::Dataset ds = aln::read_paf(paf_path, nthreads,
-                                        fused ? &sink : nullptr, rank, world);
+        // fused mode: byte-range sharded parse — the rank field-scans
+        // only its ~1/world slice (io.cc read_paf_range), so the scan
+        // cost scales down with world instead of being duplicated.
+        // Alt mode needs the global last-wins name map: full scan.
+        aln::i64 n_lines = 0;
+        aln::Dataset ds = (fused && world > 1)
+            ? aln::read_paf_range(paf_path, nthreads, &sink, rank, world,
+                                  &n_lines)
+            : aln::read_paf(paf_path, nthreads, fused ? &sink : nullptr,
+                            rank, world);
+        prof("parse_solve");
         size_t n = ds.contigs.size();
+        // the cross-rank consistency token in the shard header: global
+        // line count under the range parse (group counts are local
+        // there), global group count otherwise
+        long long n_token = (fused && world > 1) ? n_lines : (long long) n;
         if (!fused) {
             aln::merge_alt(ds, alt_path, alt_baseline, rank, world);
             parts_out.resize(n);
             parts_alt.resize(n);
             parts_max.resize(n);
             std::vector<long long> mine;
-            for (long long g = rank; g < (long long) n; g += world)
+            for (long long g = ds.shard_lo; g < ds.shard_hi; g++)
                 mine.push_back(g);
             std::atomic<size_t> next{0};
             auto worker = [&] {
@@ -252,43 +282,66 @@ int aln_run_shard(const char *paf_path, const char *alt_path,
             }
         }
         if (failed) { set_err(err, errlen, fail_msg); return 2; }
+        prof("solve_tail");
 
-        // publish the shard file (write to .tmp, atomic rename)
-        long long n_local = 0;
-        for (long long g = rank; g < (long long) n; g += world) n_local++;
-        std::vector<long long> lens;
-        lens.reserve((size_t) (3 * n_local));
-        long long totals[3] = {0, 0, 0};
+        long long n_local = ds.shard_hi - ds.shard_lo;
         const std::vector<std::string> *streams[3] = {&parts_out, &parts_alt,
                                                       &parts_max};
-        for (int s = 0; s < 3; s++)
-            for (long long g = rank; g < (long long) n; g += world) {
-                long long L = (long long) (*streams[s])[(size_t) g].size();
-                lens.push_back(L);
-                totals[s] += L;
-            }
-        std::string tmp = std::string(shard_path) + ".tmp";
-        {
-            std::ofstream o(tmp, std::ios::binary);
-            if (!o) throw std::runtime_error("cannot write " + tmp);
-            long long header[9] = {SHARD_MAGIC, digest, world, rank,
-                                   (long long) n, n_local,
-                                   totals[0], totals[1], totals[2]};
-            o.write((const char *) header, sizeof(header));
-            if (!lens.empty())
-                o.write((const char *) lens.data(),
-                        (std::streamsize) (lens.size() * sizeof(long long)));
+        if (direct_prefix && direct_prefix[0]) {
+            // rank 0 owns the HEAD of every stream (contiguous ranges):
+            // flush its parts straight into the output files — no shard
+            // file, no self-read at merge time.  Non-owned parts are
+            // empty strings, so the ordinary three-way flush applies.
+            aln::flush_three(std::string(direct_prefix), parts_out,
+                             parts_alt, parts_max,
+                             nthreads <= 1 ? 1 : 3);
+            prof("direct_flush");
+        } else {
+            // publish the shard file (write to .tmp, atomic rename)
+            long long totals[3] = {0, 0, 0};
             for (int s = 0; s < 3; s++)
-                for (long long g = rank; g < (long long) n; g += world) {
-                    const std::string &p = (*streams[s])[(size_t) g];
-                    if (!p.empty())
-                        o.write(p.data(), (std::streamsize) p.size());
+                for (long long g = ds.shard_lo; g < ds.shard_hi; g++)
+                    totals[s] += (long long) (*streams[s])[(size_t) g].size();
+            std::string tmp = std::string(shard_path) + ".tmp";
+            {
+                int fd = ::open(tmp.c_str(),
+                                O_WRONLY | O_CREAT | O_TRUNC, 0644);
+                if (fd < 0) throw std::runtime_error("cannot write " + tmp);
+                try {
+                    long long header[10] = {SHARD_MAGIC, digest, world, rank,
+                                            n_token, ds.shard_lo,
+                                            ds.shard_hi, totals[0], totals[1],
+                                            totals[2]};
+                    ssize_t w = ::write(fd, header, sizeof(header));
+                    if (w != (ssize_t) sizeof(header))
+                        throw std::runtime_error("short write: " + tmp);
+                    for (int s = 0; s < 3; s++)
+                        aln::write_parts_fd(fd, *streams[s], ds.shard_lo,
+                                            ds.shard_hi);
+                } catch (...) {
+                    ::close(fd);
+                    throw;
                 }
-            if (!o) throw std::runtime_error("short write: " + tmp);
+                if (::close(fd) != 0)
+                    throw std::runtime_error("close failed: " + tmp);
+            }
+            if (std::rename(tmp.c_str(), shard_path) != 0)
+                throw std::runtime_error("cannot publish "
+                                         + std::string(shard_path));
+            prof("publish");
         }
-        if (std::rename(tmp.c_str(), shard_path) != 0)
-            throw std::runtime_error("cannot publish " + std::string(shard_path));
-        if (n_total_out) *n_total_out = (long long) n;
+        // teardown off the timed path (same rationale as run_stats2):
+        // rank 0 proceeds straight to appending landed shards
+        {
+            struct Garbage {
+                aln::Dataset ds;
+                std::vector<std::string> a, b, c;
+            };
+            auto *g = new Garbage{std::move(ds), std::move(parts_out),
+                                  std::move(parts_alt), std::move(parts_max)};
+            aln::async_teardown([g] { delete g; });
+        }
+        if (n_total_out) *n_total_out = n_token;
         if (n_local_out) *n_local_out = n_local;
         return 0;
     } catch (const std::exception &e) {
@@ -297,96 +350,67 @@ int aln_run_shard(const char *paf_path, const char *alt_path,
     }
 }
 
-int aln_merge_shards(const char *out_prefix, const char *shard_prefix,
-                     long long world, long long digest, int threads,
+int aln_append_shard(const char *out_prefix, const char *shard_path,
+                     long long world, long long rank, long long digest,
+                     long long n_expected, int threads,
                      char *err, int errlen) {
-    // ordered interleave of the per-contig text slices from every
-    // rank's shard file into the three output PAFs.  Pure sequential
-    // IO per stream; the three streams flush concurrently.
+    // Append one landed shard's three stream blobs onto the (tmp-named)
+    // output files.  Ranges are contiguous and shards are appended in
+    // rank order, so this IS the merge — big sequential reads/writes,
+    // no per-contig slice bookkeeping; the three streams run
+    // concurrently.  Validates the header against the caller's job
+    // identity (digest/world/rank, and the contig count when known).
     try {
-        struct Shard {
-            std::string path;
-            long long n_total = 0, n_local = 0;
-            std::vector<long long> lens;        // 3 * n_local
-            long long stream_off[3] = {0, 0, 0};  // absolute file offsets
-        };
-        std::vector<Shard> shards((size_t) world);
-        for (long long r = 0; r < world; r++) {
-            Shard &sh = shards[(size_t) r];
-            sh.path = std::string(shard_prefix) + ".shard" + std::to_string(r)
-                      + ".bin";
-            std::ifstream in(sh.path, std::ios::binary);
-            if (!in) throw std::runtime_error("cannot open " + sh.path);
-            long long header[9];
-            in.read((char *) header, sizeof(header));
-            if (!in || header[0] != SHARD_MAGIC)
-                throw std::runtime_error("bad shard header: " + sh.path);
-            if (header[1] != digest || header[2] != world || header[3] != r)
-                throw std::runtime_error("shard meta mismatch: " + sh.path);
-            sh.n_total = header[4];
-            sh.n_local = header[5];
-            if (sh.n_total != shards[0].n_total)
-                throw std::runtime_error("shard contig-count mismatch");
-            sh.lens.resize((size_t) (3 * sh.n_local));
-            if (!sh.lens.empty())
-                in.read((char *) sh.lens.data(),
-                        (std::streamsize) (sh.lens.size() * sizeof(long long)));
-            if (!in) throw std::runtime_error("short shard header: " + sh.path);
-            long long data0 = (long long) sizeof(long long)
-                              * (9 + 3 * sh.n_local);
-            sh.stream_off[0] = data0;
-            sh.stream_off[1] = data0 + header[6];
-            sh.stream_off[2] = data0 + header[6] + header[7];
-        }
-        long long n = shards.empty() ? 0 : shards[0].n_total;
-        static const char *sfx[] = {".aln.paf", ".aln.alt.paf", ".aln.all.paf"};
+        std::ifstream in(shard_path, std::ios::binary);
+        if (!in)
+            throw std::runtime_error("cannot open "
+                                     + std::string(shard_path));
+        long long header[10];
+        in.read((char *) header, sizeof(header));
+        if (!in || header[0] != SHARD_MAGIC)
+            throw std::runtime_error("bad shard header: "
+                                     + std::string(shard_path));
+        if (header[1] != digest || header[2] != world || header[3] != rank)
+            throw std::runtime_error("shard meta mismatch: "
+                                     + std::string(shard_path));
+        if (n_expected >= 0 && header[4] != n_expected)
+            throw std::runtime_error("shard contig-count mismatch: "
+                                     + std::string(shard_path));
+        long long off[4];
+        off[0] = (long long) sizeof(header);
+        for (int s = 0; s < 3; s++) off[s + 1] = off[s] + header[7 + s];
+        static const char *sfx[] = {".aln.paf", ".aln.alt.paf",
+                                    ".aln.all.paf"};
         std::string fail[3];
-        auto merge_one = [&](int s) {
+        auto copy_one = [&](int s) {
             try {
+                std::ifstream i2(shard_path, std::ios::binary);
+                if (!i2) throw std::runtime_error("cannot open shard");
+                i2.seekg(off[s]);
                 std::string out_path = std::string(out_prefix) + sfx[s];
-                std::ofstream o(out_path, std::ios::binary);
-                if (!o) throw std::runtime_error("cannot write " + out_path);
-                std::vector<std::ifstream> ins;
-                std::vector<long long> cur((size_t) world), k((size_t) world);
-                for (long long r = 0; r < world; r++) {
-                    ins.emplace_back(shards[(size_t) r].path, std::ios::binary);
-                    if (!ins.back())
-                        throw std::runtime_error("cannot open "
-                                                 + shards[(size_t) r].path);
-                    cur[(size_t) r] = shards[(size_t) r].stream_off[s];
+                std::ofstream o(out_path, std::ios::binary | std::ios::app);
+                if (!o) throw std::runtime_error("cannot append "
+                                                 + out_path);
+                std::vector<char> buf(4 << 20);
+                long long left = header[7 + s];
+                while (left > 0) {
+                    long long take = std::min(left, (long long) buf.size());
+                    i2.read(buf.data(), (std::streamsize) take);
+                    if (!i2) throw std::runtime_error(
+                        "short shard read: " + std::string(shard_path));
+                    o.write(buf.data(), (std::streamsize) take);
+                    left -= take;
                 }
-                std::vector<char> buf(1 << 20);
-                for (long long g = 0; g < n; g++) {
-                    size_t r = (size_t) (g % world);
-                    Shard &sh = shards[r];
-                    long long L = sh.lens[(size_t) (s * sh.n_local + k[r])];
-                    k[r]++;
-                    if (L) {
-                        ins[r].seekg(cur[r]);
-                        long long left = L;
-                        while (left > 0) {
-                            long long take = std::min(
-                                left, (long long) buf.size());
-                            ins[r].read(buf.data(), (std::streamsize) take);
-                            if (!ins[r])
-                                throw std::runtime_error("short shard read: "
-                                                         + sh.path);
-                            o.write(buf.data(), (std::streamsize) take);
-                            left -= take;
-                        }
-                        cur[r] += L;
-                    }
-                }
-                if (!o) throw std::runtime_error("short write");
+                if (!o) throw std::runtime_error("short write: " + out_path);
             } catch (const std::exception &e) {
                 fail[s] = e.what();
             }
         };
         if (threads == 1) {
-            for (int s = 0; s < 3; s++) merge_one(s);
+            for (int s = 0; s < 3; s++) copy_one(s);
         } else {
             std::vector<std::thread> pool;
-            for (int s = 0; s < 3; s++) pool.emplace_back(merge_one, s);
+            for (int s = 0; s < 3; s++) pool.emplace_back(copy_one, s);
             for (auto &t : pool) t.join();
         }
         for (int s = 0; s < 3; s++)

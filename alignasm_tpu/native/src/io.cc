@@ -2,11 +2,17 @@
 
 #include <atomic>
 #include <charconv>
+#include <cstring>
 #include <mutex>
 #include <thread>
 #include <cstdio>
 #include <fstream>
 #include <stdexcept>
+
+#include <fcntl.h>
+#include <sys/mman.h>
+#include <sys/stat.h>
+#include <unistd.h>
 
 #include "cs.h"
 
@@ -244,6 +250,27 @@ Dataset read_paf(const std::string &path, int threads, GroupSink *sink,
         if (it != ds.paf_map.end()) it->second = (i32) g;
         else ds.paf_map.emplace(std::string(name), (i32) g);
     }
+    // contiguous record-balanced shard ranges: rank r owns the groups
+    // whose cumulative line count spans (r/world, (r+1)/world] of the
+    // file — deterministic on every rank from the shared index scan.
+    // Contiguity (vs the old g % world round-robin) makes the merge a
+    // pure blob concatenation and lets rank 0 stream its own slice
+    // straight into the output files.
+    ds.shard_lo = 0;
+    ds.shard_hi = (i64) n_groups;
+    if (world > 1) {
+        i64 total = (i64) n_lines, cum = 0;
+        size_t g = 0;
+        for (i64 r = 0; r <= rank; r++) {
+            if (r == rank) ds.shard_lo = (i64) g;
+            i64 target = total * (r + 1) / world;
+            while (g < n_groups && cum < target) {
+                cum += (i64) (starts[g + 1] - starts[g]);
+                g++;
+            }
+            if (r == rank) ds.shard_hi = (i64) g;
+        }
+    }
     if (sink) {
         if (sink->start) sink->start(ds, n_groups);
         sink->scan_s = std::chrono::duration<double>(
@@ -254,7 +281,8 @@ Dataset read_paf(const std::string &path, int threads, GroupSink *sink,
     // tags are identical to a full parse)
     auto parse_group = [&](size_t g, std::vector<std::string_view> &f,
                            RunArena &arena) {
-        if (world > 1 && (i64) (g % (size_t) world) != rank) return;
+        if (world > 1 && ((i64) g < ds.shard_lo || (i64) g >= ds.shard_hi))
+            return;
         auto &ctg = ds.contigs[g];
         size_t lo = starts[g], hi = starts[g + 1];
         ctg.resize(hi - lo);
@@ -305,6 +333,301 @@ Dataset read_paf(const std::string &path, int threads, GroupSink *sink,
     return ds;
 }
 
+Mapped::~Mapped() {
+    if (p) munmap((void *) p, n);
+}
+
+namespace {
+
+// zero-copy input for the sharded parse: mmap shares page-cache pages
+// across ranks instead of each rank read()-copying the whole file
+std::string_view map_file(const std::string &path, Dataset &ds) {
+    int fd = ::open(path.c_str(), O_RDONLY);
+    if (fd >= 0) {
+        struct stat st;
+        if (fstat(fd, &st) == 0 && st.st_size > 0) {
+            void *p = mmap(nullptr, (size_t) st.st_size, PROT_READ,
+                           MAP_SHARED, fd, 0);
+            ::close(fd);
+            if (p != MAP_FAILED) {
+                auto m = std::make_unique<Mapped>();
+                m->p = (const char *) p;
+                m->n = (size_t) st.st_size;
+                ds.mapped = std::move(m);
+                return {ds.mapped->p, ds.mapped->n};
+            }
+        } else {
+            ::close(fd);
+        }
+    }
+    ds.buffer = slurp(path);  // fallback
+    return ds.buffer;
+}
+
+// non-empty logical lines in buf[lo, hi) — the unit cord_row counts
+// (pass0 skips empty lines; a lone "\r" is empty after stripping)
+i64 count_nonempty_lines(std::string_view buf, size_t lo, size_t hi) {
+    i64 cnt = 0;
+    size_t start = lo;
+    while (start < hi) {
+        const char *nl = (const char *) memchr(buf.data() + start, '\n',
+                                               hi - start);
+        size_t end = nl ? (size_t) (nl - buf.data()) : hi;
+        size_t len = end - start;
+        if (len > 1 || (len == 1 && buf[start] != '\r')) cnt++;
+        start = end + 1;
+    }
+    return cnt;
+}
+
+std::string_view line_at(std::string_view buf, size_t s) {
+    size_t e = buf.find('\n', s);
+    if (e == std::string_view::npos) e = buf.size();
+    std::string_view ln = buf.substr(s, e - s);
+    if (!ln.empty() && ln.back() == '\r') ln.remove_suffix(1);
+    return ln;
+}
+
+std::string_view qry_of(std::string_view line) {
+    size_t t = line.find('\t');
+    return t == std::string_view::npos ? line : line.substr(0, t);
+}
+
+// first contig-group start at/after byte cutoff — a group start is a
+// non-empty line whose query name differs from the previous non-empty
+// line's.  Derived from local bytes only, and identically by every
+// rank that evaluates the same cutoff.
+size_t group_start_at_or_after(std::string_view buf, size_t cutoff) {
+    size_t S = buf.size();
+    if (cutoff == 0) return 0;
+    if (cutoff >= S) return S;
+    // first line start >= cutoff
+    size_t s = buf.find('\n', cutoff - 1);
+    if (s == std::string_view::npos) return S;
+    s++;
+    auto next_nonempty = [&](size_t p) {
+        while (p < S && line_at(buf, p).empty()) {
+            size_t e = buf.find('\n', p);
+            if (e == std::string_view::npos) return S;
+            p = e + 1;
+        }
+        return p;
+    };
+    s = next_nonempty(s);
+    if (s >= S) return S;
+    // previous non-empty line before s
+    size_t t = s;
+    std::string_view prev_name;
+    bool have_prev = false;
+    while (t > 0) {
+        size_t ls = buf.rfind('\n', t - 2);
+        ls = ls == std::string_view::npos ? 0 : ls + 1;
+        std::string_view ln = line_at(buf, ls);
+        if (!ln.empty()) {
+            prev_name = qry_of(ln);
+            have_prev = true;
+            break;
+        }
+        if (ls == 0) break;
+        t = ls;
+    }
+    if (!have_prev) return s;  // s is the file's first non-empty line
+    while (s < S) {
+        std::string_view ln = line_at(buf, s);
+        std::string_view name = qry_of(ln);
+        if (name != prev_name) return s;
+        prev_name = name;
+        size_t e = buf.find('\n', s);
+        if (e == std::string_view::npos) return S;
+        s = next_nonempty(e + 1);
+    }
+    return S;
+}
+
+}  // namespace
+
+Dataset read_paf_range(const std::string &path, int threads,
+                       GroupSink *sink, i64 rank, i64 world,
+                       i64 *n_lines_out) {
+    auto scan_t0 = std::chrono::steady_clock::now();
+    Dataset ds;
+    std::string_view buf = map_file(path, ds);
+    size_t S = buf.size();
+    if (S == 0) throw std::runtime_error("empty PAF input");
+    size_t lo = rank == 0
+        ? 0 : group_start_at_or_after(buf, (size_t) ((__int128) S * rank
+                                                     / world));
+    size_t hi = rank == world - 1
+        ? S : group_start_at_or_after(buf, (size_t) ((__int128) S
+                                                     * (rank + 1) / world));
+    // global provenance + the cross-rank consistency token
+    i64 row0 = count_nonempty_lines(buf, 0, lo);
+    i64 tail = count_nonempty_lines(buf, hi, S);
+    int nt = std::max(1, threads);
+
+    // field-scan ONLY [lo, hi): line spans + qry-name + ref-chr views
+    struct Scanned {
+        std::vector<std::string_view> lines, qrys, chrs;
+        std::string fail;
+    };
+    size_t n_chunks = (size_t) nt;
+    if (hi - lo < (size_t) (64 << 10)) n_chunks = 1;
+    std::vector<Scanned> chunks(n_chunks);
+    {
+        std::vector<size_t> bounds(n_chunks + 1, hi);
+        bounds[0] = lo;
+        for (size_t c = 1; c < n_chunks; c++) {
+            size_t pos = lo + (hi - lo) / n_chunks * c;
+            pos = buf.find('\n', pos);
+            bounds[c] = (pos == std::string_view::npos || pos >= hi)
+                ? hi : pos + 1;
+        }
+        auto scan_chunk = [&](size_t c) {
+            Scanned &sc = chunks[c];
+            size_t approx = (bounds[c + 1] - bounds[c]) / 64 + 16;
+            sc.lines.reserve(approx);
+            sc.qrys.reserve(approx);
+            sc.chrs.reserve(approx);
+            size_t start = bounds[c];
+            while (start < bounds[c + 1]) {
+                size_t pos = buf.find('\n', start);
+                if (pos == std::string_view::npos) pos = buf.size();
+                std::string_view line = buf.substr(start, pos - start);
+                start = pos + 1;
+                if (!line.empty() && line.back() == '\r')
+                    line.remove_suffix(1);
+                if (line.empty()) continue;
+                size_t q_end = line.find('\t');
+                if (q_end == std::string_view::npos) {
+                    sc.fail = "short PAF row";
+                    return;
+                }
+                size_t fpos = q_end + 1;
+                for (int k = 0; k < 4; k++) {
+                    fpos = line.find('\t', fpos);
+                    if (fpos == std::string_view::npos) {
+                        sc.fail = "short PAF row";
+                        return;
+                    }
+                    fpos++;
+                }
+                size_t fend = line.find('\t', fpos);
+                sc.lines.push_back(line);
+                sc.qrys.push_back(line.substr(0, q_end));
+                sc.chrs.push_back(line.substr(fpos, fend - fpos));
+            }
+        };
+        if (n_chunks == 1) {
+            scan_chunk(0);
+        } else {
+            std::vector<std::thread> pool;
+            for (size_t c = 0; c < n_chunks; c++)
+                pool.emplace_back(scan_chunk, c);
+            for (auto &th : pool) th.join();
+        }
+        for (auto &sc : chunks)
+            if (!sc.fail.empty()) throw std::runtime_error(sc.fail);
+    }
+    size_t n_lines = 0;
+    for (auto &sc : chunks) n_lines += sc.lines.size();
+    if (n_lines_out) *n_lines_out = row0 + (i64) n_lines + tail;
+    std::vector<std::string_view> lines, qry_names;
+    lines.reserve(n_lines);
+    qry_names.reserve(n_lines);
+    for (auto &sc : chunks) {
+        lines.insert(lines.end(), sc.lines.begin(), sc.lines.end());
+        qry_names.insert(qry_names.end(), sc.qrys.begin(), sc.qrys.end());
+    }
+    // LOCAL chromosome interning (first appearance within the range —
+    // byte-safe: ids are equality-compared and resolved to names only)
+    {
+        std::string_view last_chr;
+        for (auto &sc : chunks) {
+            for (std::string_view name : sc.chrs) {
+                if (name != last_chr) {
+                    last_chr = name;
+                    if (!ds.chr_ids.count(name)) {
+                        ds.chr_ids.emplace(std::string(name),
+                                           (i32) ds.chr_names.size());
+                        ds.chr_names.emplace_back(name);
+                    }
+                }
+            }
+        }
+    }
+    // local group boundaries + the local-index dataset contract
+    std::vector<size_t> starts;
+    starts.push_back(0);
+    for (size_t i = 1; i < n_lines; i++)
+        if (qry_names[i] != qry_names[i - 1]) starts.push_back(i);
+    if (n_lines == 0) starts.clear();
+    starts.push_back(n_lines);
+    size_t n_groups = starts.empty() ? 0 : starts.size() - 1;
+    ds.contigs.resize(n_groups);
+    ds.ctg_names.resize(n_groups);
+    for (size_t g = 0; g < n_groups; g++) {
+        std::string_view name = qry_names[starts[g]];
+        ds.ctg_names[g] = std::string(name);
+        auto it = ds.paf_map.find(name);
+        if (it != ds.paf_map.end()) it->second = (i32) g;
+        else ds.paf_map.emplace(std::string(name), (i32) g);
+    }
+    ds.shard_lo = 0;
+    ds.shard_hi = (i64) n_groups;
+    if (sink) {
+        if (sink->start) sink->start(ds, n_groups);
+        sink->scan_s = std::chrono::duration<double>(
+            std::chrono::steady_clock::now() - scan_t0).count();
+    }
+    auto parse_group = [&](size_t g, std::vector<std::string_view> &f,
+                           RunArena &arena) {
+        auto &ctg = ds.contigs[g];
+        size_t glo = starts[g], ghi = starts[g + 1];
+        ctg.resize(ghi - glo);
+        for (size_t i = glo; i < ghi; i++) {
+            split_fields(lines[i], f);
+            Record &r = ctg[i - glo];
+            r = parse_record(f, ds, arena);
+            r.cord_type = 0;
+            r.cord_row = (i32) (row0 + (i64) i);  // GLOBAL provenance
+            r.ctg_index = (i32) (i - glo);
+        }
+        if (sink && sink->group) sink->group(ds, g);
+    };
+    size_t arena_base = ds.run_arenas.size();
+    int n_arenas = (nt == 1 || n_lines < 256) ? 1 : nt;
+    for (int t = 0; t < n_arenas; t++)
+        ds.run_arenas.emplace_back(std::make_unique<RunArena>());
+    if (nt == 1 || n_lines < 256) {
+        std::vector<std::string_view> f;
+        for (size_t g = 0; g < n_groups; g++)
+            parse_group(g, f, *ds.run_arenas[arena_base]);
+    } else {
+        std::atomic<size_t> next_g{0};
+        std::vector<std::string> fails(nt);
+        std::vector<std::thread> pool;
+        for (int t = 0; t < nt; t++) {
+            pool.emplace_back([&, t] {
+                std::vector<std::string_view> f;
+                RunArena &arena = *ds.run_arenas[arena_base + t];
+                try {
+                    while (true) {
+                        size_t g = next_g.fetch_add(1);
+                        if (g >= n_groups) break;
+                        parse_group(g, f, arena);
+                    }
+                } catch (const std::exception &e) {
+                    fails[t] = e.what();
+                }
+            });
+        }
+        for (auto &th : pool) th.join();
+        for (auto &msg : fails)
+            if (!msg.empty()) throw std::runtime_error(msg);
+    }
+    return ds;
+}
+
 void merge_alt(Dataset &ds, const std::string &alt_path, double alt_baseline,
                i64 rank, i64 world) {
     ds.alt_buffer = slurp(alt_path);
@@ -351,7 +674,8 @@ void merge_alt(Dataset &ds, const std::string &alt_path, double alt_baseline,
         // the global alt row counter, so local contigs see byte-
         // identical merges)
         i64 tgt = (i64) ds.paf_map.at(real);
-        bool local = world <= 1 || tgt % world == rank;
+        bool local = world <= 1
+                     || (tgt >= ds.shard_lo && tgt < ds.shard_hi);
         i32 this_row = row++;
 
         if (!tar_init || tar_off != off || tar_name != real) {
@@ -436,13 +760,52 @@ void flush_file(const std::string &path, const std::string &content) {
 // materialize the total
 void flush_parts(const std::string &path,
                  const std::vector<std::string> &parts) {
-    std::ofstream o(path, std::ios::binary);
-    if (!o) throw std::runtime_error("cannot write " + path);
-    for (const auto &p : parts)
-        if (!p.empty()) o.write(p.data(), (std::streamsize) p.size());
+    int fd = ::open(path.c_str(), O_WRONLY | O_CREAT | O_TRUNC, 0644);
+    if (fd < 0) throw std::runtime_error("cannot write " + path);
+    try {
+        write_parts_fd(fd, parts, 0, (i64) parts.size());
+    } catch (...) {
+        ::close(fd);
+        throw;
+    }
+    if (::close(fd) != 0) throw std::runtime_error("close failed: " + path);
 }
 
 }  // namespace
+
+void write_parts_fd(int fd, const std::vector<std::string> &parts,
+                    i64 lo, i64 hi) {
+    // staging buffer: 10^5 tiny ofstream writes cost ~40-80 ms at 50k
+    // contigs; batching into 4 MB write() calls is memcpy-bound
+    static thread_local std::vector<char> buf;
+    buf.resize(4 << 20);
+    size_t fill = 0;
+    auto flush_raw = [&](const char *p, size_t n) {
+        while (n > 0) {
+            ssize_t w = ::write(fd, p, n);
+            if (w <= 0) throw std::runtime_error("short write");
+            p += (size_t) w;
+            n -= (size_t) w;
+        }
+    };
+    auto flush = [&] {
+        if (fill) flush_raw(buf.data(), fill);
+        fill = 0;
+    };
+    for (i64 g = lo; g < hi; g++) {
+        const std::string &p = parts[(size_t) g];
+        if (p.empty()) continue;
+        if (p.size() >= buf.size()) {
+            flush();
+            flush_raw(p.data(), p.size());
+            continue;
+        }
+        if (fill + p.size() > buf.size()) flush();
+        memcpy(buf.data() + fill, p.data(), p.size());
+        fill += p.size();
+    }
+    flush();
+}
 
 void format_rows_one(std::string &out, const Dataset &ds, size_t i,
                      const std::vector<OutRow> &rows) {

@@ -30,8 +30,20 @@ struct SvEq {
 template <typename V>
 using StrMap = std::unordered_map<std::string, V, SvHash, SvEq>;
 
+// read-only file mapping (zero-copy input buffer for the sharded
+// parse; pages are shared across ranks through the page cache)
+struct Mapped {
+    const char *p = nullptr;
+    size_t n = 0;
+    Mapped() = default;
+    Mapped(const Mapped &) = delete;
+    Mapped &operator=(const Mapped &) = delete;
+    ~Mapped();
+};
+
 struct Dataset {
     std::string buffer;       // whole main PAF file (records view into it)
+    std::unique_ptr<Mapped> mapped;  // range-mode input (views point here)
     std::string alt_buffer;   // whole alt PAF file
     std::vector<std::vector<Record>> contigs;
     std::vector<std::string> ctg_names;
@@ -42,6 +54,12 @@ struct Dataset {
     // per parse worker + one for the alt merge); block addresses are
     // stable, so moving the Dataset keeps every span valid
     std::vector<std::unique_ptr<RunArena>> run_arenas;
+    // this rank's contig-group range under a sharded parse: groups
+    // [shard_lo, shard_hi) are owned (CONTIGUOUS, record-balanced —
+    // contiguity makes the multihost merge a pure blob concatenation
+    // and lets rank 0 write its own slice straight into the outputs);
+    // world == 1 owns everything
+    i64 shard_lo = 0, shard_hi = 0;
 };
 
 // Optional fused-pipeline hook for read_paf: when given, `start` runs
@@ -61,12 +79,30 @@ struct GroupSink {
 // rank/world shard the PARSE by contig group: the cheap line/name index
 // scan still covers the whole file (group boundaries and global row
 // provenance need it), but the expensive per-record field parse + cs
-// scan runs only for groups with g % world == rank — the others stay
-// empty vectors (ctg_names/paf_map are still global, so indices and
-// alt-merge targeting are identical to a full parse).  world == 1 is
-// the ordinary full parse.
+// scan runs only for owned groups — a CONTIGUOUS record-balanced range
+// [ds.shard_lo, ds.shard_hi), identical on every rank — the others
+// stay empty vectors (ctg_names/paf_map are still global, so indices
+// and alt-merge targeting are identical to a full parse).  world == 1
+// is the ordinary full parse.
 Dataset read_paf(const std::string &path, int threads = 1,
                  GroupSink *sink = nullptr, i64 rank = 0, i64 world = 1);
+
+// BYTE-RANGE sharded parse (the fused multihost fast path): rank r
+// field-scans ONLY its ~1/world byte slice — slice bounds are the
+// first contig-group start at/after byte r*S/world, derived locally
+// and identically by adjacent ranks — and memchr-counts the prefix
+// lines so cord_row provenance stays GLOBAL.  The returned Dataset
+// holds only the rank's groups (contigs/ctg_names/paf_map are LOCAL;
+// shard_lo/hi = [0, n_local)); chromosome interning is local, which
+// is byte-safe because ref_chr ids are only ever compared for
+// equality and resolved back to names (solver.cc:37,41, io.cc
+// writer).  n_lines_out receives the GLOBAL non-empty line count
+// (the cross-rank consistency token).  Unlike read_paf, this path
+// cannot serve an alt merge (alt targeting needs the global
+// last-wins name map) — aln_run_shard falls back to read_paf there.
+Dataset read_paf_range(const std::string &path, int threads,
+                       GroupSink *sink, i64 rank, i64 world,
+                       i64 *n_lines_out);
 void merge_alt(Dataset &ds, const std::string &alt_path, double alt_baseline,
                i64 rank = 0, i64 world = 1);
 
@@ -88,6 +124,10 @@ void format_max_rows_one(std::string &out, const Dataset &ds, size_t i,
                          const std::vector<std::vector<OutRow>> &groups);
 void flush_parts_file(const std::string &path,
                       const std::vector<std::string> &parts);
+// append parts[lo, hi) onto an open fd through a 4 MB staging buffer
+// (batches 10^5 tiny part writes into memcpy-bound write() calls)
+void write_parts_fd(int fd, const std::vector<std::string> &parts,
+                    i64 lo, i64 hi);
 
 // flush the three output PAFs (<prefix>.aln[.alt|.all].paf) from
 // per-contig parts, concurrently unless threads == 1; throws on the

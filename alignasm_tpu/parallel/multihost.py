@@ -5,17 +5,20 @@ batches are data-parallel across hosts: each process runs the NATIVE
 C++ shard engine (native.run_shard) — a contig-group-SHARDED parse
 (the cheap line/name index scan covers the whole file, but the
 expensive record parse + cs scan + solve + output formatting run only
-for the groups with g % world == rank) — and publishes its contigs'
-PRE-FORMATTED output text as one binary shard file (atomic rename,
-shared filesystem — standard for pod workloads).  Rank 0 merges by
-interleaving the per-contig text slices straight into the three output
-PAFs in C++.  No Python objects, no duplicated record parse, and no
-rank-0 re-formatting — the round-2 multihost efficiency collapse
-(every rank re-parsing the full input, rank 0 formatting every row)
-is gone by construction.  Device-side collectives are not needed for
-the merge — contigs share nothing — so scaling is embarrassingly
-parallel and efficiency is bounded by the shared index scan + merge
-IO, which are memchr/memcpy-bound.
+for the rank's owned groups, a CONTIGUOUS record-balanced range every
+rank derives identically from the index scan).  Contiguity makes the
+merge pure blob concatenation: rank 0 streams its own slice — the
+head of every output stream — straight into tmp-named outputs with no
+shard file at all, ranks > 0 publish PRE-FORMATTED text shards
+(atomic rename, shared filesystem — standard for pod workloads), and
+rank 0 APPENDS each shard's blobs the moment it lands (the merge
+overlaps the barrier), finally renaming the three outputs into place.
+No Python objects, no duplicated record parse, no rank-0
+re-formatting, no per-contig interleave seeks — the round-2/3
+efficiency limiters are gone by construction.  Device-side
+collectives are not needed for the merge — contigs share nothing —
+so scaling is embarrassingly parallel and efficiency is bounded by
+the shared index scan, which is memchr-bound.
 
 Run on each host:
 
@@ -84,7 +87,7 @@ def run_multihost(
         with different flags, or against an edited same-size input,
         rejects stale partials instead of silently mixing configs."""
         h = hashlib.sha256()
-        h.update(f"v3:{world}:{alt_baseline!r}:{non_skip_linkable}:"
+        h.update(f"v4:{world}:{alt_baseline!r}:{non_skip_linkable}:"
                  f"{upgrade_mode}:".encode())
 
         def _file_id(path):
@@ -106,8 +109,13 @@ def run_multihost(
     alt = alt_path if alt_path and os.path.getsize(alt_path) else None
 
     # per-rank native shard engine: contig-group-sharded parse + solve
-    # + format fused in C++, published as pre-formatted text (atomic
-    # rename, so existence == internal completeness)
+    # + format fused in C++ over a CONTIGUOUS record-balanced group
+    # range.  Ranks > 0 publish pre-formatted text shards (atomic
+    # rename, so existence == internal completeness); rank 0 streams
+    # its slice — the head of every output stream — straight into
+    # tmp-named outputs, then APPENDS each later rank's blobs as its
+    # shard lands (merge overlapped with the barrier; pure sequential
+    # blob concatenation), and atomically renames the three outputs.
     cfg = None
     if upgrade_mode != "alt_path":
         import dataclasses
@@ -115,24 +123,28 @@ def run_multihost(
         from alignasm_tpu.config import DEFAULT_CONFIG
 
         cfg = dataclasses.replace(DEFAULT_CONFIG, upgrade_mode=upgrade_mode)
+    merging = f"{stem}.merging" if rank == 0 else None
     info = native.run_shard(
-        paf_path, f"{stem}.shard{rank}.bin", rank, world, digest=digest,
+        paf_path, None if rank == 0 else f"{stem}.shard{rank}.bin",
+        rank, world, digest=digest,
         alt_path=alt, alt_baseline=alt_baseline,
         non_skip_linkable=non_skip_linkable, threads=threads, config=cfg,
+        direct_prefix=merging,
     )
     n = info["n_total"]
 
     if rank == 0:
-        # file-based barrier: shards publish via atomic rename; the
-        # header check rejects stale shards from a different input /
-        # world size and keeps polling until a matching one appears
+        # file-based barrier, overlapped with the merge: shards publish
+        # via atomic rename; the header check rejects stale shards from
+        # a different input / world size; each shard appends the moment
+        # it lands (rank order = output order under contiguous ranges)
         import time
 
         timeout_s = float(os.environ.get("ALIGNASM_MERGE_TIMEOUT_S",
                                          "86400"))
         deadline = time.monotonic() + timeout_s
         last_note = 0.0
-        for r in range(world):
+        for r in range(1, world):
             path_r = f"{stem}.shard{r}.bin"
             seen_stat = None
             while True:
@@ -144,9 +156,9 @@ def run_multihost(
                 if cur is not None and cur != seen_stat:
                     seen_stat = cur
                     with open(path_r, "rb") as fh:
-                        raw = fh.read(72)
-                    hdr = struct.unpack("<9q", raw) if len(raw) == 72 else ()
-                    if (len(hdr) == 9 and hdr[0] == 0x414C4E534844
+                        raw = fh.read(80)
+                    hdr = struct.unpack("<10q", raw) if len(raw) == 80 else ()
+                    if (len(hdr) == 10 and hdr[0] == 0x414C4E53484432
                             and hdr[1] == digest and hdr[2] == world
                             and hdr[3] == r and hdr[4] == n):
                         break
@@ -160,11 +172,12 @@ def run_multihost(
                     last_note = now
                     print(f"waiting for rank {r} shard...",
                           file=sys.stderr)
-                time.sleep(0.05)
-        native.merge_shards(stem, stem, world, digest=digest,
-                            threads=threads)
-        for r in range(world):
-            os.unlink(f"{stem}.shard{r}.bin")
+                time.sleep(0.02)
+            native.append_shard(merging, path_r, world, r, digest=digest,
+                                n_expected=n, threads=threads)
+            os.unlink(path_r)
+        for sfx in (".aln.paf", ".aln.alt.paf", ".aln.all.paf"):
+            os.replace(merging + sfx, stem + sfx)
 
 
 def main() -> None:

@@ -410,3 +410,31 @@ def test_drain_teardowns_joins_background_frees(tmp_path):
     e.close()
     native.drain_teardowns()   # joins both pending teardowns
     native.drain_teardowns()   # idempotent on empty registry
+
+
+def test_multihost_range_sharding_byte_identity(tmp_path, oracle_bin):
+    """The byte-range sharded parse (contiguous record-balanced ranges,
+    local chr interning, global cord_row via prefix line counts) must
+    be byte-identical to the oracle at several world sizes — including
+    worlds larger than the contig count would balance evenly.  Ranks
+    run in-process, rank 0 last (it appends shards as they land)."""
+    import pathlib
+
+    from alignasm_tpu.testing.synth import generate_hard_paf
+    from tests.conftest import run_oracle
+
+    p = tmp_path / "w.paf"
+    p.write_text(generate_hard_paf(n_contigs=23, seed=17))
+    oracle_outs = run_oracle(oracle_bin, p, tmp_path)
+    gold = [o.read_bytes() for o in oracle_outs]
+
+    for world in (2, 3, 5):
+        mh = tmp_path / f"mh{world}.paf"
+        mh.write_bytes(p.read_bytes())
+        for rank in range(world - 1, -1, -1):  # rank 0 last
+            run_multihost(str(mh), num_processes=world, process_id=rank,
+                          threads=2)
+        for g, suffix in zip(gold, ("", ".alt", ".all")):
+            got = pathlib.Path(str(mh)[:-4] + f".aln{suffix}.paf")
+            assert g == got.read_bytes(), f"world={world} aln{suffix}"
+        assert not list(tmp_path.glob(f"mh{world}.shard*.bin"))
