@@ -61,18 +61,18 @@ class AlignasmConfig:
     device_max_v: int = 8192
     # Contigs with at least this many records route to the edge-sharded
     # graph-axis solve (parallel/mesh.py:solve_contig_sharded_native)
-    # when a multi-device mesh is available.  This axis exists for
-    # MEMORY scale-out (the reference demands a >512 GB host for
-    # karyotype inputs, README.md:25); it is not a speed path: the
-    # per-sweep collectives run n_sweeps ~ n rounds on chain-shaped
-    # contigs (measured: a 20.8k-record contig sweeps in ~165 s on an
-    # 8-device virtual mesh vs 13 ms for the native sparse-table solve
-    # — BENCH_RESULTS.md "Graph axis").  Since the sparse tables already
-    # hold a 20.8k-record contig in 68 MB (~3.4 GB extrapolated at 1M
-    # records), host RAM only becomes the binding constraint at inputs
-    # far beyond any real assembly — hence the opt-in default.  Tests
-    # and memory-bound deployments lower it explicitly.
-    graph_shard_min_records: int = 1_000_000
+    # when a multi-device mesh is available.  Round 4 DEMOTED this axis
+    # to a documented experiment (default: never): the configs[4]-scale
+    # input was run for real — a 1,000,996-record mega-contig solves on
+    # the native sparse plane in 4-9 s / 2.13 GB peak RSS (BENCH_RESULTS
+    # "BASELINE configs[4]"), so no input within orders of magnitude of
+    # a real assembly is memory-bound, and the mesh sweep is depth-bound
+    # (~n collective rounds: 165 s for a 20.8k-record contig vs 13 ms
+    # native).  The capability stays byte-validated and reachable by
+    # lowering this threshold explicitly (tests/test_device.py) — it is
+    # the template for a genuinely memory-bound future regime (per-chip
+    # working set O(E/devices)).
+    graph_shard_min_records: int = 2**62
 
 
 DEFAULT_CONFIG = AlignasmConfig()

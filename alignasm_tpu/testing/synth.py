@@ -451,6 +451,193 @@ def generate_boundary_paf(
     return "\n".join(lines) + "\n"
 
 
+def _gen_ops_realistic(rng: np.random.Generator, seg_len: int,
+                       sub_rate: float, indel_rate: float):
+    """cs ops for one minimap2-style alignment segment: match runs are
+    geometric around 1/(sub_rate+indel_rate) (real assembly-vs-reference
+    divergence), substitutions dominate, indel lengths are 1-bp-biased
+    geometric (homopolymer errors) with an occasional 20-200 bp tail
+    (real small SVs minimap2 keeps inside one alignment as long cs
+    indels).  Returns (ops, qry, ref, mat, aln)."""
+    ops = []
+    qry = ref = mat = aln = 0
+    event_rate = sub_rate + indel_rate
+    remaining = seg_len
+    while remaining > 0:
+        run = int(min(remaining, 1 + rng.geometric(min(0.999, event_rate))))
+        ops.append((":", ":" + str(run)))
+        qry += run
+        ref += run
+        mat += run
+        aln += run
+        remaining -= run
+        if remaining <= 0:
+            break
+        if rng.random() < sub_rate / event_rate:
+            a, b = rng.integers(0, 4, size=2)
+            b = (a + 1 + b % 3) % 4
+            ops.append(("*", "*" + _BASES[a] + _BASES[b]))
+            qry += 1
+            ref += 1
+            aln += 1
+            remaining -= 1
+        else:
+            if rng.random() < 0.03:  # small-SV tail kept in-alignment
+                n = int(rng.integers(20, 200))
+            else:  # homopolymer-style: 1-bp dominated geometric
+                n = int(min(12, rng.geometric(0.65)))
+            if rng.random() < 0.55:  # insertions slightly outnumber dels
+                ops.append(("+", "+" + _rand_seq(rng, n)))
+                qry += n
+                aln += n
+            else:
+                ops.append(("-", "-" + _rand_seq(rng, n)))
+                ref += n
+                aln += n
+    if ops[-1][0] != ":":
+        ops.append((":", ":5"))
+        qry += 5
+        ref += 5
+        mat += 5
+        aln += 5
+    return ops, qry, ref, mat, aln
+
+
+def generate_realistic_paf(
+    n_contigs: int = 30,
+    seed: int = 0,
+    mean_segment: int = 8_000,
+    sub_rate: float = 0.002,
+    indel_rate: float = 0.0006,
+    ref_chrs: list | None = None,
+) -> str:
+    """minimap2-faithful generator (round-3 verdict Next #7): stresses
+    the same decision boundaries a real assembly-vs-reference PAF
+    would, where ``generate_paf`` samples a *typical* but toy-scaled
+    distribution.
+
+    Modeled after real minimap2 asm5/asm10 output:
+
+    * a multi-chromosome genome with human-like relative lengths;
+    * alignment segments log-normal around ``mean_segment`` (real
+      contig alignments break at SVs every few kb-Mb) with LONG cs
+      strings — thousands of ops per record;
+    * per-base divergence: substitutions ~0.2%, indels ~0.06% with
+      1-bp-biased geometric lengths plus a 20-200 bp small-SV tail
+      (paf_data.cpp:90-123 walks every one of these);
+    * inter-segment SV spectrum with log-uniform sizes: deletions /
+      insertions (50 bp - 100 kb coordinate gaps on one side),
+      inversions (strand flip; alignasm.cpp:156-159 rev-strand swap),
+      tandem duplications (a competing overlapping record at a nearby
+      locus with near-identical identity — the cut-point machinery's
+      real workload), and rare translocations (chromosome switch, the
+      SV_TRANS_PENALTY path);
+    * minimap2's bimodal mapq: mass at 60, a repeat-mapping mass at 0
+      (always on duplications), thin middle.
+    """
+    rng = np.random.default_rng(seed)
+    if ref_chrs is None:
+        # human-like relative chromosome sizes (scaled down ~1000x)
+        rel = [248, 242, 198, 190, 182, 171, 159, 145, 138, 134,
+               135, 133, 114, 107, 102, 90, 83, 80, 59, 64, 47, 51, 156, 57]
+        ref_chrs = [(f"chr{i + 1}" if i < 22
+                     else ("chrX" if i == 22 else "chrY"),
+                     int(r * 1_000)) for i, r in enumerate(rel)]
+
+    def pick_mapq() -> int:
+        u = rng.random()
+        if u < 0.78:
+            return 60
+        if u < 0.90:
+            return 0
+        return int(rng.integers(1, 60))
+
+    lines: list[str] = []
+    for ci in range(n_contigs):
+        qry_name = f"rctg{ci:05d}"
+        n_seg = int(rng.integers(1, 14))
+        ref_i = int(rng.integers(0, len(ref_chrs)))
+        ref_name, ref_total = ref_chrs[ref_i]
+        qry_pos = int(rng.integers(0, 2_000))
+        ref_pos = int(rng.integers(0, max(1, ref_total - n_seg
+                                          * mean_segment * 2)))
+        fwd = True
+        recs: list[SynthRecord] = []
+        qry_total = 1  # fixed up after generation
+        for si in range(n_seg):
+            seg = int(np.clip(rng.lognormal(np.log(mean_segment), 0.7),
+                              200, 80_000))
+            ops, qlen, rlen, mat, aln = _gen_ops_realistic(
+                rng, seg, sub_rate, indel_rate)
+            texts = [t for _, t in ops]
+            if not fwd:
+                texts = texts[::-1]
+            ref_pos = min(ref_pos, max(0, ref_total - rlen - 1))
+            rec = SynthRecord(
+                qry_name=qry_name, qry_total=qry_total,
+                qry_str=qry_pos, qry_end=qry_pos + qlen, fwd=fwd,
+                ref_name=ref_name, ref_total=ref_total,
+                ref_str=ref_pos, ref_end=ref_pos + rlen,
+                mat_num=mat, aln_len=aln, mapq=pick_mapq(),
+                cs="cs:Z:" + "".join(texts),
+            )
+            recs.append(rec)
+
+            # tandem duplication: a competing overlapping record at a
+            # nearby locus with near-identical divergence, repeat mapq
+            if rng.random() < 0.18:
+                ov = int(rng.integers(50, max(51, qlen // 2)))
+                dup_start = qry_pos + qlen - ov
+                dlen = int(rng.integers(ov + 100, ov + seg // 2 + 200))
+                dops, dq, dr, dmat, daln = _gen_ops_realistic(
+                    rng, dlen, sub_rate, indel_rate)
+                dtexts = [t for _, t in dops]
+                dup_ref = rec.ref_str + int(
+                    rng.integers(100, min(50_000, max(200, rlen))))
+                dup_ref = min(dup_ref, max(0, ref_total - dr - 1))
+                recs.append(SynthRecord(
+                    qry_name=qry_name, qry_total=qry_total,
+                    qry_str=dup_start, qry_end=dup_start + dq, fwd=True,
+                    ref_name=ref_name, ref_total=ref_total,
+                    ref_str=dup_ref, ref_end=dup_ref + dr,
+                    mat_num=dmat, aln_len=daln, mapq=0,
+                    cs="cs:Z:" + "".join(dtexts),
+                ))
+                qry_pos = dup_start + dq + int(rng.integers(1, 200))
+                ref_pos = dup_ref + dr
+            else:
+                qry_pos += qlen
+                ref_pos += rlen
+
+            # inter-segment SV (log-uniform size spectrum)
+            sv = rng.random()
+            size = int(10 ** rng.uniform(np.log10(50), np.log10(100_000)))
+            if sv < 0.40:      # deletion: reference jumps ahead
+                ref_pos += size
+            elif sv < 0.65:    # insertion: query advances alone
+                qry_pos += size
+            elif sv < 0.85:    # inversion
+                fwd = not fwd
+                ref_pos += int(rng.integers(0, 500))
+            elif sv < 0.97:    # plain adjacency / micro-gap
+                qry_pos += int(rng.integers(1, 50))
+                ref_pos += int(rng.integers(0, 50))
+            else:              # translocation
+                ref_i = int(rng.integers(0, len(ref_chrs)))
+                ref_name, ref_total = ref_chrs[ref_i]
+                ref_pos = int(rng.integers(0, ref_total // 2))
+                fwd = True
+            ref_pos = max(0, min(ref_pos, ref_total - 1))
+
+        tail = max(r.qry_end for r in recs)
+        qry_total = tail + int(rng.integers(1, 5_000))
+        for r in recs:
+            r.qry_total = qry_total
+        lines.extend(r.to_line() for r in recs)
+
+    return "\n".join(lines) + "\n"
+
+
 def generate_alt_paf(main_paf: str, seed: int = 0, n_groups: int = 12) -> str:
     """Generate an alternative PAF for an existing main PAF.
 
@@ -522,29 +709,50 @@ def config_synth50() -> str:
     return generate_paf(n_contigs=50, seed=7)
 
 
+def _rename(part: str, prefix: str) -> list[str]:
+    out = []
+    for line in part.splitlines():
+        f = line.split("\t")
+        f[0] = prefix + f[0]
+        out.append("\t".join(f))
+    return out
+
+
 def config_ecoli() -> str:
-    """configs[1]: ~100 contigs against a single 4.6 Mb reference."""
-    return generate_paf(n_contigs=100, seed=101, max_records_per_contig=12,
-                        mean_segment=800)
+    """configs[1]: ~100 contigs against a single 4.6 Mb reference —
+    minimap2-faithful divergence/SV spectrum on one chromosome
+    (round-4 realism pass: generate_realistic_paf)."""
+    return generate_realistic_paf(
+        n_contigs=100, seed=101, mean_segment=3_000,
+        ref_chrs=[("U00096.3", 4_600_000)])
 
 
 def config_yeast() -> str:
-    """configs[2]: 16-chromosome genome, multi-reference path ambiguity
-    (duplicate/ambiguous segments drive alt-path output)."""
-    return generate_hard_paf(n_contigs=64, seed=202, mean_segment=500)
+    """configs[2]: 16-chromosome genome — realistic contigs (true yeast
+    chromosome proportions) blended with ambiguous/duplicate hard
+    contigs that drive the alt-path and .all tie outputs."""
+    sizes = [230, 813, 316, 1532, 577, 270, 1091, 562,
+             440, 746, 667, 1078, 924, 784, 1091, 948]  # kb, sacCer3
+    chrs = [(f"chr{i + 1:02d}", kb * 1_000) for i, kb in enumerate(sizes)]
+    real = generate_realistic_paf(n_contigs=40, seed=202,
+                                  mean_segment=4_000, ref_chrs=chrs)
+    hard = generate_hard_paf(n_contigs=24, seed=203, mean_segment=500)
+    return "\n".join(_rename(real, "y_") + _rename(hard, "yh_")) + "\n"
 
 
 def config_chr20() -> str:
-    """configs[3]: SV-rich single-chromosome cancer assembly — inversion/
-    translocation-heavy contigs with deep k-shortest alternatives."""
+    """configs[3]: SV-rich single-chromosome cancer assembly —
+    realistic long-segment contigs on one 64 Mb chromosome (heavy
+    inversion/duplication spectrum) plus hard contigs with deep
+    k-shortest alternatives."""
+    real = generate_realistic_paf(
+        n_contigs=60, seed=303, mean_segment=6_000,
+        ref_chrs=[("chr20", 64_000_000)])
     parts = [generate_hard_paf(n_contigs=40, seed=s, mean_segment=350)
-             for s in (303, 304, 305)]
-    out = []
+             for s in (304, 305)]
+    out = _rename(real, "c20_")
     for i, part in enumerate(parts):
-        for line in part.splitlines():
-            f = line.split("\t")
-            f[0] = f"c20_{i}_{f[0]}"
-            out.append("\t".join(f))
+        out += _rename(part, f"c20h{i}_")
     return "\n".join(out) + "\n"
 
 
