@@ -42,7 +42,7 @@ def build(force: bool = False) -> pathlib.Path:
             # process) either dlopens the complete old library or the
             # complete new one, never a half-written file
             tmp = _LIB.with_suffix(f".so.tmp.{os.getpid()}")
-            base = ["g++", "-std=c++20", "-O3", "-fPIC", "-shared",
+            base = ["g++", "-std=c++20", "-O3", "-g", "-fPIC", "-shared",
                     "-o", str(tmp)] + [str(_SRC / s) for s in _SOURCES] + ["-pthread"]
             # prefer host-tuned codegen; fall back for toolchains/platforms
             # where -march=native is unsupported

@@ -78,6 +78,7 @@ int aln_run_stats2(const char *paf_path, const char *alt_path, double alt_baseli
             if (failed.load(std::memory_order_relaxed)) return;
             try {
                 aln::ContigResult res = aln::solve_contig(dset.contigs[i], cfg);
+                aln::SolveProfScope ps(7);
                 aln::format_rows_one(parts_out[i], dset, i, res.out);
                 aln::format_rows_one(parts_alt[i], dset, i, res.alt);
                 aln::format_max_rows_one(parts_max[i], dset, i, res.max_out);
@@ -160,6 +161,12 @@ int aln_run_stats2(const char *paf_path, const char *alt_path, double alt_baseli
             stats->solve_s = secs(t0, t2) - read_secs;
             stats->write_s = secs(t2, t3);
             stats->contigs = (long long) n;
+        }
+        if (aln::solve_prof_on()) {
+            for (int k = 0; k < 8; k++)
+                fprintf(stderr, "solve_prof %s %.1f ms\n",
+                        aln::solve_prof_names[k],
+                        aln::solve_prof_ns[k].exchange(0) / 1e6);
         }
         return 0;
     } catch (const std::exception &e) {

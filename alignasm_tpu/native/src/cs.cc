@@ -17,7 +17,7 @@ CsOps parse_cs(std::string_view cs) {
     return ops;
 }
 
-void parse_cs_into(std::string_view cs, CsOps &ops) {
+void parse_cs_into(std::string_view cs, CsOps &ops, bool with_spans) {
     if (cs.substr(0, 5) != "cs:Z:")
         throw std::runtime_error("record lacks a short-form cs:Z tag");
     ops.op.clear();
@@ -49,8 +49,10 @@ void parse_cs_into(std::string_view cs, CsOps &ops) {
         }
         ops.op.push_back(t);
         ops.len.push_back(len);
-        ops.beg.push_back((i32) beg);
-        ops.end.push_back((i32) pos);
+        if (with_spans) {
+            ops.beg.push_back((i32) beg);
+            ops.end.push_back((i32) pos);
+        }
     }
 }
 
@@ -65,38 +67,80 @@ static void for_query_oriented(const CsOps &ops, bool fwd, F fn) {
 }
 
 void build_runs(Record &rec, RunArena &arena) {
-    // the parse scratch is reused across records per thread — the
-    // per-record CsOps allocations were a measurable share of the
-    // parallel parse pass; the runs themselves go into the caller's
-    // bump arena (one allocation per ~32k pairs instead of two heap
-    // vectors per record)
-    static thread_local CsOps ops;
-    parse_cs_into(rec.cs, ops);
-    i64 step = rec.fwd ? 1 : -1;
-    i64 ri = rec.ref_str, qi = rec.qry_str;
-    size_t n_match = 0;
-    for (char t : ops.op) n_match += t == ':';
+    std::string_view cs = rec.cs;
+    // ':' appears ONLY as a match-op introducer (lengths are digits,
+    // indel/sub payloads are bases), so the match-run count is one
+    // vectorized scan — the arena slab can be sized before the walk
+    if (cs.substr(0, 5) != "cs:Z:")
+        throw std::runtime_error("record lacks a short-form cs:Z tag");
+    size_t n_match = (size_t) std::count(cs.begin() + 5, cs.end(), ':');
     std::pair<i64, i64> *q = arena.alloc(2 * n_match);
     std::pair<i64, i64> *r = q + n_match;
+    i64 step = rec.fwd ? 1 : -1;
+    i64 ri = rec.ref_str, qi = rec.qry_str;
     i64 k = 0;
-    for_query_oriented(ops, rec.fwd, [&](char t, i64 len, i64) {
-        if (t == ':') {
-            r[k] = {ri, ri + (len - 1) * step};
-            q[k] = {qi, qi + len - 1};
-            k++;
-            ri += len * step;
-            qi += len;
-        } else if (t == '+') {
-            qi += len;
-        } else if (t == '-') {
-            ri += len * step;
-        } else {
-            ri += step;
-            qi += 1;
+    if (rec.fwd) {
+        // fused single pass: decode ops and emit runs directly — the
+        // CsOps vectors (4 push_back streams per op) were the hot half
+        // of the parallel parse at 100k-contig scale
+        const char *p = cs.data() + 5, *e = cs.data() + cs.size();
+        while (p < e) {
+            char t = *p++;
+            if (t == ':') {
+                i64 len = 0;
+                auto res = std::from_chars(p, e, len);
+                if (res.ec != std::errc{} || res.ptr == p || len <= 0)
+                    throw std::runtime_error("invalid :length op in cs tag");
+                p = res.ptr;
+                r[k] = {ri, ri + len - 1};
+                q[k] = {qi, qi + len - 1};
+                k++;
+                ri += len;
+                qi += len;
+            } else if (t == '*') {
+                if (p + 2 > e || !alpha(p[0]) || !alpha(p[1]))
+                    throw std::runtime_error(
+                        "invalid substitution op in cs tag");
+                p += 2;
+                ri += 1;
+                qi += 1;
+            } else if (t == '+' || t == '-') {
+                const char *s0 = p;
+                while (p < e && alpha(*p)) ++p;
+                if (p == s0)
+                    throw std::runtime_error("empty indel op in cs tag");
+                if (t == '+') qi += p - s0;
+                else ri += p - s0;
+            } else {
+                throw std::runtime_error("unsupported op in cs tag");
+            }
         }
-    });
+    } else {
+        // reverse strand iterates ops in reversed file order: decode
+        // into the reusable op list first, then walk it backwards
+        static thread_local CsOps ops;
+        parse_cs_into(cs, ops, /*with_spans=*/false);
+        for_query_oriented(ops, false, [&](char t, i64 len, i64) {
+            if (t == ':') {
+                r[k] = {ri, ri + (len - 1) * step};
+                q[k] = {qi, qi + len - 1};
+                k++;
+                ri += len * step;
+                qi += len;
+            } else if (t == '+') {
+                qi += len;
+            } else if (t == '-') {
+                ri += len * step;
+            } else {
+                ri += step;
+                qi += 1;
+            }
+        });
+    }
     rec.qry_runs = {q, (i64) n_match};
     rec.ref_runs = {r, (i64) n_match};
+    if ((i64) n_match != k)
+        throw std::runtime_error("invalid :length op in cs tag");
     if (qi != rec.qry_end + 1 || ri != rec.ref_end + step)
         throw std::runtime_error("cs consumption does not match PAF coords");
 }

@@ -19,8 +19,12 @@ struct CsOps {
 
 // throws std::runtime_error on malformed tags (reference throws too)
 CsOps parse_cs(std::string_view cs);
-// same, reusing the caller's CsOps capacity (hot parse path)
-void parse_cs_into(std::string_view cs, CsOps &ops);
+// same, reusing the caller's CsOps capacity (hot parse path).
+// with_spans=false skips the beg/end char-span vectors — build_runs
+// never reads them (only the clip path slices the raw tag), and the
+// two extra push_backs per op were a measurable share of the parse
+void parse_cs_into(std::string_view cs, CsOps &ops,
+                   bool with_spans = true);
 
 // fills rec.qry_runs / rec.ref_runs (spans into `arena`, which must
 // outlive the record) and validates consumption against the record's

@@ -15,6 +15,7 @@
 #include <unistd.h>
 
 #include "cs.h"
+#include "solver.h"
 
 namespace aln {
 
@@ -45,19 +46,18 @@ i64 to_i64(std::string_view sv) {
 
 double to_f64(std::string_view sv) { return std::stod(std::string(sv)); }
 
-// split one line into tab fields (no copies)
+// split one line into tab fields (no copies).  One byte loop instead
+// of a memchr call per field: PAF fields average ~10 bytes, where the
+// per-call overhead of 14 memchrs dominates the scan itself
 void split_fields(std::string_view line, std::vector<std::string_view> &out) {
     out.clear();
-    size_t start = 0;
-    while (true) {
-        size_t pos = line.find('\t', start);
-        if (pos == std::string_view::npos) {
-            out.push_back(line.substr(start));
-            return;
+    const char *p = line.data(), *e = p + line.size(), *s = p;
+    for (; p < e; ++p)
+        if (*p == '\t') {
+            out.emplace_back(s, (size_t) (p - s));
+            s = p + 1;
         }
-        out.push_back(line.substr(start, pos - start));
-        start = pos + 1;
-    }
+    out.emplace_back(s, (size_t) (e - s));
 }
 
 std::string_view find_cs(const std::vector<std::string_view> &f) {
@@ -66,8 +66,17 @@ std::string_view find_cs(const std::vector<std::string_view> &f) {
     return {};
 }
 
+// per-worker chromosome-id cache: refs cluster by chromosome, so
+// nearly every lookup repeats the previous line's name.  Owned by the
+// parse worker (NOT thread_local: the main thread parses too and a
+// persistent view would dangle into a freed previous dataset buffer).
+struct ChrCache {
+    std::string_view name;
+    i32 id = -1;
+};
+
 Record parse_record(const std::vector<std::string_view> &f, Dataset &ds,
-                    RunArena &arena, i64 qry_offset = 0) {
+                    RunArena &arena, ChrCache &cc, i64 qry_offset = 0) {
     Record r;
     r.qry_total = to_i64(f[1]);
     r.qry_str = to_i64(f[2]) + qry_offset;
@@ -77,13 +86,19 @@ Record parse_record(const std::vector<std::string_view> &f, Dataset &ds,
     r.ref_str = to_i64(f[7]);
     r.ref_end = to_i64(f[8]) - 1;
     if (r.ref_str > r.ref_end) throw std::runtime_error("ref start > end");
-    auto it = ds.chr_ids.find(f[5]);  // heterogeneous: no key alloc
-    if (it == ds.chr_ids.end()) {
-        std::string ref_chr(f[5]);
-        it = ds.chr_ids.emplace(ref_chr, (i32) ds.chr_names.size()).first;
-        ds.chr_names.push_back(ref_chr);
+    if (cc.id >= 0 && f[5] == cc.name) {
+        r.ref_chr = cc.id;
+    } else {
+        auto it = ds.chr_ids.find(f[5]);  // heterogeneous: no key alloc
+        if (it == ds.chr_ids.end()) {
+            std::string ref_chr(f[5]);
+            it = ds.chr_ids.emplace(ref_chr, (i32) ds.chr_names.size()).first;
+            ds.chr_names.push_back(ref_chr);
+        }
+        r.ref_chr = it->second;
+        cc.name = f[5];
+        cc.id = it->second;
     }
-    r.ref_chr = it->second;
     r.fwd = f[4][0] == '+';
     if (!r.fwd) std::swap(r.ref_str, r.ref_end);
     r.map_qul = (uint8_t) to_i64(f[11]);
@@ -280,19 +295,22 @@ Dataset read_paf(const std::string &path, int threads, GroupSink *sink,
     // parsed (cord_row stays the GLOBAL line index, so xi:Z provenance
     // tags are identical to a full parse)
     auto parse_group = [&](size_t g, std::vector<std::string_view> &f,
-                           RunArena &arena) {
+                           RunArena &arena, ChrCache &cc) {
         if (world > 1 && ((i64) g < ds.shard_lo || (i64) g >= ds.shard_hi))
             return;
         auto &ctg = ds.contigs[g];
         size_t lo = starts[g], hi = starts[g + 1];
-        ctg.resize(hi - lo);
-        for (size_t i = lo; i < hi; i++) {
-            split_fields(lines[i], f);
-            Record &r = ctg[i - lo];
-            r = parse_record(f, ds, arena);
-            r.cord_type = 0;
-            r.cord_row = (i32) i;
-            r.ctg_index = (i32) (i - lo);
+        {
+            SolveProfScope ps(6);
+            ctg.resize(hi - lo);
+            for (size_t i = lo; i < hi; i++) {
+                split_fields(lines[i], f);
+                Record &r = ctg[i - lo];
+                r = parse_record(f, ds, arena, cc);
+                r.cord_type = 0;
+                r.cord_row = (i32) i;
+                r.ctg_index = (i32) (i - lo);
+            }
         }
         if (sink && sink->group) sink->group(ds, g);
     };
@@ -304,8 +322,9 @@ Dataset read_paf(const std::string &path, int threads, GroupSink *sink,
         ds.run_arenas.emplace_back(std::make_unique<RunArena>());
     if (nt == 1 || n_lines < 256) {
         std::vector<std::string_view> f;
+        ChrCache cc;
         for (size_t g = 0; g < n_groups; g++)
-            parse_group(g, f, *ds.run_arenas[arena_base]);
+            parse_group(g, f, *ds.run_arenas[arena_base], cc);
     } else {
         std::atomic<size_t> next_g{0};
         std::vector<std::string> fails(nt);
@@ -313,12 +332,13 @@ Dataset read_paf(const std::string &path, int threads, GroupSink *sink,
         for (int t = 0; t < nt; t++) {
             pool.emplace_back([&, t] {
                 std::vector<std::string_view> f;
+                ChrCache cc;
                 RunArena &arena = *ds.run_arenas[arena_base + t];
                 try {
                     while (true) {
                         size_t g = next_g.fetch_add(1);
                         if (g >= n_groups) break;
-                        parse_group(g, f, arena);
+                        parse_group(g, f, arena, cc);
                     }
                 } catch (const std::exception &e) {
                     fails[t] = e.what();
@@ -420,8 +440,11 @@ size_t group_start_at_or_after(std::string_view buf, size_t cutoff) {
     std::string_view prev_name;
     bool have_prev = false;
     while (t > 0) {
-        size_t ls = buf.rfind('\n', t - 2);
-        ls = ls == std::string_view::npos ? 0 : ls + 1;
+        size_t ls = 0;
+        if (t >= 2) {  // t-2 would wrap below (rfind(npos) = whole buf)
+            ls = buf.rfind('\n', t - 2);
+            ls = ls == std::string_view::npos ? 0 : ls + 1;
+        }
         std::string_view ln = line_at(buf, ls);
         if (!ln.empty()) {
             prev_name = qry_of(ln);
@@ -580,14 +603,14 @@ Dataset read_paf_range(const std::string &path, int threads,
             std::chrono::steady_clock::now() - scan_t0).count();
     }
     auto parse_group = [&](size_t g, std::vector<std::string_view> &f,
-                           RunArena &arena) {
+                           RunArena &arena, ChrCache &cc) {
         auto &ctg = ds.contigs[g];
         size_t glo = starts[g], ghi = starts[g + 1];
         ctg.resize(ghi - glo);
         for (size_t i = glo; i < ghi; i++) {
             split_fields(lines[i], f);
             Record &r = ctg[i - glo];
-            r = parse_record(f, ds, arena);
+            r = parse_record(f, ds, arena, cc);
             r.cord_type = 0;
             r.cord_row = (i32) (row0 + (i64) i);  // GLOBAL provenance
             r.ctg_index = (i32) (i - glo);
@@ -600,8 +623,9 @@ Dataset read_paf_range(const std::string &path, int threads,
         ds.run_arenas.emplace_back(std::make_unique<RunArena>());
     if (nt == 1 || n_lines < 256) {
         std::vector<std::string_view> f;
+        ChrCache cc;
         for (size_t g = 0; g < n_groups; g++)
-            parse_group(g, f, *ds.run_arenas[arena_base]);
+            parse_group(g, f, *ds.run_arenas[arena_base], cc);
     } else {
         std::atomic<size_t> next_g{0};
         std::vector<std::string> fails(nt);
@@ -609,12 +633,13 @@ Dataset read_paf_range(const std::string &path, int threads,
         for (int t = 0; t < nt; t++) {
             pool.emplace_back([&, t] {
                 std::vector<std::string_view> f;
+                ChrCache cc;
                 RunArena &arena = *ds.run_arenas[arena_base + t];
                 try {
                     while (true) {
                         size_t g = next_g.fetch_add(1);
                         if (g >= n_groups) break;
-                        parse_group(g, f, arena);
+                        parse_group(g, f, arena, cc);
                     }
                 } catch (const std::exception &e) {
                     fails[t] = e.what();
@@ -634,6 +659,7 @@ void merge_alt(Dataset &ds, const std::string &alt_path, double alt_baseline,
     if (ds.alt_buffer.empty()) return;
     ds.run_arenas.emplace_back(std::make_unique<RunArena>());
     RunArena &arena = *ds.run_arenas.back();
+    ChrCache alt_cc;
 
     std::string tar_name;
     i64 tar_off = -1;
@@ -691,7 +717,7 @@ void merge_alt(Dataset &ds, const std::string &alt_path, double alt_baseline,
         if (!local) return;
 
         const auto &last = ds.contigs[tgt].back();
-        Record r = parse_record(f, ds, arena, off);
+        Record r = parse_record(f, ds, arena, alt_cc, off);
         r.qry_total = last.qry_total;
         r.cord_type = 1;
         r.cord_row = this_row;

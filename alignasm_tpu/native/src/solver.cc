@@ -1,7 +1,10 @@
 #include "solver.h"
 
 #include <algorithm>
+#include <atomic>
 #include <cassert>
+#include <chrono>
+#include <cstdlib>
 #include <deque>
 #include <limits>
 #include <queue>
@@ -1172,6 +1175,37 @@ static std::vector<i64> level_min_sums(const Graph &g, i64 cap,
                             f.begin() + (g.dest + 1) * W);
 }
 
+// env-gated solve sub-phase attribution (ALN_SOLVE_PROF): global
+// relaxed-atomic nanosecond counters, printed by aln_run_stats2.
+// Zero cost when disabled (one cached getenv per thread).
+std::atomic<long long> solve_prof_ns[8];
+const char *const solve_prof_names[8] = {
+    "build", "topo+floor", "walk_dp", "fast_rows", "lazy_enum", "select",
+    "parse_records", "format"};
+bool solve_prof_on() {
+    static thread_local int e = -1;
+    if (e < 0) e = getenv("ALN_SOLVE_PROF") != nullptr;
+    return e == 1;
+}
+namespace {
+struct ProfScope {
+    int slot;
+    bool on;
+    std::chrono::steady_clock::time_point t0;
+    explicit ProfScope(int s)
+        : slot(s), on(solve_prof_on()),
+          t0(on ? std::chrono::steady_clock::now()
+                : std::chrono::steady_clock::time_point{}) {}
+    ~ProfScope() {
+        if (on)
+            solve_prof_ns[slot].fetch_add(
+                std::chrono::duration_cast<std::chrono::nanoseconds>(
+                    std::chrono::steady_clock::now() - t0).count(),
+                std::memory_order_relaxed);
+    }
+};
+}  // namespace
+
 ContigResult solve_contig(std::vector<Record> &records, const Config &cfg) {
     ContigResult res;
     if (records.size() == 1) {
@@ -1184,7 +1218,10 @@ ContigResult solve_contig(std::vector<Record> &records, const Config &cfg) {
     // after the solve, so its ~V inner edge vectors + tables keep
     // their capacity across this thread's contigs
     static thread_local Graph g;
-    build_graph_into(records, cfg, g);
+    {
+        ProfScope ps(0);
+        build_graph_into(records, cfg, g);
+    }
     return solve_from_graph(g, cfg);
 }
 
@@ -1201,11 +1238,17 @@ ContigResult solve_from_graph(const Graph &g, const Config &cfg) {
     static thread_local std::vector<i32> fwd_order;
     static thread_local Walks walks;
     static thread_local Upgrader up_tl;
-    topo_order_into(g.adj, g.nv(), fwd_order);
-    i64 floor_a = anom_floor(g, fwd_order);
-
-    walks.reset(g);
-    if (!walks.prepare()) throw std::runtime_error("dest unreachable");
+    i64 floor_a;
+    {
+        ProfScope ps(1);
+        topo_order_into(g.adj, g.nv(), fwd_order);
+        floor_a = anom_floor(g, fwd_order);
+    }
+    {
+        ProfScope ps(2);
+        walks.reset(g);
+        if (!walks.prepare()) throw std::runtime_error("dest unreachable");
+    }
 
     // by value: the dists vector reallocates as walks are emitted
     const Dist min_d = walks.dists()[0];
@@ -1214,6 +1257,7 @@ ContigResult solve_from_graph(const Graph &g, const Config &cfg) {
     // tie sweep and alt scan are both no-ops, so skip Eppstein entirely
     if (cfg.lazy_walks && min_d.a == floor_a &&
         walks.count_min_walks(2) == 1) {
+        ProfScope ps(3);
         up_tl.reset(g, &fwd_order);
         static thread_local NotAlt not_alt0;
         not_alt0.begin_contig();
@@ -1263,11 +1307,16 @@ ContigResult solve_from_graph(const Graph &g, const Config &cfg) {
         }
     }
     // enumerate until the bound (exclusive of walks strictly beyond it)
-    while ((i64) walks.dists().size() < k_budget) {
-        if (!walks.next()) break;
-        const Dist &d = walks.dists().back();
-        if (d.sum() > stop_sum || (d.sum() == stop_sum && d.a > stop_anom)) break;
+    {
+        ProfScope ps(4);
+        while ((i64) walks.dists().size() < k_budget) {
+            if (!walks.next()) break;
+            const Dist &d = walks.dists().back();
+            if (d.sum() > stop_sum
+                || (d.sum() == stop_sum && d.a > stop_anom)) break;
+        }
     }
+    ProfScope ps_sel(5);
     const auto &kd = walks.dists();
 
     if (std::getenv("ALN_DEBUG_WALKS")) {

@@ -7,6 +7,8 @@
 #pragma once
 
 #include <algorithm>
+#include <atomic>
+#include <chrono>
 #include <unordered_map>
 
 #include "types.h"
@@ -115,4 +117,30 @@ Graph build_graph(std::vector<Record> &records, const Config &cfg);
 void build_graph_into(std::vector<Record> &records, const Config &cfg,
                       Graph &g);
 
+}  // namespace aln
+
+// env-gated solve sub-phase attribution (ALN_SOLVE_PROF=1): global
+// nanosecond counters accumulated by solve_contig/solve_from_graph,
+// printed + reset by aln_run_stats2
+namespace aln {
+extern std::atomic<long long> solve_prof_ns[8];
+extern const char *const solve_prof_names[8];
+bool solve_prof_on();
+// RAII accumulator for one slot (no-op when ALN_SOLVE_PROF unset)
+struct SolveProfScope {
+    int slot;
+    bool on;
+    std::chrono::steady_clock::time_point t0;
+    explicit SolveProfScope(int s)
+        : slot(s), on(solve_prof_on()),
+          t0(on ? std::chrono::steady_clock::now()
+                : std::chrono::steady_clock::time_point{}) {}
+    ~SolveProfScope() {
+        if (on)
+            solve_prof_ns[slot].fetch_add(
+                std::chrono::duration_cast<std::chrono::nanoseconds>(
+                    std::chrono::steady_clock::now() - t0).count(),
+                std::memory_order_relaxed);
+    }
+};
 }  // namespace aln

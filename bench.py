@@ -56,7 +56,7 @@ def main() -> None:
                                 max_records_per_contig=24))
     ncpu = os.cpu_count() or 1
 
-    reps = int(os.environ.get("BENCH_REPS", "5"))
+    reps = int(os.environ.get("BENCH_REPS", "7"))
 
     # --- reference vs native, INTERLEAVED ------------------------------
     # the shared VM has minutes-long CPU-steal windows; running all
