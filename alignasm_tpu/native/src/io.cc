@@ -294,24 +294,30 @@ Dataset read_paf(const std::string &path, int threads, GroupSink *sink,
     // sharded parse: only groups owned by this rank get their records
     // parsed (cord_row stays the GLOBAL line index, so xi:Z provenance
     // tags are identical to a full parse)
+    auto owned = [&](size_t g) {
+        return world <= 1
+               || ((i64) g >= ds.shard_lo && (i64) g < ds.shard_hi);
+    };
+    auto parse_lines = [&](size_t g, size_t lo, size_t hi,
+                           std::vector<std::string_view> &f,
+                           RunArena &arena, ChrCache &cc) {
+        auto &ctg = ds.contigs[g];
+        size_t base = starts[g];
+        SolveProfScope ps(6);
+        for (size_t i = lo; i < hi; i++) {
+            split_fields(lines[i], f);
+            Record &r = ctg[i - base];
+            r = parse_record(f, ds, arena, cc);
+            r.cord_type = 0;
+            r.cord_row = (i32) i;
+            r.ctg_index = (i32) (i - base);
+        }
+    };
     auto parse_group = [&](size_t g, std::vector<std::string_view> &f,
                            RunArena &arena, ChrCache &cc) {
-        if (world > 1 && ((i64) g < ds.shard_lo || (i64) g >= ds.shard_hi))
-            return;
-        auto &ctg = ds.contigs[g];
-        size_t lo = starts[g], hi = starts[g + 1];
-        {
-            SolveProfScope ps(6);
-            ctg.resize(hi - lo);
-            for (size_t i = lo; i < hi; i++) {
-                split_fields(lines[i], f);
-                Record &r = ctg[i - lo];
-                r = parse_record(f, ds, arena, cc);
-                r.cord_type = 0;
-                r.cord_row = (i32) i;
-                r.ctg_index = (i32) (i - lo);
-            }
-        }
+        if (!owned(g)) return;
+        ds.contigs[g].resize(starts[g + 1] - starts[g]);
+        parse_lines(g, starts[g], starts[g + 1], f, arena, cc);
         if (sink && sink->group) sink->group(ds, g);
     };
     // one run arena per worker, registered BEFORE the pool spawns (the
@@ -326,26 +332,70 @@ Dataset read_paf(const std::string &path, int threads, GroupSink *sink,
         for (size_t g = 0; g < n_groups; g++)
             parse_group(g, f, *ds.run_arenas[arena_base], cc);
     } else {
-        std::atomic<size_t> next_g{0};
+        // BIG groups (a single mega-contig can be most of the file)
+        // parse cooperatively first: their record parse is
+        // embarrassingly parallel — records are independent, the
+        // contig vector is pre-sized, and the chromosome map is fully
+        // interned by pass 1, so parse_record's map path is read-only
+        // here.  Their solve+format sink then fires in the per-group
+        // pass below on one worker while other groups proceed.
+        constexpr size_t kBigGroup = 1 << 15;
+        struct Chunk { size_t g, lo, hi; };
+        std::vector<Chunk> big;
+        for (size_t g = 0; g < n_groups; g++) {
+            size_t sz = starts[g + 1] - starts[g];
+            if (sz < kBigGroup || !owned(g)) continue;
+            ds.contigs[g].resize(sz);
+            size_t step = std::max(kBigGroup / 2, sz / (size_t) (4 * nt));
+            for (size_t lo = starts[g]; lo < starts[g + 1]; lo += step)
+                big.push_back({g, lo, std::min(lo + step, starts[g + 1])});
+        }
         std::vector<std::string> fails(nt);
-        std::vector<std::thread> pool;
-        for (int t = 0; t < nt; t++) {
-            pool.emplace_back([&, t] {
-                std::vector<std::string_view> f;
-                ChrCache cc;
-                RunArena &arena = *ds.run_arenas[arena_base + t];
-                try {
-                    while (true) {
-                        size_t g = next_g.fetch_add(1);
-                        if (g >= n_groups) break;
-                        parse_group(g, f, arena, cc);
+        auto run_phase = [&](auto &&body) {
+            std::vector<std::thread> pool;
+            for (int t = 0; t < nt; t++) {
+                pool.emplace_back([&, t] {
+                    std::vector<std::string_view> f;
+                    ChrCache cc;
+                    RunArena &arena = *ds.run_arenas[arena_base + t];
+                    try {
+                        body(f, arena, cc);
+                    } catch (const std::exception &e) {
+                        if (fails[t].empty()) fails[t] = e.what();
                     }
-                } catch (const std::exception &e) {
-                    fails[t] = e.what();
+                });
+            }
+            for (auto &th : pool) th.join();
+        };
+        if (!big.empty()) {
+            std::atomic<size_t> next_c{0};
+            run_phase([&](std::vector<std::string_view> &f, RunArena &arena,
+                          ChrCache &cc) {
+                while (true) {
+                    size_t c = next_c.fetch_add(1);
+                    if (c >= big.size()) break;
+                    parse_lines(big[c].g, big[c].lo, big[c].hi, f, arena, cc);
                 }
             });
+            // a failed chunk leaves its group partially parsed — the
+            // sink pass below must not solve garbage records
+            for (auto &msg : fails)
+                if (!msg.empty()) throw std::runtime_error(msg);
         }
-        for (auto &th : pool) th.join();
+        std::atomic<size_t> next_g{0};
+        run_phase([&](std::vector<std::string_view> &f, RunArena &arena,
+                      ChrCache &cc) {
+            while (true) {
+                size_t g = next_g.fetch_add(1);
+                if (g >= n_groups) break;
+                if (starts[g + 1] - starts[g] >= kBigGroup) {
+                    // records already parsed in the big pass: sink only
+                    if (owned(g) && sink && sink->group) sink->group(ds, g);
+                    continue;
+                }
+                parse_group(g, f, arena, cc);
+            }
+        });
         for (auto &msg : fails)
             if (!msg.empty()) throw std::runtime_error(msg);
     }
