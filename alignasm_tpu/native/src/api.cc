@@ -79,7 +79,8 @@ int aln_run_stats2(const char *paf_path, const char *alt_path, double alt_baseli
             try {
                 aln::ContigResult res = aln::solve_contig(dset.contigs[i], cfg);
                 aln::SolveProfScope ps(7);
-                aln::format_rows_one(parts_out[i], dset, i, res.out);
+                aln::format_rows_parallel(parts_out[i], dset, i, res.out,
+                                          nthreads);
                 aln::format_rows_one(parts_alt[i], dset, i, res.alt);
                 aln::format_max_rows_one(parts_max[i], dset, i, res.max_out);
             } catch (const std::exception &e) {

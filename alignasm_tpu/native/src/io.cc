@@ -889,6 +889,38 @@ void format_rows_one(std::string &out, const Dataset &ds, size_t i,
         write_one(out, ds, ds.ctg_names[i], ds.contigs[i], row);
 }
 
+void format_rows_parallel(std::string &out, const Dataset &ds, size_t i,
+                          const std::vector<OutRow> &rows, int threads) {
+    // big-contig formatting: a mega-contig's rows are formatted inside
+    // ONE sink call while the pool's other workers sit idle at the end
+    // of the parse — chunk the rows, format each chunk into its own
+    // string on a helper thread (rows are independent; write_one's
+    // scratch is thread_local), splice in order
+    size_t n = rows.size();
+    int nc = std::min<int>(threads, (int) ((n + 16383) / 16384));
+    if (nc <= 1) {
+        format_rows_one(out, ds, i, rows);
+        return;
+    }
+    std::vector<std::string> parts((size_t) nc);
+    std::vector<std::thread> pool;
+    size_t step = (n + (size_t) nc - 1) / (size_t) nc;
+    for (int c = 0; c < nc; c++) {
+        pool.emplace_back([&, c] {
+            size_t lo = (size_t) c * step, hi = std::min(n, lo + step);
+            std::string &o = parts[(size_t) c];
+            o.reserve((hi - lo) * 160);
+            for (size_t k = lo; k < hi; k++)
+                write_one(o, ds, ds.ctg_names[i], ds.contigs[i], rows[k]);
+        });
+    }
+    for (auto &t : pool) t.join();
+    size_t total = out.size();
+    for (auto &p2 : parts) total += p2.size();
+    out.reserve(total);
+    for (auto &p2 : parts) out += p2;
+}
+
 void format_max_rows_one(std::string &out, const Dataset &ds, size_t i,
                          const std::vector<std::vector<OutRow>> &groups) {
     i32 cnt = 0;

@@ -120,6 +120,10 @@ void write_max_rows(const Dataset &ds,
 // write phase is just the ordered flush)
 void format_rows_one(std::string &out, const Dataset &ds, size_t i,
                      const std::vector<OutRow> &rows);
+// chunked parallel form for big contigs (order-identical output);
+// falls back to the serial loop below ~16k rows
+void format_rows_parallel(std::string &out, const Dataset &ds, size_t i,
+                          const std::vector<OutRow> &rows, int threads);
 void format_max_rows_one(std::string &out, const Dataset &ds, size_t i,
                          const std::vector<std::vector<OutRow>> &groups);
 void flush_parts_file(const std::string &path,
