@@ -115,6 +115,7 @@ def bench_end_to_end(n_contigs: int, seed: int = 2024, reps: int = 5):
 
     forced_cfg = dataclasses.replace(DEFAULT_CONFIG, device_routing="always")
     results = {}
+    native_best = float("inf")
     # interleave the two configurations so a shared-VM steal window
     # cannot hit one side only (same rationale as bench.py's
     # reference/native interleave)
@@ -125,6 +126,14 @@ def bench_end_to_end(n_contigs: int, seed: int = 2024, reps: int = 5):
                                     write_prefix=prefix)  # warm
         results[label] = [float("inf"), scheduler.solve_dataset_tpu.last_stats]
     for _ in range(reps):
+        # same-process native baseline, interleaved with the engine
+        # reps: the routing criterion "tpu >= native within noise" is
+        # judged on THIS ratio (a cross-process comparison of a ~20 ms
+        # job is rep-noise-dominated)
+        native.drain_teardowns()
+        t0 = time.perf_counter()
+        native.run(str(paf), threads=0)
+        native_best = min(native_best, time.perf_counter() - t0)
         for label, cfg in (("auto", DEFAULT_CONFIG), ("forced", forced_cfg)):
             # join the previous rep's background context teardown so its
             # free() churn doesn't compete with this rep's timed work
@@ -142,6 +151,9 @@ def bench_end_to_end(n_contigs: int, seed: int = 2024, reps: int = 5):
         "tpu_engine_forced_contigs_per_s":
             round(n_contigs / results["forced"][0], 2),
         "tpu_engine_forced_stats": results["forced"][1],
+        "native_inproc_contigs_per_s": round(n_contigs / native_best, 2),
+        "tpu_vs_native_inproc":
+            round(native_best / results["auto"][0], 4),
     }
 
 

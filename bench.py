@@ -119,6 +119,7 @@ def main() -> None:
     tpu_stats = None
     tpu_forced_cps = None
     tpu_forced_stats = None
+    tpu_vs_native_inproc = None
     tpu_kernels = None
     tpu_error = None
     n_tpu = int(os.environ.get("BENCH_TPU_CONTIGS", "2000"))
@@ -142,6 +143,7 @@ def main() -> None:
                 tpu_stats = dev.get("tpu_engine_stats")
                 tpu_forced_cps = dev.get("tpu_engine_forced_contigs_per_s")
                 tpu_forced_stats = dev.get("tpu_engine_forced_stats")
+                tpu_vs_native_inproc = dev.get("tpu_vs_native_inproc")
                 tpu_kernels = dev.get("kernels")
             else:
                 tail = (proc.stderr or proc.stdout or "")[-500:]
@@ -186,6 +188,10 @@ def main() -> None:
             "tpu_engine_forced_contigs_per_s": tpu_forced_cps,
             "tpu_vs_native": round(tpu_cps / native_cps, 4)
             if tpu_cps else None,
+            # same-process interleaved ratio from devbench — the
+            # routing-criterion number (cross-process ratios of a ~20 ms
+            # job are rep-noise-dominated)
+            "tpu_vs_native_inproc": tpu_vs_native_inproc,
             "device_routed_frac": (tpu_stats or {}).get("device_routed_frac"),
             "output_identical": identical,
         },

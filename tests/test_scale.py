@@ -93,3 +93,36 @@ def test_run_arena_block_crossing_single_worker(tmp_path, oracle_bin):
     for o, suffix in zip(oracle_outs, ("", ".alt", ".all")):
         got = (tmp_path / f"narena.aln{suffix}.paf").read_bytes()
         assert o.read_bytes() == got, f"aln{suffix} differs"
+
+
+def test_cooperative_big_group_parse_byte_identical(tmp_path):
+    """Contigs >= 32k lines parse cooperatively across the worker pool
+    (read_paf splits them into chunks) and format in parallel chunks;
+    t1 takes the fully serial path.  Outputs must be byte-identical —
+    this is the committed regression for both mechanisms (the 1M-record
+    configs[4] runs exercised them manually)."""
+    import hashlib
+
+    from alignasm_tpu import native
+
+    p = tmp_path / "coop.paf"
+    # ~26k segments -> ~34k records: over the 32k-line cooperative
+    # threshold, plus a few small contigs around it
+    big = _chain_contig(26_000, seed=21)
+    small = []
+    from alignasm_tpu.testing.synth import generate_paf
+
+    small = generate_paf(n_contigs=12, seed=22)
+    p.write_text(small + big)
+    n_lines = (small + big).count("\n")
+    assert n_lines > 33_000
+
+    def h3():
+        return [hashlib.sha256(
+            (tmp_path / f"coop.aln{s}.paf").read_bytes()).hexdigest()
+            for s in ("", ".alt", ".all")]
+
+    native.run(str(p), threads=4)
+    h4 = h3()
+    native.run(str(p), threads=1)
+    assert h3() == h4
