@@ -104,3 +104,41 @@ def test_auto_routing_in_memory_results(tmp_path):
     assert s["routed"] == "native-plane"
     assert s["device"] == 0
     assert got == solve_dataset(ds2, DEFAULT_CONFIG)
+
+
+def test_auto_with_calibration_gates_per_bucket(tmp_path, monkeypatch):
+    """With a calibration where wins are possible (finish_vs_solve < 1),
+    auto routing takes the exporter plane and gates per bucket: a huge
+    dispatch RTT must gate every bucket (native covers, bytes correct),
+    a negligible one must launch them."""
+    from alignasm_tpu.runtime.scheduler import solve_dataset_tpu
+
+    p = tmp_path / "g.paf"
+    p.write_text(generate_paf(n_contigs=16, seed=31))
+    prefix = str(p)[:-4]
+
+    def run_with(cal):
+        calp = tmp_path / "cal.json"
+        calp.write_text(json.dumps(cal))
+        monkeypatch.setenv("ALIGNASM_TPU_COSTMODEL", str(calp))
+        solve_dataset_tpu(None, DEFAULT_CONFIG, src_paths=(str(p), None),
+                          write_prefix=prefix)
+        return dict(solve_dataset_tpu.last_stats)
+
+    # wins possible in principle, but a 1000 s dispatch gates everything
+    s = run_with({"finish_vs_solve": 0.2, "dispatch_rtt_s": 1000.0})
+    assert s["routing"] == "auto"
+    assert s.get("buckets_gated", 0) >= 1, s
+    assert s["device"] == 0
+    gated_bytes = [pathlib.Path(prefix + f".aln{x}.paf").read_bytes()
+                   for x in ("", ".alt", ".all")]
+
+    # near-free transport: the same buckets must launch
+    s = run_with({"finish_vs_solve": 0.2, "dispatch_rtt_s": 1e-7,
+                  "h2d_bytes_per_s": 1e12, "d2h_bytes_per_s": 1e12,
+                  "device_s_per_contig": 1e-9, "device_s_per_step": 1e-9,
+                  "solve_s_per_record": 1e-3})
+    assert s.get("buckets_gated", 0) == 0, s
+    assert s["device"] + s["fallback"] >= 1, s
+    for b, x in zip(gated_bytes, ("", ".alt", ".all")):
+        assert b == pathlib.Path(prefix + f".aln{x}.paf").read_bytes(), x
