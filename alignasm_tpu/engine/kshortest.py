@@ -126,56 +126,69 @@ def dijkstra(adj, src: int, mode: int = D.CALC_SUM):
     return d, prv
 
 
-def bellman_ford(adj, src: int, mode: int = D.CALC_SUM):
-    """SPFA shortest path with negative-cycle detection
-    (k_shortest_walks.hpp:91-129): level-synchronous queue rounds, at
-    most n of them; an improvement found in round n proves a negative
-    cycle, recovered by walking ``prv`` until a repeat.
+def _cycle_from_prv(prv, start: int, n: int):
+    """Recover a negative cycle from predecessor links.
 
-    Returns (d, prv); raises NegativeCycleError (carrying the cycle,
-    first vertex == last) where the reference returns {empty, cycle}."""
+    ``start`` is reachable from the cycle through ``prv`` but need not
+    lie on it; after n backward hops every remaining vertex does, so
+    walking until the first repeat and closing the loop yields the
+    cycle in forward edge order with first vertex == last."""
+    x = start
+    for _ in range(n):
+        x = prv[x]
+    pos = {}
+    back = []  # prv-chain order, i.e. reverse edge order
+    while x not in pos:
+        pos[x] = len(back)
+        back.append(x)
+        x = prv[x]
+    cyc = back[pos[x]:]
+    cyc.reverse()
+    cyc.append(cyc[0])
+    return cyc
+
+
+def bellman_ford(adj, src: int, mode: int = D.CALC_SUM):
+    """SPFA (queue-based Bellman-Ford) with negative-cycle detection.
+
+    Parity target: the generic shortest-path mode of the reference walk
+    library (k_shortest_walks.hpp:91-129) — dead code in alignasm
+    itself, which always runs the DAG pass (paf_data.cpp:728), but part
+    of the reusable L0 surface.  Formulated here as the classic
+    membership-flag SPFA with per-vertex relaxation counting: a vertex
+    whose distance improves n or more times is reachable from a
+    negative cycle, which ``_cycle_from_prv`` then extracts.
+
+    Returns (d, prv) with MAX_DIST for unreachable vertices; raises
+    NegativeCycleError (cycle as a vertex list, first == last) where
+    the reference returns {empty, cycle}."""
     from collections import deque
 
     n = len(adj)
     d = [D.MAX_DIST] * n
     keys = [None] * n
     prv = [-1] * n
+    improved = [0] * n
+    queued = [False] * n
     d[src] = D.IDENTITY
     keys[src] = D.key(D.IDENTITY, mode)
-
-    def detect_cycle(x):
-        vis = [False] * n
-        t = []
-        while True:
-            t.append(x)
-            if vis[x]:
-                break
-            vis[x] = True
-            x = prv[x]
-        last = t[-1]
-        t.reverse()
-        while t[-1] != last:
-            t.pop()
-        return t
-
-    q = deque([(keys[src], src)])
-    rounds = 0
-    while q and rounds < n:
-        rounds += 1
-        for _ in range(len(q)):
-            cur_key, x = q.popleft()
-            if keys[x] is not None and cur_key > keys[x]:
-                continue
-            for to, w in adj[x]:
-                nd = D.add(d[x], w)
-                nk = D.key(nd, mode)
-                if keys[to] is None or nk < keys[to]:
-                    d[to] = nd
-                    keys[to] = nk
-                    prv[to] = x
-                    if rounds == n:
-                        raise NegativeCycleError(detect_cycle(to))
-                    q.append((nk, to))
+    q = deque([src])
+    queued[src] = True
+    while q:
+        x = q.popleft()
+        queued[x] = False
+        dx = d[x]
+        for to, w in adj[x]:
+            nd = D.add(dx, w)
+            nk = D.key(nd, mode)
+            if keys[to] is None or nk < keys[to]:
+                d[to], keys[to], prv[to] = nd, nk, x
+                improved[to] += 1
+                if improved[to] >= n:
+                    raise NegativeCycleError(_cycle_from_prv(prv, to, n))
+                if not queued[to]:
+                    queued[to] = True
+                    q.append(to)
     return d, prv
 
 

@@ -1,6 +1,7 @@
 #include "io.h"
 
 #include <atomic>
+#include <cerrno>
 #include <charconv>
 #include <cstring>
 #include <mutex>
@@ -77,6 +78,12 @@ struct ChrCache {
 
 Record parse_record(const std::vector<std::string_view> &f, Dataset &ds,
                     RunArena &arena, ChrCache &cc, i64 qry_offset = 0) {
+    // the line scans validate only the leading fields; a tab-separated
+    // row with 6-11 fields must be a clean error, not UB on f[11]
+    if (f.size() < 12)
+        throw std::runtime_error("short PAF row: " +
+                                 std::to_string(f.size()) +
+                                 " fields (need >= 12)");
     Record r;
     r.qry_total = to_i64(f[1]);
     r.qry_str = to_i64(f[2]) + qry_offset;
@@ -859,7 +866,11 @@ void write_parts_fd(int fd, const std::vector<std::string> &parts,
     auto flush_raw = [&](const char *p, size_t n) {
         while (n > 0) {
             ssize_t w = ::write(fd, p, n);
-            if (w <= 0) throw std::runtime_error("short write");
+            if (w < 0 && errno == EINTR) continue;  // signal mid-write
+            if (w <= 0)
+                throw std::runtime_error(
+                    std::string("short write: ") +
+                    (w < 0 ? strerror(errno) : "write returned 0"));
             p += (size_t) w;
             n -= (size_t) w;
         }
@@ -889,6 +900,11 @@ void format_rows_one(std::string &out, const Dataset &ds, size_t i,
         write_one(out, ds, ds.ctg_names[i], ds.contigs[i], row);
 }
 
+// shared helper budget for format_rows_parallel: it runs INSIDE the
+// solve workers, so several >=16k-row contigs finishing together could
+// otherwise transiently spawn ~threads^2 formatter threads
+static std::atomic<int> g_fmt_helpers{0};
+
 void format_rows_parallel(std::string &out, const Dataset &ds, size_t i,
                           const std::vector<OutRow> &rows, int threads) {
     // big-contig formatting: a mega-contig's rows are formatted inside
@@ -897,24 +913,47 @@ void format_rows_parallel(std::string &out, const Dataset &ds, size_t i,
     // string on a helper thread (rows are independent; write_one's
     // scratch is thread_local), splice in order
     size_t n = rows.size();
-    int nc = std::min<int>(threads, (int) ((n + 16383) / 16384));
-    if (nc <= 1) {
+    int want = std::min<int>(threads, (int) ((n + 16383) / 16384));
+    if (want <= 1) {
         format_rows_one(out, ds, i, rows);
         return;
     }
+    // acquire helper slots from the process-wide pool (caller formats
+    // its own chunk, so `want` chunks need want-1 helpers); whatever is
+    // unavailable just shrinks the fan-out — the spliced bytes are
+    // order-identical at any chunk count
+    int helpers = 0;
+    {
+        int cap = std::max(1, threads - 1);
+        int cur = g_fmt_helpers.load(std::memory_order_relaxed);
+        while (helpers < want - 1 && cur < cap) {
+            if (g_fmt_helpers.compare_exchange_weak(
+                    cur, cur + 1, std::memory_order_relaxed)) {
+                ++helpers;
+                ++cur;
+            }
+        }
+    }
+    if (helpers == 0) {
+        format_rows_one(out, ds, i, rows);
+        return;
+    }
+    int nc = helpers + 1;
     std::vector<std::string> parts((size_t) nc);
     std::vector<std::thread> pool;
     size_t step = (n + (size_t) nc - 1) / (size_t) nc;
-    for (int c = 0; c < nc; c++) {
-        pool.emplace_back([&, c] {
-            size_t lo = (size_t) c * step, hi = std::min(n, lo + step);
-            std::string &o = parts[(size_t) c];
-            o.reserve((hi - lo) * 160);
-            for (size_t k = lo; k < hi; k++)
-                write_one(o, ds, ds.ctg_names[i], ds.contigs[i], rows[k]);
-        });
-    }
+    auto fmt_chunk = [&](int c) {
+        size_t lo = (size_t) c * step, hi = std::min(n, lo + step);
+        std::string &o = parts[(size_t) c];
+        o.reserve((hi - lo) * 160);
+        for (size_t k = lo; k < hi; k++)
+            write_one(o, ds, ds.ctg_names[i], ds.contigs[i], rows[k]);
+    };
+    for (int c = 1; c < nc; c++)
+        pool.emplace_back([&, c] { fmt_chunk(c); });
+    fmt_chunk(0);
     for (auto &t : pool) t.join();
+    g_fmt_helpers.fetch_sub(helpers, std::memory_order_relaxed);
     size_t total = out.size();
     for (auto &p2 : parts) total += p2.size();
     out.reserve(total);

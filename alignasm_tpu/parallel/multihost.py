@@ -144,40 +144,62 @@ def run_multihost(
                                          "86400"))
         deadline = time.monotonic() + timeout_s
         last_note = 0.0
-        for r in range(1, world):
-            path_r = f"{stem}.shard{r}.bin"
-            seen_stat = None
-            while True:
+        try:
+            _merge_shards(stem, merging, world, digest, n, threads,
+                          deadline, timeout_s, last_note)
+        except BaseException:
+            # a failed merge must not leave half-appended {stem}.merging
+            # temporaries behind to be mistaken for output; shard files
+            # stay — they are digest-keyed and reusable on rerun
+            for sfx in (".aln.paf", ".aln.alt.paf", ".aln.all.paf"):
                 try:
-                    st = os.stat(path_r)
-                    cur = (st.st_mtime_ns, st.st_size, st.st_ino)
-                except FileNotFoundError:
-                    cur = None
-                if cur is not None and cur != seen_stat:
-                    seen_stat = cur
-                    with open(path_r, "rb") as fh:
-                        raw = fh.read(80)
-                    hdr = struct.unpack("<10q", raw) if len(raw) == 80 else ()
-                    if (len(hdr) == 10 and hdr[0] == 0x414C4E53484432
-                            and hdr[1] == digest and hdr[2] == world
-                            and hdr[3] == r and hdr[4] == n):
-                        break
-                now = time.monotonic()
-                if now > deadline:
-                    raise TimeoutError(
-                        f"rank {r} shard never appeared/matched "
-                        f"within {timeout_s:.0f}s "
-                        "(ALIGNASM_MERGE_TIMEOUT_S to adjust)")
-                if now - last_note > 60:
-                    last_note = now
-                    print(f"waiting for rank {r} shard...",
-                          file=sys.stderr)
-                time.sleep(0.02)
-            native.append_shard(merging, path_r, world, r, digest=digest,
-                                n_expected=n, threads=threads)
-            os.unlink(path_r)
-        for sfx in (".aln.paf", ".aln.alt.paf", ".aln.all.paf"):
-            os.replace(merging + sfx, stem + sfx)
+                    os.unlink(merging + sfx)
+                except OSError:
+                    pass
+            raise
+
+
+def _merge_shards(stem, merging, world, digest, n, threads,
+                  deadline, timeout_s, last_note):
+    import struct
+    import time
+
+    from alignasm_tpu import native
+
+    for r in range(1, world):
+        path_r = f"{stem}.shard{r}.bin"
+        seen_stat = None
+        while True:
+            try:
+                st = os.stat(path_r)
+                cur = (st.st_mtime_ns, st.st_size, st.st_ino)
+            except FileNotFoundError:
+                cur = None
+            if cur is not None and cur != seen_stat:
+                seen_stat = cur
+                with open(path_r, "rb") as fh:
+                    raw = fh.read(80)
+                hdr = struct.unpack("<10q", raw) if len(raw) == 80 else ()
+                if (len(hdr) == 10 and hdr[0] == 0x414C4E53484432
+                        and hdr[1] == digest and hdr[2] == world
+                        and hdr[3] == r and hdr[4] == n):
+                    break
+            now = time.monotonic()
+            if now > deadline:
+                raise TimeoutError(
+                    f"rank {r} shard never appeared/matched "
+                    f"within {timeout_s:.0f}s "
+                    "(ALIGNASM_MERGE_TIMEOUT_S to adjust)")
+            if now - last_note > 60:
+                last_note = now
+                print(f"waiting for rank {r} shard...",
+                      file=sys.stderr)
+            time.sleep(0.02)
+        native.append_shard(merging, path_r, world, r, digest=digest,
+                            n_expected=n, threads=threads)
+        os.unlink(path_r)
+    for sfx in (".aln.paf", ".aln.alt.paf", ".aln.all.paf"):
+        os.replace(merging + sfx, stem + sfx)
 
 
 def main() -> None:

@@ -63,6 +63,14 @@ def test_native_error_surface(tmp_path):
         native.run(str(bad))
 
 
+def test_native_short_row_is_clean_error(tmp_path):
+    # a tab-separated row with 6-11 fields must raise, not index OOB
+    bad = tmp_path / "short.paf"
+    bad.write_text("ctg\t100\t0\t10\t+\tchr1\t100\t0\n")
+    with pytest.raises(native.NativeError, match="short PAF row"):
+        native.run(str(bad))
+
+
 def test_native_custom_scoring_matches_exact(tmp_path):
     """Non-default scoring constants must flow through the C ABI and
     produce the same outputs as the Python engine."""
