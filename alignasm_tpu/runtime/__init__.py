@@ -1,1 +1,41 @@
+"""Runtime orchestration: scheduler, cost model, checkpointing, bench."""
 
+from __future__ import annotations
+
+import os
+import pathlib
+import sys
+
+
+def ensure_jax_compile_cache() -> str:
+    """Point JAX's persistent compilation cache at the framework cache
+    dir, so every device entry point (CLI tpu engine, devbench run
+    standalone, fuzz harness) reuses compiles across processes — not
+    just bench.py (round-4 verdict Weak #6 / Next #1b).
+
+    Honors a pre-set ``JAX_COMPILATION_CACHE_DIR``.  Safe to call
+    before or after the jax import: the axon sitecustomize imports jax
+    at interpreter start, and jax snapshots the env at import, so when
+    jax is already loaded the config is updated directly.
+    """
+    path = os.environ.get("JAX_COMPILATION_CACHE_DIR")
+    if not path:
+        root = pathlib.Path(__file__).resolve().parents[2]
+        if (root / "bench.py").exists():  # running from the repo tree
+            d = root / ".jax_cache"
+        else:
+            d = pathlib.Path.home() / ".cache" / "alignasm_tpu" / "jax_cache"
+        try:
+            d.mkdir(parents=True, exist_ok=True)
+        except OSError:
+            return ""
+        path = str(d)
+        os.environ["JAX_COMPILATION_CACHE_DIR"] = path
+    if "jax" in sys.modules:
+        try:
+            import jax
+
+            jax.config.update("jax_compilation_cache_dir", path)
+        except Exception:
+            pass  # cache is an optimization; never sink the caller
+    return path

@@ -62,6 +62,12 @@ def _warm_transfer_async():
     if _warmed:
         return
     _warmed = True
+    # engine-level persistent compile cache: every device entry point
+    # (CLI tpu engine, fuzz harness, devbench) reuses compiles, not
+    # just bench.py (round-4 verdict Next #1b)
+    from alignasm_tpu.runtime import ensure_jax_compile_cache
+
+    ensure_jax_compile_cache()
 
     def work():
         try:
@@ -107,7 +113,7 @@ def solve_dataset_tpu(dataset, cfg: AlignasmConfig, batch_size: int = 256,
         # silent degrade would hide a 30x slowdown behind identical
         # outputs).
         from alignasm_tpu import native
-        from alignasm_tpu.runtime.costmodel import load_model
+        from alignasm_tpu.runtime.costmodel import load_model_info
 
         # Routing policy (round-3 verdict Next #1): dispatch work to
         # the device only when the measured cost model predicts a win.
@@ -117,17 +123,18 @@ def solve_dataset_tpu(dataset, cfg: AlignasmConfig, batch_size: int = 256,
         # --engine native uses — the tpu engine can then never lose to
         # it.  "always" keeps the bucket device pipeline (tests, fuzz
         # campaigns, kernel benches); "never" forces the native plane.
-        model = load_model()
+        model, model_prov = load_model_info()
         mode = getattr(cfg, "device_routing", "always")
         allow_device = mode == "always" or (
             mode == "auto" and model.any_possible_win())
         try:
             if not allow_device and write_prefix is not None:
                 return _solve_native_routed(cfg, src_paths, write_prefix,
-                                            model, mode)
+                                            model, mode, model_prov)
             return _solve_tpu_native(dataset, cfg, src_paths, write_prefix,
                                      allow_device=allow_device,
-                                     model=model, mode=mode)
+                                     model=model, mode=mode,
+                                     model_prov=model_prov)
         except native.NativeError as exc:
             if dataset is None:
                 raise  # no parsed dataset to degrade to — surface it
@@ -554,6 +561,9 @@ def _device_assist(exporter, cfg: AlignasmConfig, meta, idx_pool, stats,
     import threading
     import time
 
+    from alignasm_tpu.runtime import ensure_jax_compile_cache
+
+    ensure_jax_compile_cache()  # resume path may reach here un-warmed
     import jax
     import numpy as np
 
@@ -682,7 +692,7 @@ def _device_assist(exporter, cfg: AlignasmConfig, meta, idx_pool, stats,
 
 
 def _solve_native_routed(cfg: AlignasmConfig, src_paths, write_prefix,
-                         model, mode):
+                         model, mode, model_prov=None):
     """The cost model routed the whole corpus away from the device:
     run the SAME fused native pipeline ``--engine native`` uses (one
     parallel parse->solve->format pass, three streamed flushes) so the
@@ -708,7 +718,10 @@ def _solve_native_routed(cfg: AlignasmConfig, src_paths, write_prefix,
         "host_plane": "native", "routing": mode,
         "routed": "fused-native",
         "device_routed_frac": 0.0,
-        "cost_model": model.summary(),
+        # which measurement the gate ran on (round-4 verdict Next #3:
+        # every routed run states its calibration's provenance + age)
+        "cost_model": {**model.summary(),
+                       "calibration": model_prov or {"source": "defaults"}},
         "written_natively": True,
         "read_s": run_stats["read_s"], "solve_s": run_stats["solve_s"],
         "write_s": run_stats["write_s"],
@@ -721,7 +734,8 @@ def _solve_native_routed(cfg: AlignasmConfig, src_paths, write_prefix,
 
 
 def _solve_tpu_native(dataset, cfg: AlignasmConfig, src_paths, write_prefix,
-                      allow_device=True, model=None, mode="always"):
+                      allow_device=True, model=None, mode="always",
+                      model_prov=None):
     """Production device path: the C++ host plane does parse -> graph
     build -> dense pack -> device-assisted finish -> output writing; the
     Python layer only orchestrates bucket-shaped device launches.  There
@@ -752,7 +766,9 @@ def _solve_tpu_native(dataset, cfg: AlignasmConfig, src_paths, write_prefix,
              "host_plane": "native", "dense_buckets": 0, "native_direct": 0,
              "routing": mode}
     if model is not None:
-        stats["cost_model"] = model.summary()
+        stats["cost_model"] = {**model.summary(),
+                               "calibration": model_prov
+                               or {"source": "defaults"}}
     exporter = native.GraphExporter(
         src_paths[0], alt_path=src_paths[1],
         alt_baseline=cfg.alt_baseline,
@@ -911,13 +927,15 @@ def solve_missing_tpu_native(cfg: AlignasmConfig, src_paths, missing,
                 f"expects {expected_n}: src_paths does not match dataset")
         # same routing policy as the batch path: the device only sees
         # work the cost model predicts it wins (on this tunnel: none)
-        from alignasm_tpu.runtime.costmodel import load_model
+        from alignasm_tpu.runtime.costmodel import load_model_info
 
-        model = load_model()
+        model, model_prov = load_model_info()
         mode = getattr(cfg, "device_routing", "always")
         allow_device = mode == "always" or (
             mode == "auto" and model.any_possible_win())
         stats["routing"] = mode
+        stats["cost_model"] = {**model.summary(),
+                               "calibration": model_prov}
         eligible = _eligible_mask(meta, cfg) if allow_device \
             else np.zeros(len(meta), bool)
         non_device = missing[~eligible[missing]]

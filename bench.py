@@ -126,30 +126,65 @@ def main() -> None:
     # the first device->host transfer in a process stalls ~285 s on
     # this tunnel (see BENCH_RESULTS notes); the budget must cover it
     tpu_budget = int(os.environ.get("BENCH_TPU_BUDGET_S", "1500"))
+    tpu_sections_skipped = None
     if n_tpu:
         import sys
 
+        from alignasm_tpu.runtime.devbench import _deep_merge
+
+        # STREAMING harvest (round-4 verdict Next #1): devbench emits
+        # each section as its own JSON line the moment it finishes;
+        # stdout goes to a file so a timeout kill costs only the
+        # sections still pending, never the finished ones (the old
+        # all-or-nothing pipe dropped everything — BENCH_r04.json
+        # recorded zero TPU evidence for a round whose claims all
+        # reproduced by hand).  devbench also gets an internal deadline
+        # at ~0.8x our budget so it degrades gracefully BEFORE the kill.
+        out_path = work / "devbench.out"
+        env = dict(os.environ)
+        env.setdefault("ALIGNASM_DEVBENCH_DEADLINE_S",
+                       str(int(tpu_budget * 0.8)))
         try:
-            proc = subprocess.run(
-                [sys.executable, "-m", "alignasm_tpu.runtime.devbench",
-                 str(n_tpu)],
-                capture_output=True, timeout=tpu_budget, text=True,
-                cwd=str(REPO),
-            )
-            line = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else ""
-            if proc.returncode == 0 and line.startswith("{"):
-                dev = json.loads(line)
+            with open(out_path, "w") as out_fh, \
+                    open(work / "devbench.err", "w") as err_fh:
+                proc = subprocess.Popen(
+                    [sys.executable, "-m", "alignasm_tpu.runtime.devbench",
+                     str(n_tpu)],
+                    stdout=out_fh, stderr=err_fh, cwd=str(REPO), env=env,
+                )
+                try:
+                    rc = proc.wait(timeout=tpu_budget)
+                except subprocess.TimeoutExpired:
+                    proc.kill()
+                    proc.wait()
+                    rc = None
+                    tpu_error = (f"devbench exceeded {tpu_budget}s budget "
+                                 "(partial sections merged)")
+            dev = {}
+            n_lines = 0
+            for line in out_path.read_text().splitlines():
+                line = line.strip()
+                if not line.startswith("{"):
+                    continue
+                try:
+                    _deep_merge(dev, json.loads(line))
+                    n_lines += 1
+                except ValueError:
+                    continue  # a killed process can leave a torn line
+            if rc not in (0, None) and not n_lines:
+                tail = (work / "devbench.err").read_text()[-500:]
+                tpu_error = f"rc {rc}: {tail}"
+            elif rc not in (0, None):
+                tail = (work / "devbench.err").read_text()[-300:]
+                tpu_error = f"rc {rc} after {n_lines} sections: {tail}"
+            if dev:
                 tpu_cps = dev.get("tpu_engine_contigs_per_s")
                 tpu_stats = dev.get("tpu_engine_stats")
                 tpu_forced_cps = dev.get("tpu_engine_forced_contigs_per_s")
                 tpu_forced_stats = dev.get("tpu_engine_forced_stats")
                 tpu_vs_native_inproc = dev.get("tpu_vs_native_inproc")
                 tpu_kernels = dev.get("kernels")
-            else:
-                tail = (proc.stderr or proc.stdout or "")[-500:]
-                tpu_error = f"rc {proc.returncode}: {tail}"
-        except subprocess.TimeoutExpired:
-            tpu_error = f"devbench exceeded {tpu_budget}s budget"
+                tpu_sections_skipped = dev.get("sections_skipped")
         except Exception as exc:  # never let the TPU section sink the bench
             tpu_error = repr(exc)
 
@@ -174,6 +209,7 @@ def main() -> None:
         "tpu_engine_stats": tpu_stats,
         "tpu_engine_forced_stats": tpu_forced_stats,
         "tpu_kernels": tpu_kernels,
+        "tpu_sections_skipped": tpu_sections_skipped,
         "tpu_error": tpu_error,
         "n_contigs": N_CONTIGS,
         "n_records": n_records,

@@ -241,7 +241,9 @@ def test_multihost_two_processes_no_coordinator(tmp_path, oracle_bin):
     oracle_outs = run_oracle(oracle_bin, p, tmp_path)
     mh = tmp_path / "mhnc.paf"
     mh.write_bytes(p.read_bytes())
-    env = dict(os.environ)
+    from alignasm_tpu.parallel.multihost import native_rank_env
+
+    env = native_rank_env()  # native ranks skip the ~2.5 s device preload
     procs = [
         subprocess.Popen(
             [sys.executable, "-m", "alignasm_tpu.parallel.multihost", str(mh),
@@ -253,6 +255,33 @@ def test_multihost_two_processes_no_coordinator(tmp_path, oracle_bin):
     for proc in procs:
         out, _ = proc.communicate(timeout=180)
         assert proc.returncode == 0, out.decode()[-2000:]
+    for o, suffix in zip(oracle_outs, ("", ".alt", ".all")):
+        got = pathlib.Path(str(mh)[:-4] + f".aln{suffix}.paf")
+        assert o.read_bytes() == got.read_bytes(), f"aln{suffix}"
+
+
+def test_multihost_local_procs_launcher(tmp_path, oracle_bin):
+    """--local-procs W: the single-host launcher spawns all W ranks
+    itself with the device preload stripped; outputs byte-identical."""
+    import os
+    import subprocess
+    import sys
+
+    from alignasm_tpu.parallel.multihost import native_rank_env
+    from tests.conftest import run_oracle
+
+    assert "PALLAS_AXON_POOL_IPS" not in native_rank_env(
+        {"PALLAS_AXON_POOL_IPS": "1.2.3.4", "PATH": "/bin"})
+
+    p = _dataset(tmp_path, seed=23, n=7)
+    oracle_outs = run_oracle(oracle_bin, p, tmp_path)
+    mh = tmp_path / "mhlp.paf"
+    mh.write_bytes(p.read_bytes())
+    proc = subprocess.run(
+        [sys.executable, "-m", "alignasm_tpu.parallel.multihost", str(mh),
+         "--local-procs", "2"],
+        env=native_rank_env(), capture_output=True, timeout=180)
+    assert proc.returncode == 0, proc.stderr.decode()[-2000:]
     for o, suffix in zip(oracle_outs, ("", ".alt", ".all")):
         got = pathlib.Path(str(mh)[:-4] + f".aln{suffix}.paf")
         assert o.read_bytes() == got.read_bytes(), f"aln{suffix}"
@@ -276,7 +305,9 @@ def test_multihost_sharded_alt_merge(tmp_path, oracle_bin):
     oracle_outs = run_oracle(oracle_bin, p, tmp_path, extra=("-a", str(alt)))
     mh = tmp_path / "mha.paf"
     mh.write_bytes(p.read_bytes())
-    env = dict(os.environ)
+    from alignasm_tpu.parallel.multihost import native_rank_env
+
+    env = native_rank_env()  # native ranks skip the ~2.5 s device preload
     procs = [
         subprocess.Popen(
             [sys.executable, "-m", "alignasm_tpu.parallel.multihost", str(mh),
@@ -378,7 +409,9 @@ def test_multihost_upgrade_mode_single_piece(tmp_path):
             for s in ("", ".alt", ".all")]
     mh = tmp_path / "mhsp.paf"
     mh.write_bytes(p.read_bytes())
-    env = dict(os.environ)
+    from alignasm_tpu.parallel.multihost import native_rank_env
+
+    env = native_rank_env()  # native ranks skip the ~2.5 s device preload
     procs = [
         subprocess.Popen(
             [sys.executable, "-m", "alignasm_tpu.parallel.multihost", str(mh),
