@@ -16,6 +16,7 @@
 #include <string>
 #include <thread>
 
+#include <cerrno>
 #include <fcntl.h>
 #include <unistd.h>
 
@@ -392,15 +393,44 @@ int aln_append_shard(const char *out_prefix, const char *shard_path,
         std::string fail[3];
         auto copy_one = [&](int s) {
             try {
+                std::string out_path = std::string(out_prefix) + sfx[s];
+                long long left = header[7 + s];
+                // fast path: in-kernel copy (the append sits on rank
+                // 0's critical path right after the barrier; userspace
+                // double-buffering cost ~25-40 ms per 50 MB shard on
+                // tmpfs).  copy_file_range rejects O_APPEND outputs,
+                // so seek the end explicitly.
+                int ifd = ::open(shard_path, O_RDONLY);
+                int ofd = ::open(out_path.c_str(),
+                                 O_WRONLY | O_CREAT, 0644);
+                bool done = false;
+                if (ifd >= 0 && ofd >= 0) {
+                    off_t in_off = (off_t) off[s];
+                    off_t out_off = ::lseek(ofd, 0, SEEK_END);
+                    long long rem = left;
+                    while (rem > 0) {
+                        ssize_t n = ::copy_file_range(
+                            ifd, &in_off, ofd, &out_off, (size_t) rem, 0);
+                        if (n < 0 && errno == EINTR) continue;
+                        if (n <= 0) break;  // fall back for the rest
+                        rem -= n;
+                    }
+                    if (rem == 0) done = true;
+                    else {  // resume point for the buffered fallback
+                        off[s] = (long long) in_off;
+                        left = rem;
+                    }
+                }
+                if (ifd >= 0) ::close(ifd);
+                if (ofd >= 0) ::close(ofd);
+                if (done) return;
                 std::ifstream i2(shard_path, std::ios::binary);
                 if (!i2) throw std::runtime_error("cannot open shard");
                 i2.seekg(off[s]);
-                std::string out_path = std::string(out_prefix) + sfx[s];
                 std::ofstream o(out_path, std::ios::binary | std::ios::app);
                 if (!o) throw std::runtime_error("cannot append "
                                                  + out_path);
                 std::vector<char> buf(4 << 20);
-                long long left = header[7 + s];
                 while (left > 0) {
                     long long take = std::min(left, (long long) buf.size());
                     i2.read(buf.data(), (std::streamsize) take);

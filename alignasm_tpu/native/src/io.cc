@@ -534,12 +534,28 @@ Dataset read_paf_range(const std::string &path, int threads,
     std::string_view buf = map_file(path, ds);
     size_t S = buf.size();
     if (S == 0) throw std::runtime_error("empty PAF input");
-    size_t lo = rank == 0
-        ? 0 : group_start_at_or_after(buf, (size_t) ((__int128) S * rank
-                                                     / world));
-    size_t hi = rank == world - 1
-        ? S : group_start_at_or_after(buf, (size_t) ((__int128) S
-                                                     * (rank + 1) / world));
+    // Rank 0 additionally streams its own slice straight into the
+    // outputs (direct flush) and appends every later shard after the
+    // barrier — measured ~5 % of its wall at 50k-100k scale — so its
+    // byte share is biased down by that duty and all ranks finish
+    // together.  The cut formula is a pure function of (S, rank,
+    // world) with IEEE-deterministic arithmetic, so every rank derives
+    // identical boundaries.
+    // expert knob; MUST match across ranks — the launcher folds it
+    // into the job digest (multihost._input_digest) so a mismatch
+    // rejects shards instead of silently mis-splitting groups
+    double kR0Weight = 0.95;
+    if (const char *w = std::getenv("ALN_SHARD_R0W")) {
+        double v = std::atof(w);
+        if (v > 0.1 && v <= 1.5) kR0Weight = v;
+    }
+    const double total_w = kR0Weight + (double) (world - 1);
+    auto cut = [&](i64 r) {  // first byte of rank r's slice
+        double c = (kR0Weight + (double) (r - 1)) / total_w;
+        return group_start_at_or_after(buf, (size_t) ((double) S * c));
+    };
+    size_t lo = rank == 0 ? 0 : cut(rank);
+    size_t hi = rank == world - 1 ? S : cut(rank + 1);
     // global provenance + the cross-rank consistency token
     i64 row0 = count_nonempty_lines(buf, 0, lo);
     i64 tail = count_nonempty_lines(buf, hi, S);

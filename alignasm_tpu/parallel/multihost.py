@@ -130,6 +130,9 @@ def run_multihost(
         h = hashlib.sha256()
         h.update(f"v4:{world}:{alt_baseline!r}:{non_skip_linkable}:"
                  f"{upgrade_mode}:".encode())
+        # the rank-0 split weight changes group ownership; a cross-rank
+        # mismatch must reject shards, not silently mis-split
+        h.update(f"r0w={os.environ.get('ALN_SHARD_R0W', '')}:".encode())
 
         def _file_id(path):
             st = os.stat(path)
@@ -235,7 +238,10 @@ def _merge_shards(stem, merging, world, digest, n, threads,
                 last_note = now
                 print(f"waiting for rank {r} shard...",
                       file=sys.stderr)
-            time.sleep(0.02)
+            # fine-grained poll: the landing shard sits on the merge's
+            # critical path, and a 20 ms granularity cost ~10 ms per
+            # shard on average (measured against ~0.6 s rank walls)
+            time.sleep(0.002)
         native.append_shard(merging, path_r, world, r, digest=digest,
                             n_expected=n, threads=threads)
         os.unlink(path_r)

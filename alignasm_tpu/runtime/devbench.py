@@ -439,6 +439,53 @@ def bench_kernels(B=256, V=64, E=256, n_sweeps=32, seed=0):
     return {"topo": topo, "dense": dense, "sparse": sparse}
 
 
+# bf16 MXU peak FLOPs/s by device kind (public specs); the blocked
+# kernel's count-closure matmuls are {0,1,2}-valued bf16-exact inputs
+# with fp32 accumulation, so the bf16 peak is the right MFU denominator
+MXU_PEAK_BF16 = (
+    ("v5 lite", 197e12),
+    ("v5e", 197e12),
+    ("v4", 275e12),
+    ("v5p", 459e12),
+    ("v6", 918e12),
+)
+
+
+def _mxu_peak():
+    import jax
+
+    kind = jax.devices()[0].device_kind.lower()
+    for pat, peak in MXU_PEAK_BF16:
+        if pat in kind:
+            return peak
+    return 197e12
+
+
+def _blocked_flops(V: int, Bk: int) -> dict:
+    """Deterministic op-count model of one blocked big-V solve
+    (ops/dense.py:_blocked_dp): per block step the two count closures
+    run log2(Bk) doublings of two (Bk,Bk)@(Bk,Bk) float matmuls (MXU),
+    and the three min-plus closures run log2(Bk) (Bk,Bk,Bk)
+    broadcast-min-add squarings (VPU)."""
+    nlev = max(1, (Bk - 1).bit_length())
+    nb = V // Bk
+    mxu = nb * 2 * nlev * 2 * (2 * Bk**3)       # 8 * V * Bk^2 * nlev
+    vpu = nb * 3 * nlev * (2 * Bk**3)           # add + min per cell
+    return {"mxu_flops": mxu, "vpu_minplus_ops": vpu}
+
+
+def _batched_bigv_wire(V: int, B: int, seed: int = 0):
+    """B copies of the chain-shaped slab as ONE ragged wire (global
+    flat indices offset by b*V*(V+1), the _densify_wire_ragged
+    contract)."""
+    import numpy as np
+
+    one = _bigv_wire(V, seed)
+    M = V * (V + 1)
+    parts = [one + np.array([[b * M], [0]], np.int64) for b in range(B)]
+    return np.concatenate(parts, axis=1).astype(np.int32)
+
+
 def bench_bigv(V=8192, seed=0, n_chain=6, reps=3):
     """Big-V kernel A/B (round-4 verdict Next #2): the reverse-topo
     scan (V sequential steps) vs the blocked tropical triangular solve
@@ -489,7 +536,7 @@ def bench_bigv(V=8192, seed=0, n_chain=6, reps=3):
             wire, B=1, V=V, Bk=64))
     slab = V * (V + 1) * 4
     kind, peak = _device_peak()
-    return {
+    out = {
         "V": V, "E": int(len(keys)), "device_kind": kind,
         "scan_s_per_launch": round(t_scan, 5),
         "blocked_s_per_launch": round(t_blk, 5),
@@ -500,6 +547,97 @@ def bench_bigv(V=8192, seed=0, n_chain=6, reps=3):
         "blocked_GB_per_s": round(slab / t_blk / 1e9, 2),
         "blocked_pct_of_hbm_peak": round(100 * slab / t_blk / peak, 2),
     }
+    fl = _blocked_flops(V, 64)
+    out["closure_mxu_GFLOP"] = round(fl["mxu_flops"] / 1e9, 2)
+    out["closure_mxu_mfu_pct"] = round(
+        100 * fl["mxu_flops"] / t_blk / _mxu_peak(), 3)
+    out["vpu_minplus_Gops_per_s"] = round(
+        fl["vpu_minplus_ops"] / t_blk / 1e9, 1)
+
+    # batched big-V (round-4 verdict Next #4): a karyotype corpus can
+    # hold many V<=8192 contigs — amortize the dispatch + step overhead
+    # across B slabs per launch
+    B = 8
+    wireB = jax.device_put(_batched_bigv_wire(V, B, seed))
+    launchB = lambda: dense_solve_wire_topo_nxt16_blocked_ragged(
+        wireB, B=B, V=V, Bk=64)
+    refB = np.asarray(launchB())  # compile + warm
+    bestB = float("inf")
+    for _ in range(reps):
+        t0 = _t.perf_counter()
+        outs = [launchB() for _ in range(n_chain)]
+        jax.block_until_ready(outs)
+        bestB = min(bestB, (_t.perf_counter() - t0) / n_chain)
+    out["batched"] = {
+        "B": B, "Bk": 64,
+        "s_per_launch": round(bestB, 5),
+        "s_per_contig": round(bestB / B, 5),
+        "bit_equal_rows": bool((refB == refB[0]).all()
+                               and (refB[0] == got[0]).all()),
+        "slab_GB_per_s": round(B * slab / bestB / 1e9, 2),
+        "closure_mxu_mfu_pct": round(
+            100 * B * fl["mxu_flops"] / bestB / _mxu_peak(), 3),
+        "vpu_minplus_Gops_per_s": round(
+            B * fl["vpu_minplus_ops"] / bestB / 1e9, 1),
+    }
+    return out
+
+
+def bench_bigv_sweep(Vs=(2048, 8192), Bks=(32, 64, 128), Bs=(1, 4, 8),
+                     seed=0, n_chain=4, reps=2):
+    """Full (V, B, Bk) sweep of the blocked big-V kernel (round-4
+    verdict Next #4) — run by hand (`devbench --bigv-sweep`); each
+    combo is its own compile, so this is not part of the driver's
+    budgeted section list.  Every combo's rows are checked equal to the
+    scan-verified B=1 Bk=64 reference for its V."""
+    import time as _t
+
+    import jax
+    import numpy as np
+
+    from alignasm_tpu.ops.dense import (
+        dense_solve_wire_topo_nxt16_blocked_ragged,
+        dense_solve_wire_topo_nxt16_ragged,
+    )
+
+    kind, hbm_peak = _device_peak()
+    results = {"device_kind": kind, "rows": []}
+    for V in Vs:
+        wire1 = jax.device_put(_bigv_wire(V, seed))
+        ref = np.asarray(
+            dense_solve_wire_topo_nxt16_ragged(wire1, B=1, V=V))
+        slab = V * (V + 1) * 4
+        for B in Bs:
+            wireB = jax.device_put(_batched_bigv_wire(V, B, seed))
+            for Bk in Bks:
+                launch = lambda: dense_solve_wire_topo_nxt16_blocked_ragged(
+                    wireB, B=B, V=V, Bk=Bk)
+                t_c0 = _t.perf_counter()
+                got = np.asarray(launch())  # compile + warm
+                compile_s = _t.perf_counter() - t_c0
+                best = float("inf")
+                for _ in range(reps):
+                    t0 = _t.perf_counter()
+                    outs = [launch() for _ in range(n_chain)]
+                    jax.block_until_ready(outs)
+                    best = min(best, (_t.perf_counter() - t0) / n_chain)
+                fl = _blocked_flops(V, Bk)
+                results["rows"].append({
+                    "V": V, "B": B, "Bk": Bk,
+                    "s_per_launch": round(best, 5),
+                    "s_per_contig": round(best / B, 5),
+                    "bit_equal": bool((got == ref[None, 0]).all()),
+                    "slab_GB_per_s": round(B * slab / best / 1e9, 2),
+                    "pct_of_hbm_peak": round(
+                        100 * B * slab / best / hbm_peak, 2),
+                    "closure_mxu_mfu_pct": round(
+                        100 * B * fl["mxu_flops"] / best / _mxu_peak(), 3),
+                    "vpu_minplus_Gops_per_s": round(
+                        B * fl["vpu_minplus_ops"] / best / 1e9, 1),
+                    "warm_compile_s": round(compile_s, 2),
+                })
+                _emit({"bigv_sweep_row": results["rows"][-1]})
+    return results
 
 
 def calibrate(n_contigs: int = 20000, seed: int = 2024) -> dict:
@@ -773,6 +911,9 @@ def main() -> None:
 
     ensure_jax_compile_cache()
     argv = sys.argv[1:]
+    if "--bigv-sweep" in argv:
+        _emit(bench_bigv_sweep())
+        return
     if "--calibrate" in argv:
         argv.remove("--calibrate")
         out_path = None
