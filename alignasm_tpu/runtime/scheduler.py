@@ -462,12 +462,17 @@ def _launch_buckets(buckets, n_edges, exporter, spec, n_dev, launches,
                 else:
                     # big-V buckets: the BLOCKED tropical triangular
                     # solve (ops/dense.py:_blocked_dp) — sequential
-                    # depth (V/64)*log2(64) instead of V; measured
-                    # 10.6x the reverse-topo scan at V=8192 on v5e
-                    # (BENCH_RESULTS.md "Big contig, round 4"),
-                    # bit-equal rows
+                    # depth (V/Bk)*log2(Bk) instead of V; measured
+                    # 10.6x the reverse-topo scan at V=8192 on v5e,
+                    # bit-equal rows.  Bk from the round-5 (V, B, Bk)
+                    # sweep (BENCH_RESULTS.md "Batched big-V"): single-
+                    # slab launches are step-overhead-bound (Bk=64
+                    # wins ~10% at V<=1024, ties above); batched
+                    # launches amortize the steps and the smaller
+                    # closure wins (Bk=32: 11.1 vs 12.5 ms/contig at
+                    # V=8192 B=8) — every combo bit-equal
                     pending = dense_solve_wire_topo_nxt16_blocked_ragged(
-                        wire, B=padB, V=V, Bk=64)
+                        wire, B=padB, V=V, Bk=64 if padB == 1 else 32)
                 stats["h2d_bytes"] = stats.get("h2d_bytes", 0) + wire.nbytes
             launches.append((idxs, realB, V, pending,
                              None if ok.all() else ok))

@@ -581,7 +581,9 @@ def _rand_wire(B, V, density, seed, nv=None, score_max=1000):
     (256, 64, 0.0005, 4, None),  # mostly unreachable
     (128, 64, 0.002, 11, 70),    # tiny + padding
     (256, 128, 0.9, 10, None),   # near-complete DAG (deep tie sets)
-    (512, 64, 0.08, 9, None),    # the production Bk at a bigger V
+    (512, 64, 0.08, 9, None),    # the production single-slab Bk
+    (512, 32, 0.08, 9, None),    # the production batched Bk (round 5)
+    (256, 32, 0.3, 2, None),     # batched Bk, dense
 ])
 def test_blocked_matches_scan(V, Bk, density, seed, nv):
     """The blocked tropical triangular solve (log-depth closures +
