@@ -62,6 +62,7 @@ int aln_run_stats2(const char *paf_path, const char *alt_path, double alt_baseli
 
         int io_threads = threads > 0 ? threads : (int) std::thread::hardware_concurrency();
         int nthreads = io_threads;
+        aln::set_solver_helper_cap(nthreads - 1);
         auto t0 = clk::now();
 
         // solve + format fused with the parse: an alt merge appends
@@ -213,6 +214,7 @@ int aln_run_shard(const char *paf_path, const char *alt_path,
         aln::apply_scoring(cfg, scoring);
         int nthreads = threads > 0 ? threads
                                    : (int) std::thread::hardware_concurrency();
+        aln::set_solver_helper_cap(nthreads - 1);
 
         std::vector<std::string> parts_out, parts_alt, parts_max;
         std::atomic<bool> failed{false};

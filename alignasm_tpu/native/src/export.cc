@@ -95,6 +95,7 @@ void run_pool(int threads, long long n, const std::function<void(long long)> &bo
         }
     };
     int nt = threads > 0 ? threads : (int) std::thread::hardware_concurrency();
+    aln::set_solver_helper_cap(nt - 1);
     if (nt <= 1 || n <= 1) {
         worker();
     } else {
@@ -182,6 +183,7 @@ void *aln_open2(const char *paf_path, const char *alt_path, double alt_baseline,
         ctx->cfg.non_skip_linkable = non_skip_linkable != 0;
         aln::apply_scoring(ctx->cfg, scoring);
         int nt = threads > 0 ? threads : (int) std::thread::hardware_concurrency();
+        aln::set_solver_helper_cap(nt - 1);
         ExportCtx *c = ctx.get();
         auto build_one = [c, max_records](aln::Dataset &ds, size_t i) {
             auto &contig = ds.contigs[i];

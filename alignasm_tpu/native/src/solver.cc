@@ -9,6 +9,7 @@
 #include <limits>
 #include <queue>
 #include <stdexcept>
+#include <thread>
 #include <unordered_map>
 
 namespace aln {
@@ -97,8 +98,57 @@ Graph build_graph(std::vector<Record> &records, const Config &cfg) {
     return g;
 }
 
+// process-wide helper budget for intra-contig build parallelism
+// (see solver.h set_solver_helper_cap)
+static std::atomic<int> g_build_cap{0};
+static std::atomic<int> g_build_helpers{0};
+
+void set_solver_helper_cap(int cap) {
+    g_build_cap.store(cap < 0 ? 0 : cap, std::memory_order_relaxed);
+}
+
+namespace {
+
+int acquire_build_helpers(int want) {
+    int got = 0;
+    int cap = g_build_cap.load(std::memory_order_relaxed);
+    int cur = g_build_helpers.load(std::memory_order_relaxed);
+    while (got < want && cur < cap) {
+        if (g_build_helpers.compare_exchange_weak(
+                cur, cur + 1, std::memory_order_relaxed)) {
+            ++got;
+            ++cur;
+        }
+    }
+    return got;
+}
+
+void release_build_helpers(int n) {
+    if (n) g_build_helpers.fetch_sub(n, std::memory_order_relaxed);
+}
+
+// records-per-contig threshold below which helper threads cost more
+// than the chunked work saves
+constexpr i64 kParBuildMin = 64 << 10;
+
+}  // namespace
+
+// env-gated build sub-phase attribution (ALN_BUILD_PROF): prints the
+// sort / cut-vertex / edge split of one build — deterministic
+// wall-clock scopes, same rationale as ALN_SOLVE_PROF (this
+// hypervisor starves sampling profilers)
+static void build_prof(const char *what, std::chrono::steady_clock::time_point t0) {
+    static int on = -1;
+    if (on < 0) on = getenv("ALN_BUILD_PROF") != nullptr;
+    if (!on) return;
+    fprintf(stderr, "build_prof %s %.1f ms\n", what,
+            std::chrono::duration<double>(
+                std::chrono::steady_clock::now() - t0).count() * 1e3);
+}
+
 void build_graph_into(std::vector<Record> &records, const Config &cfg,
                       Graph &g) {
+    auto bt0 = std::chrono::steady_clock::now();
     g.n = (i64) records.size();
     g.recs.clear();
     g.part_idx.clear();
@@ -121,6 +171,8 @@ void build_graph_into(std::vector<Record> &records, const Config &cfg,
     });
     g.recs.assign(order.begin(), order.end());
     for (i64 i = 0; i < g.n; i++) order[i]->sorted_index = (i32) i;
+    build_prof("sort", bt0);
+    bt0 = std::chrono::steady_clock::now();
 
     // parts: maximal runs of query-overlapping records
     g.part_idx.resize(g.n);
@@ -133,27 +185,77 @@ void build_graph_into(std::vector<Record> &records, const Config &cfg,
     g.parts.push_back(g.n);
 
     // vertices: one per record, then pair vertices in discovery order
+    g.vtx.reserve((size_t) g.n);
+    g.cut_pe_q.reserve((size_t) g.n); g.cut_pe_r.reserve((size_t) g.n);
+    g.cut_st_q.reserve((size_t) g.n); g.cut_st_r.reserve((size_t) g.n);
     for (i64 i = 0; i < g.n; i++) {
         g.vtx.emplace_back((i32) i, (i32) i);
         g.cut_pe_q.push_back(NO_CUT); g.cut_pe_r.push_back(NO_CUT);
         g.cut_st_q.push_back(g.recs[i]->qry_str);
         g.cut_st_r.push_back(g.recs[i]->ref_str);
     }
-    for (i64 i = 0; i < g.n; i++) {
-        const Record &pre = *g.recs[i];
-        for (i64 j = i + 1; j < g.n; j++) {
-            const Record &cur = *g.recs[j];
-            if (pre.qry_end < cur.qry_str) break;
-            if (!partial_overlap(pre, cur)) continue;
-            CutRes c = pair_cut(pre, cur);
-            if (!c.ok)
-                throw std::runtime_error("overlapping records cannot connect");
-            g.pair_vtx.put(i * g.n + j, (i32) g.vtx.size());
-            g.vtx.emplace_back((i32) i, (i32) j);
-            g.cut_pe_q.push_back(c.pe_q); g.cut_pe_r.push_back(c.pe_r);
-            g.cut_st_q.push_back(c.st_q); g.cut_st_r.push_back(c.st_r);
+    build_prof("record_vertices", bt0);
+    bt0 = std::chrono::steady_clock::now();
+    int cut_helpers = g.n >= kParBuildMin ? acquire_build_helpers(3) : 0;
+    if (cut_helpers == 0) {
+        for (i64 i = 0; i < g.n; i++) {
+            const Record &pre = *g.recs[i];
+            for (i64 j = i + 1; j < g.n; j++) {
+                const Record &cur = *g.recs[j];
+                if (pre.qry_end < cur.qry_str) break;
+                if (!partial_overlap(pre, cur)) continue;
+                CutRes c = pair_cut(pre, cur);
+                if (!c.ok)
+                    throw std::runtime_error(
+                        "overlapping records cannot connect");
+                g.pair_vtx.put(i * g.n + j, (i32) g.vtx.size());
+                g.vtx.emplace_back((i32) i, (i32) j);
+                g.cut_pe_q.push_back(c.pe_q); g.cut_pe_r.push_back(c.pe_r);
+                g.cut_st_q.push_back(c.st_q); g.cut_st_r.push_back(c.st_r);
+            }
         }
+    } else {
+        // chunked two-phase: the pair_cut sweeps (pure functions of
+        // the two records) run on contiguous i-ranges in parallel,
+        // then one serial splice appends hits in the exact serial
+        // discovery order (i asc, j asc) — vertex ids, cut tables, and
+        // the first-bad-pair throw are all identical to the serial
+        // loop
+        struct PairHit { i32 i, j; CutRes c; };
+        int nc = cut_helpers + 1;
+        std::vector<std::vector<PairHit>> hits((size_t) nc);
+        i64 step = (g.n + nc - 1) / nc;
+        auto scan = [&](int c) {
+            i64 lo = (i64) c * step, hi = std::min<i64>(g.n, lo + step);
+            auto &out = hits[(size_t) c];
+            for (i64 i = lo; i < hi; i++) {
+                const Record &pre = *g.recs[i];
+                for (i64 j = i + 1; j < g.n; j++) {
+                    const Record &cur = *g.recs[j];
+                    if (pre.qry_end < cur.qry_str) break;
+                    if (!partial_overlap(pre, cur)) continue;
+                    out.push_back({(i32) i, (i32) j, pair_cut(pre, cur)});
+                }
+            }
+        };
+        std::vector<std::thread> pool;
+        for (int c = 1; c < nc; c++) pool.emplace_back(scan, c);
+        scan(0);
+        for (auto &t : pool) t.join();
+        release_build_helpers(cut_helpers);
+        for (auto &hv : hits)
+            for (auto &h : hv) {
+                if (!h.c.ok)
+                    throw std::runtime_error(
+                        "overlapping records cannot connect");
+                g.pair_vtx.put((i64) h.i * g.n + h.j, (i32) g.vtx.size());
+                g.vtx.emplace_back(h.i, h.j);
+                g.cut_pe_q.push_back(h.c.pe_q); g.cut_pe_r.push_back(h.c.pe_r);
+                g.cut_st_q.push_back(h.c.st_q); g.cut_st_r.push_back(h.c.st_r);
+            }
     }
+    build_prof("cut_vertices", bt0);
+    bt0 = std::chrono::steady_clock::now();
     g.src = (i32) g.vtx.size();
     g.dest = g.src + 1;
     // grow-only + per-slot clear: a reused scratch graph keeps every
@@ -222,8 +324,8 @@ void build_graph_into(std::vector<Record> &records, const Config &cfg,
             }
         }
     }
-    // intra-part
-    for (i64 blk = 0; blk + 1 < (i64) g.parts.size(); blk++) {
+    // intra-part edges of one block
+    auto intra_blk = [&](i64 blk) {
         i64 l = g.parts[blk], r = g.parts[blk + 1];
         for (i64 i = l; i < r; i++) {
             i64 min_qe_ii = BIG;
@@ -259,9 +361,9 @@ void build_graph_into(std::vector<Record> &records, const Config &cfg,
                 }
             }
         }
-    }
-    // part b -> part b+1
-    for (i64 blk = 0; blk + 2 < (i64) g.parts.size(); blk++) {
+    };
+    // part blk -> part blk+1 edges
+    auto cross_blk = [&](i64 blk) {
         i64 l = g.parts[blk], r = g.parts[blk + 1];
         i64 l2 = g.parts[blk + 1], r2 = g.parts[blk + 2];
         for (i64 i = l; i < r; i++) {
@@ -293,7 +395,50 @@ void build_graph_into(std::vector<Record> &records, const Config &cfg,
                 }
             }
         }
+    };
+    i64 nblk = (i64) g.parts.size() - 1;
+    int edge_helpers = (g.n >= kParBuildMin && nblk >= 64)
+                           ? acquire_build_helpers(3) : 0;
+    if (edge_helpers == 0) {
+        for (i64 blk = 0; blk + 1 < (i64) g.parts.size(); blk++)
+            intra_blk(blk);
+        for (i64 blk = 0; blk + 2 < (i64) g.parts.size(); blk++)
+            cross_blk(blk);
+    } else {
+        // Parallel over contiguous record-balanced BLOCK ranges, each
+        // thread running intra then cross per block.  Byte-identity
+        // argument: every edge's source vertex u (a record vertex
+        // (i,i) or pair vertex (i,j)) belongs to exactly one part
+        // block — the part of i — so adj[u] is only ever appended by
+        // the one thread owning that block, and its per-u sequence
+        // ([dest-block edge if last part,] intra edges in j order,
+        // cross edges in k/j order) matches the serial loops exactly;
+        // scoring reads only immutable record/cut tables.
+        int nc = edge_helpers + 1;
+        std::vector<i64> bounds((size_t) nc + 1, nblk);
+        bounds[0] = 0;
+        for (int c = 1; c < nc; c++) {
+            i64 target = g.n * c / nc;
+            i64 b = std::lower_bound(g.parts.begin(),
+                                     g.parts.begin() + nblk, target)
+                    - g.parts.begin();
+            bounds[(size_t) c] = std::max(bounds[(size_t) c - 1],
+                                          std::min(b, nblk));
+        }
+        auto run_range = [&](int c) {
+            for (i64 blk = bounds[(size_t) c];
+                 blk < bounds[(size_t) c + 1]; blk++) {
+                intra_blk(blk);
+                if (blk + 2 < (i64) g.parts.size()) cross_blk(blk);
+            }
+        };
+        std::vector<std::thread> pool;
+        for (int c = 1; c < nc; c++) pool.emplace_back(run_range, c);
+        run_range(0);
+        for (auto &t : pool) t.join();
+        release_build_helpers(edge_helpers);
     }
+    build_prof("edges", bt0);
 }
 
 namespace {
@@ -1258,10 +1403,17 @@ ContigResult solve_from_graph(const Graph &g, const Config &cfg) {
     if (cfg.lazy_walks && min_d.a == floor_a &&
         walks.count_min_walks(2) == 1) {
         ProfScope ps(3);
+        auto fpt = std::chrono::steady_clock::now();
         up_tl.reset(g, &fwd_order);
         static thread_local NotAlt not_alt0;
         not_alt0.begin_contig();
-        res.out = to_rows(g, up_tl, walks.recover(0), not_alt0, cfg);
+        build_prof("fp_reset", fpt);
+        fpt = std::chrono::steady_clock::now();
+        EdgePath &p0 = walks.recover(0);
+        build_prof("fp_recover", fpt);
+        fpt = std::chrono::steady_clock::now();
+        res.out = to_rows(g, up_tl, p0, not_alt0, cfg);
+        build_prof("fp_to_rows", fpt);
         return res;
     }
 

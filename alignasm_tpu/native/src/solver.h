@@ -111,6 +111,16 @@ struct Graph {
 
 Graph build_graph(std::vector<Record> &records, const Config &cfg);
 
+// Process-wide helper budget for INTRA-contig build parallelism: a
+// mega-contig's cut sweep + edge construction can run chunked on
+// helper threads while the pool's other workers sit idle at the end
+// of a parse (same acquire-or-shrink pattern as io.cc's
+// format_rows_parallel budget).  The pipeline owner sets the cap to
+// its worker count - 1; the default 0 means standalone solve_contig
+// calls never spawn.  Byte-identity: chunk results are spliced in the
+// exact serial discovery order (see build_graph_into).
+void set_solver_helper_cap(int cap);
+
 // scratch-reusing form: clears and refills `g`, keeping every
 // container's capacity (adj is only grown, never shrunk — the
 // per-vertex edge vectors' capacity is the point of the reuse)

@@ -69,6 +69,32 @@ def test_native_big_contig_fast_and_lean(tmp_path, oracle_bin):
         assert o.read_bytes() == got, f"aln{suffix} differs on big contig"
 
 
+def test_parallel_build_byte_identical(tmp_path):
+    """Intra-contig parallel graph build (solver.cc build_graph_into:
+    chunked cut sweep + per-block edge ranges, engaged at >= 64k
+    records): -t4 (parallel build path) must be byte-identical to -t1
+    (serial path, helper cap 0).  The oracle cannot run at this scale
+    (dense n^2 matrices); serial-vs-parallel is the cross-validation,
+    matching the configs[4] protocol."""
+    from alignasm_tpu import native
+
+    # ~55k segments -> ~72k records: over the 64k kParBuildMin gate
+    paf = tmp_path / "pbuild.paf"
+    paf.write_text(_chain_contig(55_000, seed=7))
+    n_records = paf.read_text().count("\n")
+    assert n_records >= (64 << 10) + 1000
+
+    p1 = tmp_path / "pb1.paf"
+    p1.write_bytes(paf.read_bytes())
+    native.run(str(p1), threads=1)
+    native.run(str(paf), threads=4)
+    for suffix in ("", ".alt", ".all"):
+        a = (tmp_path / f"pb1.aln{suffix}.paf").read_bytes()
+        b = (tmp_path / f"pbuild.aln{suffix}.paf").read_bytes()
+        assert a == b, f"aln{suffix} differs between -t1 and -t4"
+    assert len((tmp_path / "pbuild.aln.paf").read_bytes()) > 0
+
+
 def test_run_arena_block_crossing_single_worker(tmp_path, oracle_bin):
     """A single parse worker (-t1) over enough records that its RunArena
     spans multiple 32k-pair blocks, plus PairMap growth and scratch-graph
