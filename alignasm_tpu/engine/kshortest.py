@@ -129,16 +129,25 @@ def dijkstra(adj, src: int, mode: int = D.CALC_SUM):
 def _cycle_from_prv(prv, start: int, n: int):
     """Recover a negative cycle from predecessor links.
 
-    ``start`` is reachable from the cycle through ``prv`` but need not
-    lie on it; after n backward hops every remaining vertex does, so
-    walking until the first repeat and closing the loop yields the
-    cycle in forward edge order with first vertex == last."""
+    ``start`` is a vertex improved in the n-th relaxation generation:
+    its predecessor chain then has length >= n, so after n backward
+    hops the walk sits inside the cycle; walking until the first
+    repeat and closing the loop yields the cycle in forward edge order
+    with first vertex == last.  Guards (a chain that reaches src would
+    contradict the certificate) raise instead of wrapping Python's
+    negative indexing into garbage."""
     x = start
     for _ in range(n):
+        if prv[x] < 0:
+            raise RuntimeError("negative-cycle certificate without a "
+                               "cycle on the predecessor chain")
         x = prv[x]
     pos = {}
     back = []  # prv-chain order, i.e. reverse edge order
     while x not in pos:
+        if x < 0:
+            raise RuntimeError("negative-cycle certificate without a "
+                               "cycle on the predecessor chain")
         pos[x] = len(back)
         back.append(x)
         x = prv[x]
@@ -154,41 +163,48 @@ def bellman_ford(adj, src: int, mode: int = D.CALC_SUM):
     Parity target: the generic shortest-path mode of the reference walk
     library (k_shortest_walks.hpp:91-129) — dead code in alignasm
     itself, which always runs the DAG pass (paf_data.cpp:728), but part
-    of the reusable L0 surface.  Formulated here as the classic
-    membership-flag SPFA with per-vertex relaxation counting: a vertex
-    whose distance improves n or more times is reachable from a
-    negative cycle, which ``_cycle_from_prv`` then extracts.
+    of the reusable L0 surface.
+
+    Generation-synchronous SPFA: ``frontier`` holds the vertices whose
+    distance improved in the previous generation (membership-flag
+    dedup), and the classic Bellman-Ford phase argument makes the
+    cycle certificate sound — with no negative cycle every shortest
+    path uses < n edges, so no distance can improve in the n-th
+    generation; an n-th-generation improvement therefore certifies a
+    cycle, which ``_cycle_from_prv`` extracts.  (A per-vertex
+    improvement COUNT is not a sound certificate: on a DAG one vertex
+    can improve up to its in-degree times per generation.)
 
     Returns (d, prv) with MAX_DIST for unreachable vertices; raises
     NegativeCycleError (cycle as a vertex list, first == last) where
     the reference returns {empty, cycle}."""
-    from collections import deque
-
     n = len(adj)
     d = [D.MAX_DIST] * n
     keys = [None] * n
     prv = [-1] * n
-    improved = [0] * n
     queued = [False] * n
     d[src] = D.IDENTITY
     keys[src] = D.key(D.IDENTITY, mode)
-    q = deque([src])
+    frontier = [src]
     queued[src] = True
-    while q:
-        x = q.popleft()
-        queued[x] = False
-        dx = d[x]
-        for to, w in adj[x]:
-            nd = D.add(dx, w)
-            nk = D.key(nd, mode)
-            if keys[to] is None or nk < keys[to]:
-                d[to], keys[to], prv[to] = nd, nk, x
-                improved[to] += 1
-                if improved[to] >= n:
-                    raise NegativeCycleError(_cycle_from_prv(prv, to, n))
-                if not queued[to]:
-                    queued[to] = True
-                    q.append(to)
+    for gen in range(1, n + 1):
+        nxt = []
+        for x in frontier:
+            queued[x] = False
+            dx = d[x]
+            for to, w in adj[x]:
+                nd = D.add(dx, w)
+                nk = D.key(nd, mode)
+                if keys[to] is None or nk < keys[to]:
+                    d[to], keys[to], prv[to] = nd, nk, x
+                    if gen == n:
+                        raise NegativeCycleError(_cycle_from_prv(prv, to, n))
+                    if not queued[to]:
+                        queued[to] = True
+                        nxt.append(to)
+        if not nxt:
+            break
+        frontier = nxt
     return d, prv
 
 

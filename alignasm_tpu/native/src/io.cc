@@ -546,7 +546,24 @@ Dataset read_paf_range(const std::string &path, int threads,
     // rejects shards instead of silently mis-splitting groups
     double kR0Weight = 0.95;
     if (const char *w = std::getenv("ALN_SHARD_R0W")) {
-        double v = std::atof(w);
+        // strict decimal form (digits, at most one dot) so the Python
+        // launcher's digest replica (multihost._effective_r0w) parses
+        // the EFFECTIVE value identically — out-of-form or
+        // out-of-range input falls to the default on both sides
+        // instead of stranding the merge on a digest mismatch
+        bool okf = false;
+        int dots = 0;
+        for (const char *p = w; *p; p++) {
+            if (*p == '.') {
+                if (++dots > 1) { okf = false; break; }
+            } else if (*p >= '0' && *p <= '9') {
+                okf = true;
+            } else {
+                okf = false;
+                break;
+            }
+        }
+        double v = okf ? std::atof(w) : -1.0;
         if (v > 0.1 && v <= 1.5) kR0Weight = v;
     }
     const double total_w = kR0Weight + (double) (world - 1);
@@ -916,11 +933,6 @@ void format_rows_one(std::string &out, const Dataset &ds, size_t i,
         write_one(out, ds, ds.ctg_names[i], ds.contigs[i], row);
 }
 
-// shared helper budget for format_rows_parallel: it runs INSIDE the
-// solve workers, so several >=16k-row contigs finishing together could
-// otherwise transiently spawn ~threads^2 formatter threads
-static std::atomic<int> g_fmt_helpers{0};
-
 void format_rows_parallel(std::string &out, const Dataset &ds, size_t i,
                           const std::vector<OutRow> &rows, int threads) {
     // big-contig formatting: a mega-contig's rows are formatted inside
@@ -934,22 +946,14 @@ void format_rows_parallel(std::string &out, const Dataset &ds, size_t i,
         format_rows_one(out, ds, i, rows);
         return;
     }
-    // acquire helper slots from the process-wide pool (caller formats
-    // its own chunk, so `want` chunks need want-1 helpers); whatever is
-    // unavailable just shrinks the fan-out — the spliced bytes are
-    // order-identical at any chunk count
-    int helpers = 0;
-    {
-        int cap = std::max(1, threads - 1);
-        int cur = g_fmt_helpers.load(std::memory_order_relaxed);
-        while (helpers < want - 1 && cur < cap) {
-            if (g_fmt_helpers.compare_exchange_weak(
-                    cur, cur + 1, std::memory_order_relaxed)) {
-                ++helpers;
-                ++cur;
-            }
-        }
-    }
+    // acquire helper slots from the SHARED process-wide solver budget
+    // (one counter also backing the intra-contig build helpers, so the
+    // two cannot jointly oversubscribe; it runs INSIDE the solve
+    // workers, so several >=16k-row contigs finishing together could
+    // otherwise transiently spawn ~threads^2 formatter threads).
+    // Whatever is unavailable just shrinks the fan-out — the spliced
+    // bytes are order-identical at any chunk count
+    int helpers = acquire_solver_helpers(want - 1);
     if (helpers == 0) {
         format_rows_one(out, ds, i, rows);
         return;
@@ -969,7 +973,7 @@ void format_rows_parallel(std::string &out, const Dataset &ds, size_t i,
         pool.emplace_back([&, c] { fmt_chunk(c); });
     fmt_chunk(0);
     for (auto &t : pool) t.join();
-    g_fmt_helpers.fetch_sub(helpers, std::memory_order_relaxed);
+    release_solver_helpers(helpers);
     size_t total = out.size();
     for (auto &p2 : parts) total += p2.size();
     out.reserve(total);

@@ -107,9 +107,7 @@ void set_solver_helper_cap(int cap) {
     g_build_cap.store(cap < 0 ? 0 : cap, std::memory_order_relaxed);
 }
 
-namespace {
-
-int acquire_build_helpers(int want) {
+int acquire_solver_helpers(int want) {
     int got = 0;
     int cap = g_build_cap.load(std::memory_order_relaxed);
     int cur = g_build_helpers.load(std::memory_order_relaxed);
@@ -123,9 +121,11 @@ int acquire_build_helpers(int want) {
     return got;
 }
 
-void release_build_helpers(int n) {
+void release_solver_helpers(int n) {
     if (n) g_build_helpers.fetch_sub(n, std::memory_order_relaxed);
 }
+
+namespace {
 
 // records-per-contig threshold below which helper threads cost more
 // than the chunked work saves
@@ -196,7 +196,7 @@ void build_graph_into(std::vector<Record> &records, const Config &cfg,
     }
     build_prof("record_vertices", bt0);
     bt0 = std::chrono::steady_clock::now();
-    int cut_helpers = g.n >= kParBuildMin ? acquire_build_helpers(3) : 0;
+    int cut_helpers = g.n >= kParBuildMin ? acquire_solver_helpers(3) : 0;
     if (cut_helpers == 0) {
         for (i64 i = 0; i < g.n; i++) {
             const Record &pre = *g.recs[i];
@@ -242,7 +242,7 @@ void build_graph_into(std::vector<Record> &records, const Config &cfg,
         for (int c = 1; c < nc; c++) pool.emplace_back(scan, c);
         scan(0);
         for (auto &t : pool) t.join();
-        release_build_helpers(cut_helpers);
+        release_solver_helpers(cut_helpers);
         for (auto &hv : hits)
             for (auto &h : hv) {
                 if (!h.c.ok)
@@ -398,7 +398,7 @@ void build_graph_into(std::vector<Record> &records, const Config &cfg,
     };
     i64 nblk = (i64) g.parts.size() - 1;
     int edge_helpers = (g.n >= kParBuildMin && nblk >= 64)
-                           ? acquire_build_helpers(3) : 0;
+                           ? acquire_solver_helpers(3) : 0;
     if (edge_helpers == 0) {
         for (i64 blk = 0; blk + 1 < (i64) g.parts.size(); blk++)
             intra_blk(blk);
@@ -436,7 +436,7 @@ void build_graph_into(std::vector<Record> &records, const Config &cfg,
         for (int c = 1; c < nc; c++) pool.emplace_back(run_range, c);
         run_range(0);
         for (auto &t : pool) t.join();
-        release_build_helpers(edge_helpers);
+        release_solver_helpers(edge_helpers);
     }
     build_prof("edges", bt0);
 }

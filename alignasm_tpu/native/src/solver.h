@@ -111,15 +111,22 @@ struct Graph {
 
 Graph build_graph(std::vector<Record> &records, const Config &cfg);
 
-// Process-wide helper budget for INTRA-contig build parallelism: a
-// mega-contig's cut sweep + edge construction can run chunked on
-// helper threads while the pool's other workers sit idle at the end
-// of a parse (same acquire-or-shrink pattern as io.cc's
-// format_rows_parallel budget).  The pipeline owner sets the cap to
-// its worker count - 1; the default 0 means standalone solve_contig
-// calls never spawn.  Byte-identity: chunk results are spliced in the
-// exact serial discovery order (see build_graph_into).
+// Process-wide helper budget shared by intra-contig build parallelism
+// (a mega-contig's cut sweep + edge construction run chunked on helper
+// threads while the pool's other workers sit idle at the end of a
+// parse) and io.cc's chunked big-contig formatting.  The pipeline
+// owner sets the cap to its worker count - 1; the default 0 means
+// standalone solve_contig calls never spawn.  Byte-identity: chunk
+// results are spliced in the exact serial order either way (see
+// build_graph_into / format_rows_parallel).
 void set_solver_helper_cap(int cap);
+// Acquire up to ``want`` helper slots from the SHARED process-wide
+// budget (one counter for build + formatting helpers, so concurrent
+// mega-contig builds and >=16k-row formats cannot jointly oversubscribe
+// the machine); returns how many were granted.  Always release the
+// same count.
+int acquire_solver_helpers(int want);
+void release_solver_helpers(int n);
 
 // scratch-reusing form: clears and refills `g`, keeping every
 // container's capacity (adj is only grown, never shrunk — the

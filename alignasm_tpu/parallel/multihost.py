@@ -39,6 +39,27 @@ def shard_indices(n: int, rank: int, world: int):
     return list(range(rank, n, world))
 
 
+def _effective_r0w() -> float:
+    """The rank-0 split weight io.cc read_paf_range actually uses:
+    strict decimal form (digits, at most one dot), clamped to
+    (0.1, 1.5], default 0.95.  The job digest hashes THIS effective
+    value — hashing the raw env string let a one-host-only setting of
+    the default (or an out-of-range value io.cc silently ignores)
+    strand the merge on a digest mismatch while every shard was
+    byte-correct (round-5 review)."""
+    import re
+
+    raw = os.environ.get("ALN_SHARD_R0W")
+    if raw is None:
+        return 0.95
+    if re.fullmatch(r"[0-9]*\.?[0-9]*", raw) and any(
+            c.isdigit() for c in raw):
+        v = float(raw)
+    else:
+        v = -1.0
+    return v if 0.1 < v <= 1.5 else 0.95
+
+
 def native_rank_env(base: dict | None = None) -> dict:
     """Spawn environment for NATIVE-path rank subprocesses.
 
@@ -131,8 +152,9 @@ def run_multihost(
         h.update(f"v4:{world}:{alt_baseline!r}:{non_skip_linkable}:"
                  f"{upgrade_mode}:".encode())
         # the rank-0 split weight changes group ownership; a cross-rank
-        # mismatch must reject shards, not silently mis-split
-        h.update(f"r0w={os.environ.get('ALN_SHARD_R0W', '')}:".encode())
+        # mismatch must reject shards, not silently mis-split — hash
+        # the EFFECTIVE clamped value io.cc uses, not the raw string
+        h.update(f"r0w={_effective_r0w():.17g}:".encode())
 
         def _file_id(path):
             st = os.stat(path)
@@ -187,7 +209,7 @@ def run_multihost(
         timeout_s = float(os.environ.get("ALIGNASM_MERGE_TIMEOUT_S",
                                          "86400"))
         deadline = time.monotonic() + timeout_s
-        last_note = 0.0
+        last_note = time.monotonic()  # first note after 60s, not at once
         try:
             _merge_shards(stem, merging, world, digest, n, threads,
                           deadline, timeout_s, last_note)

@@ -124,8 +124,15 @@ CALIBRATION_PATH = os.path.join(os.path.dirname(__file__),
                                 "calibration.json")
 
 
+def _meta_of(raw: dict) -> dict:
+    """The _meta block, tolerating corruption: any non-dict value (a
+    torn artifact must NEVER steer or crash the gate) reads as absent."""
+    meta = raw.get("_meta")
+    return meta if isinstance(meta, dict) else {}
+
+
 def _parse_model(raw: dict, source: str, path: str):
-    meta = raw.get("_meta") or {}
+    meta = _meta_of(raw)
     fields = {f.name for f in dataclasses.fields(DeviceCostModel)}
     unknown = set(raw) - fields - {"_meta"}
     if unknown:
@@ -143,7 +150,7 @@ def _parse_model(raw: dict, source: str, path: str):
             age = (datetime.date.today()
                    - datetime.date.fromisoformat(meta["date"])).days
             prov["age_days"] = age
-        except ValueError:
+        except (ValueError, TypeError):
             pass
     return model, prov
 
@@ -154,13 +161,13 @@ def _is_stale(raw: dict) -> str | None:
     the artifact should NOT be trusted implicitly, else None."""
     import datetime
 
-    meta = raw.get("_meta") or {}
+    meta = _meta_of(raw)
     stale_after = meta.get("stale_after")
     if not stale_after:
         return "no _meta.stale_after"
     try:
         limit = datetime.date.fromisoformat(stale_after)
-    except ValueError:
+    except (ValueError, TypeError):
         return f"unparsable stale_after {stale_after!r}"
     if datetime.date.today() > limit:
         return f"stale since {stale_after}"
@@ -187,6 +194,8 @@ def load_model_info() -> tuple[DeviceCostModel, dict]:
     try:
         with open(CALIBRATION_PATH) as fh:
             raw = json.load(fh)
+        if not isinstance(raw, dict):
+            raise ValueError("calibration root is not an object")
     except (OSError, ValueError) as exc:
         return DeviceCostModel(), {
             "source": "defaults",

@@ -500,24 +500,13 @@ def bench_bigv(V=8192, seed=0, n_chain=6, reps=3):
     import numpy as np
 
     from alignasm_tpu.ops.dense import (
-        ANOM_SHIFT, dense_solve_wire_topo_nxt16_blocked_ragged,
+        dense_solve_wire_topo_nxt16_blocked_ragged,
         dense_solve_wire_topo_nxt16_ragged,
     )
 
-    rng = np.random.default_rng(seed)
-    us = np.repeat(np.arange(V - 1), 4)
-    span = rng.integers(1, 16, len(us))
-    vs = np.minimum(us + span, V - 1)
-    keep = us < vs
-    keys = np.unique(us[keep].astype(np.int64) * V + vs[keep])
-    us, vs = keys // V, keys % V
-    ws = rng.integers(0, 3000, len(us)).astype(np.int64)
-    wa = rng.integers(0, 4, len(us)).astype(np.int64)
-    val = (ws | (wa << ANOM_SHIFT)).astype(np.int32)
-    ent = np.stack([us * V + vs, val])
-    extra = np.array([[V * V, V * V + 1], [V - 1, 0]])
-    wire = jax.device_put(
-        np.concatenate([ent, extra], axis=1).astype(np.int32))
+    wire_h = _bigv_wire(V, seed)  # the one shared construction
+    wire = jax.device_put(wire_h)
+    n_edges = wire_h.shape[1] - 2  # minus the dest/src sentinel entries
 
     def timeit(fn):
         r = np.asarray(fn())  # compile + warm
@@ -537,7 +526,7 @@ def bench_bigv(V=8192, seed=0, n_chain=6, reps=3):
     slab = V * (V + 1) * 4
     kind, peak = _device_peak()
     out = {
-        "V": V, "E": int(len(keys)), "device_kind": kind,
+        "V": V, "E": int(n_edges), "device_kind": kind,
         "scan_s_per_launch": round(t_scan, 5),
         "blocked_s_per_launch": round(t_blk, 5),
         "blocked_speedup": round(t_scan / t_blk, 2),

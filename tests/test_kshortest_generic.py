@@ -80,6 +80,27 @@ def test_bellman_ford_handles_negative_edges():
     assert D.score_sum(d[1]) == 3 and prv[1] == 2
 
 
+def test_bellman_ford_no_false_cycle_on_negative_dag():
+    """Soundness regression (round-5 review): a DAG whose vertices
+    improve many times (parallel edges + heavy negative chain) has NO
+    cycle — an unsound per-vertex improvement-count certificate raised
+    a false NegativeCycleError here and recovered a garbage 'cycle'
+    through Python's negative indexing."""
+    from alignasm_tpu.engine.kshortest import bellman_ford
+
+    w = lambda q: (q, 0, 0, 0, 1)
+    adj = [
+        [(1, w(-100))],
+        [(2, w(-100)), (4, w(0)), (4, w(-10))],
+        [(3, w(-100)), (4, w(0)), (4, w(-10))],
+        [(4, w(0)), (4, w(-10))],
+        [],
+    ]
+    d, prv = bellman_ford(adj, 0)
+    assert D.score_sum(d[3]) == -300
+    assert D.score_sum(d[4]) == -310 and prv[4] == 3
+
+
 def test_bellman_ford_detects_negative_cycle():
     from alignasm_tpu.engine.kshortest import NegativeCycleError, bellman_ford
 
