@@ -471,3 +471,47 @@ def test_multihost_range_sharding_byte_identity(tmp_path, oracle_bin):
             got = pathlib.Path(str(mh)[:-4] + f".aln{suffix}.paf")
             assert g == got.read_bytes(), f"world={world} aln{suffix}"
         assert not list(tmp_path.glob(f"mh{world}.shard*.bin"))
+
+
+def test_devbench_deep_merge():
+    """The streaming bench harvest (bench.py merges devbench's
+    per-section JSON lines) rests on this helper: nested dicts merge,
+    scalars overwrite, unrelated keys survive."""
+    from alignasm_tpu.runtime.devbench import _deep_merge
+
+    d = {"kernels": {"topo": {"a": 1}}, "x": 1}
+    _deep_merge(d, {"kernels": {"bigv": {"b": 2}}, "y": 3})
+    _deep_merge(d, {"kernels": {"topo": {"a": 9, "c": 4}}, "x": 2})
+    assert d == {"kernels": {"topo": {"a": 9, "c": 4}, "bigv": {"b": 2}},
+                 "x": 2, "y": 3}
+
+
+def test_ensure_jax_compile_cache_respects_env(monkeypatch, tmp_path):
+    """Engine-level compile cache (round-5): a pre-set env dir wins,
+    and an already-imported jax picks it up via config.update."""
+    from alignasm_tpu.runtime import ensure_jax_compile_cache
+
+    target = str(tmp_path / "jcache")
+    monkeypatch.setenv("JAX_COMPILATION_CACHE_DIR", target)
+    assert ensure_jax_compile_cache() == target
+    import jax
+
+    assert jax.config.jax_compilation_cache_dir == target
+
+
+def test_effective_r0w_matches_native_clamp(monkeypatch):
+    """The digest's split-weight replica must mirror io.cc: strict
+    decimal form, (0.1, 1.5] clamp, default 0.95 for everything else."""
+    from alignasm_tpu.parallel.multihost import _effective_r0w
+
+    cases = {
+        None: 0.95, "0.9": 0.9, "1.5": 1.5, "1": 1.0, "5.": 0.95,
+        "0.05": 0.95, "2.0": 0.95, "abc": 0.95, "0.9abc": 0.95,
+        "-0.9": 0.95, "": 0.95, ".": 0.95, ".5": 0.5, "1e0": 0.95,
+    }
+    for raw, want in cases.items():
+        if raw is None:
+            monkeypatch.delenv("ALN_SHARD_R0W", raising=False)
+        else:
+            monkeypatch.setenv("ALN_SHARD_R0W", raw)
+        assert _effective_r0w() == want, (raw, want)
