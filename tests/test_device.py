@@ -462,6 +462,45 @@ def test_big_contig_single_chip_device_path(tmp_path, oracle_bin):
         assert o.read_bytes() == got.read_bytes(), f"aln{suffix}"
 
 
+def test_big_contig_batched_bucket_device_path(tmp_path, oracle_bin):
+    """Several big contigs whose padded V lands in ONE bucket must ride
+    a single batched blocked launch (padB > 1 — the round-5 Bk=32
+    branch of the production rule) and stay byte-identical."""
+    import pathlib
+    import sys
+
+    from alignasm_tpu.io.paf import read_paf
+    from alignasm_tpu.runtime.scheduler import solve_dataset_tpu
+    from tests.conftest import run_oracle
+
+    sys.path.insert(0, str(pathlib.Path(__file__).parent))
+    from test_scale import _chain_contig
+
+    # four ~600-segment chain contigs: each ~750-1050 vertices, all
+    # padding into the same V bucket
+    parts = []
+    for k, seed in enumerate((11, 23, 37, 51)):
+        txt = _chain_contig(600, seed=seed)
+        parts.append(txt.replace("bigctg", f"bigctg{k}"))
+    p = tmp_path / "bigbatch.paf"
+    p.write_text("".join(parts))
+
+    oracle_outs = run_oracle(oracle_bin, p, tmp_path)
+    eng = tmp_path / "engbatch.paf"
+    eng.write_bytes(p.read_bytes())
+    solve_dataset_tpu(read_paf(eng), DEVICE_CFG,
+                      src_paths=(str(eng), None),
+                      write_prefix=str(eng)[:-4])
+    stats = solve_dataset_tpu.last_stats
+    big_buckets = [(v, n) for v, n, *_ in stats.get("bucket_phases", [])
+                   if v > 256]
+    assert any(n >= 2 for _v, n in big_buckets), stats  # batched launch
+    assert stats["device"] + stats["fallback"] >= 4, stats
+    for o, suffix in zip(oracle_outs, ("", ".alt", ".all")):
+        got = pathlib.Path(str(eng)[:-4] + f".aln{suffix}.paf")
+        assert o.read_bytes() == got.read_bytes(), f"aln{suffix}"
+
+
 def test_nxt16_gate_rows_match_full_dp():
     """dense_solve_wire_topo_nxt16 (int16 gate rows for V > 256) must
     agree with the full-DP rows: identical nxt array, src, and a fast
