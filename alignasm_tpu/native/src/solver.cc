@@ -1219,6 +1219,7 @@ struct NotAlt {
 static std::vector<OutRow> to_rows(const Graph &g, const Upgrader &up,
                                    EdgePath &path, NotAlt &not_alt,
                                    const Config &cfg) {
+    auto trt = std::chrono::steady_clock::now();
     for (auto &[u, v, w] : path) {
         if (v != g.dest) {
             auto [x, y] = g.vtx[v];
@@ -1226,8 +1227,12 @@ static std::vector<OutRow> to_rows(const Graph &g, const Upgrader &up,
             not_alt.add(g.recs[y]->ctg_index);
         }
     }
+    build_prof("tr_not_alt", trt);
+    trt = std::chrono::steady_clock::now();
     if (cfg.upgrade_mode == 0)
         up.upgrade_inplace(path);
+    build_prof("tr_upgrade", trt);
+    trt = std::chrono::steady_clock::now();
     if (std::getenv("ALN_DEBUG_WALKS")) {
         fprintf(stderr, "upgraded:");
         for (auto &[u, v, w] : path) fprintf(stderr, " %d->%d", u, v);
@@ -1264,10 +1269,13 @@ static std::vector<OutRow> to_rows(const Graph &g, const Upgrader &up,
             }
         }
     }
+    build_prof("tr_rows", trt);
+    trt = std::chrono::steady_clock::now();
     if (cfg.upgrade_mode == 1)
         rows = upgrade_single_piece(g, cfg, std::move(rows));
     for (auto &row : rows)
         row.alt_flag = !not_alt.has(row.ctg_index);
+    build_prof("tr_alt_flag", trt);
     return rows;
 }
 
