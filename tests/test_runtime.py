@@ -499,6 +499,37 @@ def test_ensure_jax_compile_cache_respects_env(monkeypatch, tmp_path):
     assert jax.config.jax_compilation_cache_dir == target
 
 
+def test_multihost_split_weight_mismatch_rejected(tmp_path):
+    """A cross-rank ALN_SHARD_R0W mismatch changes group ownership;
+    the digest must REJECT the mismatched shard (rank 0 times out with
+    no output published) instead of silently merging mis-split groups."""
+    import os
+    import subprocess
+    import sys
+
+    from alignasm_tpu.parallel.multihost import native_rank_env
+
+    p = _dataset(tmp_path, seed=41, n=8)
+    mh = tmp_path / "mhw.paf"
+    mh.write_bytes(p.read_bytes())
+    procs = []
+    for rank, w in ((0, "0.95"), (1, "0.5")):
+        env = native_rank_env()
+        env["ALN_SHARD_R0W"] = w
+        env["ALIGNASM_MERGE_TIMEOUT_S"] = "2"
+        procs.append(subprocess.Popen(
+            [sys.executable, "-m", "alignasm_tpu.parallel.multihost",
+             str(mh), "--num-processes", "2", "--process-id", str(rank)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT))
+    outs = [pr.communicate(timeout=120)[0] for pr in procs]
+    assert procs[0].returncode != 0, outs[0].decode()[-500:]
+    assert b"never appeared/matched" in outs[0]
+    assert procs[1].returncode == 0, outs[1].decode()[-500:]
+    # the failed merge must leave no output files behind
+    for suffix in ("", ".alt", ".all"):
+        assert not (tmp_path / f"mhw.aln{suffix}.paf").exists(), suffix
+
+
 def test_effective_r0w_matches_native_clamp(monkeypatch):
     """The digest's split-weight replica must mirror io.cc: strict
     decimal form, (0.1, 1.5] clamp, default 0.95 for everything else."""
