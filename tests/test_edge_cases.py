@@ -169,3 +169,33 @@ def test_long_cs_string(oracle_bin, tmp_path):
         f"c1\t{q+200}\t{q+10}\t{q+110}\t+\tchrA\t{r+100}\t{r-100}\t{r}\t100\t100\t60\tcs:Z::100",
     ]
     _both(oracle_bin, tmp_path, "\n".join(rows) + "\n")
+
+
+def test_cli_progress_and_profile_flags(tmp_path, oracle_bin):
+    """--progress (serial exact-path bar + device stats line) and
+    --profile DIR (jax.profiler trace written) work end to end with
+    byte-identical outputs."""
+    import pathlib
+    import subprocess
+    import sys
+
+    from alignasm_tpu.testing.synth import generate_paf
+    from tests.conftest import run_oracle
+
+    p = tmp_path / "flags.paf"
+    p.write_text(generate_paf(n_contigs=6, seed=9))
+    oracle_outs = run_oracle(oracle_bin, p, tmp_path)
+
+    eng = tmp_path / "flg.paf"
+    eng.write_bytes(p.read_bytes())
+    prof_dir = tmp_path / "trace"
+    proc = subprocess.run(
+        [sys.executable, "-m", "alignasm_tpu.cli", str(eng),
+         "--engine", "exact", "--progress", "--profile", str(prof_dir)],
+        capture_output=True, text=True)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert prof_dir.exists() and any(prof_dir.rglob("*")), \
+        "profiler trace dir empty"
+    for o, suffix in zip(oracle_outs, ("", ".alt", ".all")):
+        got = pathlib.Path(str(eng)[:-4] + f".aln{suffix}.paf")
+        assert o.read_bytes() == got.read_bytes(), f"aln{suffix}"
