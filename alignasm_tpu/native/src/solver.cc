@@ -494,19 +494,27 @@ public:
     // unreachable (cannot happen for valid contigs)
     bool prepare() {
         const Graph &g = *gp_;
+        auto wpt = std::chrono::steady_clock::now();
         // reversed adjacency in CSR form (counting sort preserves the
         // u-major per-target order the nested-vector form had); the
         // nested form allocated V inner vectors per contig
         roff_.assign((size_t) V_ + 1, 0);
         i64 E = 0;
-        for (i64 u = 0; u < V_; u++) {
-            E += (i64) g.adj[u].size();
-            for (const auto &e : g.adj[u]) roff_[(size_t) e.to + 1]++;
-        }
-        for (i64 v = 0; v < V_; v++) roff_[v + 1] += roff_[v];
+        for (i64 u = 0; u < V_; u++) E += (i64) g.adj[u].size();
         rsrc_.resize((size_t) E);
         rw_.resize((size_t) E);
-        {
+        // >= 256k edges: parallel counting sort over edge-balanced
+        // contiguous u-ranges (helpers from the shared solver budget).
+        // Determinism: each target's range-base offsets place range
+        // r's entries before range r+1's and each range fills in
+        // ascending u — exactly the serial u-major per-target order,
+        // so rsrc_/rw_ are bit-identical to the serial fill.
+        int csr_helpers =
+            E >= (128 << 10) ? acquire_solver_helpers(3) : 0;
+        if (csr_helpers == 0) {
+            for (i64 u = 0; u < V_; u++)
+                for (const auto &e : g.adj[u]) roff_[(size_t) e.to + 1]++;
+            for (i64 v = 0; v < V_; v++) roff_[v + 1] += roff_[v];
             static thread_local std::vector<i32> cur;
             cur.assign(roff_.begin(), roff_.end() - 1);
             for (i64 u = 0; u < V_; u++)
@@ -515,7 +523,65 @@ public:
                     rsrc_[k] = (i32) u;
                     rw_[k] = e.w;
                 }
+        } else {
+            const int R = csr_helpers + 1;
+            std::vector<i64> ub((size_t) R + 1, V_);
+            ub[0] = 0;
+            {
+                i64 acc = 0, r = 1;
+                for (i64 u = 0; u < V_ && r < R; u++) {
+                    acc += (i64) g.adj[u].size();
+                    if (acc >= E * r / R) ub[(size_t) r++] = u + 1;
+                }
+            }
+            for (int r = 1; r <= R; r++)  // monotone guard
+                ub[(size_t) r] = std::max(ub[(size_t) r],
+                                          ub[(size_t) r - 1]);
+            csr_cnt_.assign((size_t) R * (size_t) V_, 0);
+            auto run_par = [&](auto &&body) {
+                std::vector<std::thread> pool;
+                for (int r = 1; r < R; r++) pool.emplace_back(body, r);
+                body(0);
+                for (auto &t : pool) t.join();
+            };
+            run_par([&](int r) {  // per-range counts
+                i32 *c = csr_cnt_.data() + (size_t) r * (size_t) V_;
+                for (i64 u = ub[(size_t) r]; u < ub[(size_t) r + 1]; u++)
+                    for (const auto &e : g.adj[u]) c[e.to]++;
+            });
+            for (i64 v = 0; v < V_; v++) {
+                i64 t = 0;
+                for (int r = 0; r < R; r++)
+                    t += csr_cnt_[(size_t) r * (size_t) V_ + (size_t) v];
+                roff_[(size_t) v + 1] = (i32) t;
+            }
+            for (i64 v = 0; v < V_; v++) roff_[v + 1] += roff_[v];
+            run_par([&](int r0) {  // per-(range, target) bases
+                i64 lo = V_ * r0 / R, hi = V_ * (r0 + 1) / R;
+                for (i64 v = lo; v < hi; v++) {
+                    i32 acc = roff_[(size_t) v];
+                    for (int r = 0; r < R; r++) {
+                        i32 &slot =
+                            csr_cnt_[(size_t) r * (size_t) V_ + (size_t) v];
+                        i32 t = slot;
+                        slot = acc;
+                        acc += t;
+                    }
+                }
+            });
+            run_par([&](int r) {  // fill
+                i32 *c = csr_cnt_.data() + (size_t) r * (size_t) V_;
+                for (i64 u = ub[(size_t) r]; u < ub[(size_t) r + 1]; u++)
+                    for (const auto &e : g.adj[u]) {
+                        i32 k = c[e.to]++;
+                        rsrc_[k] = (i32) u;
+                        rw_[k] = e.w;
+                    }
+            });
+            release_solver_helpers(csr_helpers);
         }
+        build_prof("wp_csr", wpt);
+        wpt = std::chrono::steady_clock::now();
         // Kahn order of the reversed graph (in-degree there = forward
         // out-degree); the output vector doubles as the FIFO queue
         {
@@ -534,6 +600,8 @@ public:
             if ((i64) rev_order_.size() != V_)
                 throw std::runtime_error("cycle in contig DAG");
         }
+        build_prof("wp_kahn", wpt);
+        wpt = std::chrono::steady_clock::now();
         d_.assign(V_, Dist{});
         reach_.assign(V_, false);
         best_.assign(V_, -1);
@@ -550,6 +618,7 @@ public:
                 }
             }
         }
+        build_prof("wp_dp", wpt);
         if (!reach_[g.src]) return false;
         dists_.push_back(d_[g.src]);
         last_.push_back(-1);
@@ -721,6 +790,7 @@ private:
     // reversed adjacency in CSR form + its Kahn topo order (prepare)
     std::vector<i32> roff_, rsrc_;
     std::vector<Dist> rw_;
+    std::vector<i32> csr_cnt_;  // parallel counting-sort scratch
     std::vector<i32> rev_order_;
     std::vector<Dist> d_;
     std::vector<char> reach_;

@@ -57,6 +57,7 @@ def test_native_big_contig_fast_and_lean(tmp_path, oracle_bin):
 
     nat = tmp_path / "nbig.paf"
     nat.write_bytes(paf.read_bytes())
+    native.build()  # a post-edit g++ rebuild must not eat the time budget
     rss_before = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
     t0 = time.perf_counter()
     stats = native.run(str(nat), threads=2)
